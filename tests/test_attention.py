@@ -1,0 +1,73 @@
+"""Attention kernel parity: Pallas flash (interpret mode on CPU) vs the
+jnp reference oracle — the kernel-vs-reference gate SURVEY.md §4 calls for."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videotuna_tpu.kernels.attention import (dot_product_attention,
+                                             flash_attention,
+                                             reference_attention)
+
+
+def _rand_qkv(key, b, s, h, d, sk=None):
+    sk = sk or s
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, sk, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, sk, h, d), jnp.float32)
+    return q, k, v
+
+
+class TestReferenceAttention:
+    def test_matches_manual_softmax(self):
+        q, k, v = _rand_qkv(jax.random.key(0), 2, 16, 4, 8)
+        out = reference_attention(q, k, v)
+        # manual
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(8)
+        probs = jax.nn.softmax(logits, -1)
+        exp = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        np.testing.assert_allclose(out, exp, atol=1e-5)
+
+    def test_causal(self):
+        q, k, v = _rand_qkv(jax.random.key(1), 1, 8, 2, 4)
+        out = reference_attention(q, k, v, causal=True)
+        # first query position attends only to first key
+        exp0 = v[:, 0]
+        np.testing.assert_allclose(out[:, 0], exp0, atol=1e-5)
+
+
+@pytest.mark.parametrize("seq,block", [(256, 128), (384, 128), (200, 128)])
+def test_flash_matches_reference(seq, block):
+    q, k, v = _rand_qkv(jax.random.key(2), 2, seq, 2, 64)
+    ref = reference_attention(q, k, v)
+    out = flash_attention(q, k, v, block_q=block, block_k=block,
+                          interpret=True)
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_flash_causal_matches_reference():
+    q, k, v = _rand_qkv(jax.random.key(3), 1, 256, 2, 32)
+    ref = reference_attention(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128,
+                          interpret=True)
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_flash_cross_attention_lengths():
+    q, k, v = _rand_qkv(jax.random.key(4), 1, 128, 2, 32, sk=320)
+    ref = reference_attention(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_entrypoint_bias_and_shapes():
+    q, k, v = _rand_qkv(jax.random.key(5), 2, 16, 4, 8)
+    mask_bias = jnp.where(
+        jnp.arange(16)[None, None, None, :] < 10, 0.0, -1e30)
+    out = dot_product_attention(q, k, v, bias=mask_bias)
+    # masked keys beyond 10 never contribute: perturb them, output unchanged
+    v2 = v.at[:, 10:].set(123.0)
+    out2 = dot_product_attention(q, k, v2, bias=mask_bias)
+    np.testing.assert_allclose(out, out2, atol=1e-5)

@@ -1,0 +1,149 @@
+"""Shape/behavior tests for the model zoo backbones (tiny configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videotuna_tpu.models.layers import (apply_rope, rope_3d,
+                                         rope_frequencies,
+                                         timestep_embedding, unpatchify_3d)
+from videotuna_tpu.models.opensora.stdit import STDiT
+from videotuna_tpu.models.text_encoders import (CLIPTextEncoder, T5Encoder,
+                                                tokenize)
+from videotuna_tpu.models.vae2d import AutoencoderKL2D, DiagonalGaussian
+
+
+class TestLayers:
+    def test_timestep_embedding_shape_and_range(self):
+        emb = timestep_embedding(jnp.array([0.0, 10.0, 999.0]), 128)
+        assert emb.shape == (3, 128)
+        assert float(jnp.abs(emb).max()) <= 1.0 + 1e-6
+
+    def test_rope_preserves_norm(self):
+        cos, sin = rope_frequencies(32, jnp.arange(16))
+        x = jax.random.normal(jax.random.key(0), (2, 16, 4, 32))
+        y = apply_rope(x, cos, sin)
+        np.testing.assert_allclose(
+            jnp.linalg.norm(x, axis=-1), jnp.linalg.norm(y, axis=-1),
+            rtol=1e-5)
+
+    def test_rope_position_zero_identity(self):
+        cos, sin = rope_frequencies(16, jnp.arange(4))
+        x = jax.random.normal(jax.random.key(1), (1, 4, 2, 16))
+        y = apply_rope(x, cos, sin)
+        np.testing.assert_allclose(y[:, 0], x[:, 0], atol=1e-6)
+
+    def test_rope_3d_shapes(self):
+        cos, sin = rope_3d(16, 24, 24, t=3, h=4, w=5)
+        assert cos.shape == (60, 32)
+        assert sin.shape == (60, 32)
+
+    def test_unpatchify_roundtrip(self):
+        b, t, h, w, c = 1, 2, 4, 4, 3
+        pt, ph, pw = 1, 2, 2
+        x = jax.random.normal(jax.random.key(2),
+                              (b, t * h * w, pt * ph * pw * c))
+        out = unpatchify_3d(x, (t, h, w), (pt, ph, pw), c)
+        assert out.shape == (b, t * pt, h * ph, w * pw, c)
+
+
+class TestSTDiT:
+    @pytest.fixture(scope="class")
+    def tiny(self):
+        model = STDiT(input_size=(4, 16, 16), in_channels=4,
+                      hidden_size=64, depth=2, num_heads=4,
+                      caption_channels=32, pred_sigma=True)
+        x = jnp.zeros((2, 4, 16, 16, 4))
+        t = jnp.array([10, 500])
+        y = jnp.zeros((2, 8, 32))
+        mask = jnp.ones((2, 8), bool)
+        params = model.init(jax.random.key(0), x, t, y, mask)["params"]
+        return model, params
+
+    def test_output_shape_pred_sigma(self, tiny):
+        model, params = tiny
+        x = jax.random.normal(jax.random.key(1), (2, 4, 16, 16, 4))
+        out = model.apply({"params": params}, x, jnp.array([1, 2]),
+                          jax.random.normal(jax.random.key(2), (2, 8, 32)),
+                          jnp.ones((2, 8), bool))
+        assert out.shape == (2, 4, 16, 16, 8)  # 2·C with pred_sigma
+        assert out.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_text_mask_blocks_padding(self, tiny):
+        """Masked text tokens must not affect the output."""
+        model, params = tiny
+        x = jax.random.normal(jax.random.key(3), (1, 4, 16, 16, 4))
+        t = jnp.array([100])
+        y = jax.random.normal(jax.random.key(4), (1, 8, 32))
+        mask = jnp.array([[True] * 4 + [False] * 4])
+        out1 = model.apply({"params": params}, x, t, y, mask)
+        y2 = y.at[:, 4:].set(99.0)
+        out2 = model.apply({"params": params}, x, t, y2, mask)
+        np.testing.assert_allclose(out1, out2, atol=1e-5)
+
+    def test_timestep_changes_output(self, tiny):
+        model, params = tiny
+        x = jax.random.normal(jax.random.key(5), (1, 4, 16, 16, 4))
+        y = jnp.zeros((1, 8, 32))
+        m = jnp.ones((1, 8), bool)
+        o1 = model.apply({"params": params}, x, jnp.array([0]), y, m)
+        o2 = model.apply({"params": params}, x, jnp.array([999]), y, m)
+        assert float(jnp.abs(o1 - o2).max()) > 1e-4
+
+
+class TestVAE2D:
+    @pytest.fixture(scope="class")
+    def tiny(self):
+        vae = AutoencoderKL2D(ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                              z_channels=4, embed_dim=4)
+        video = jnp.zeros((1, 2, 16, 16, 3))
+        params = vae.init(jax.random.key(0), video)["params"]
+        return vae, params
+
+    def test_encode_decode_shapes(self, tiny):
+        vae, params = tiny
+        video = jax.random.normal(jax.random.key(1), (1, 3, 16, 16, 3))
+        moments = vae.apply({"params": params}, video, method=vae.encode)
+        assert moments.shape == (1, 3, 8, 8, 8)  # /2 spatial, 2·z moments
+        z = DiagonalGaussian(moments).mode()
+        assert z.shape == (1, 3, 8, 8, 4)
+        rec = vae.apply({"params": params}, z, method=vae.decode)
+        assert rec.shape == video.shape
+
+    def test_gaussian_kl_zero_for_standard(self):
+        moments = jnp.zeros((2, 4, 4, 8))  # mean 0, logvar 0
+        kl = DiagonalGaussian(moments).kl()
+        np.testing.assert_allclose(kl, 0.0, atol=1e-6)
+
+
+class TestTextEncoders:
+    def test_t5_shapes_and_mask(self):
+        enc = T5Encoder(vocab_size=100, dim=32, heads=4, head_dim=8,
+                        ff_dim=64, num_layers=2)
+        ids = jnp.array([[5, 6, 7, 0], [8, 9, 0, 0]])
+        mask = jnp.array([[1, 1, 1, 0], [1, 1, 0, 0]], dtype=bool)
+        params = enc.init(jax.random.key(0), ids, mask)["params"]
+        out = enc.apply({"params": params}, ids, mask)
+        assert out.shape == (2, 4, 32)
+        np.testing.assert_allclose(out[0, 3], 0.0, atol=1e-6)  # masked→0
+
+    def test_clip_causal(self):
+        enc = CLIPTextEncoder(vocab_size=100, dim=32, heads=4, num_layers=2,
+                              max_len=8)
+        ids = jnp.array([[1, 2, 3, 4, 0, 0, 0, 0]])
+        params = enc.init(jax.random.key(0), ids)["params"]
+        out1 = enc.apply({"params": params}, ids)
+        # causality: changing a later token must not affect earlier outputs
+        ids2 = ids.at[0, 3].set(50)
+        out2 = enc.apply({"params": params}, ids2)
+        np.testing.assert_allclose(out1[0, :3], out2[0, :3], atol=1e-5)
+        assert float(jnp.abs(out1[0, 3:] - out2[0, 3:]).max()) > 1e-6
+
+    def test_tokenize_fallback_deterministic(self):
+        ids1, m1 = tokenize(["hello world", ""], max_length=8)
+        ids2, m2 = tokenize(["hello world", ""], max_length=8)
+        np.testing.assert_array_equal(ids1, ids2)
+        assert m1[0, :2].all() and not m1[0, 2:].any()
+        assert m1[1, 0]  # empty prompt still yields one token

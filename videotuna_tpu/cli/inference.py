@@ -1,0 +1,68 @@
+"""Unified inference CLI — parity with scripts/inference_new.py
+(/root/reference/scripts/inference_new.py:203-228): YAML+CLI merge →
+flow instantiation → from_pretrained → monitored flow.inference(config).
+
+Usage:
+    python -m videotuna_tpu.cli.inference --config configs/.../x.yaml \
+        [--config more.yaml] [--ckpt path] [key.sub=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from videotuna_tpu.core.config import (apply_inference_mapping, check_required,
+                                       format_config, load_configs)
+from videotuna_tpu.core.monitor import monitor_resources
+from videotuna_tpu.core.registry import instantiate, populate
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("videotuna-tpu inference")
+    p.add_argument("--config", "-b", action="append", required=True,
+                   help="YAML config file(s), merged left to right")
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint dir (overrides flow.pretrained)")
+    p.add_argument("--savedir", default=None)
+    p.add_argument("--prompt", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("overrides", nargs="*",
+                   help="dotlist overrides key.sub=value")
+    return p
+
+
+def run_inference(argv: Optional[List[str]] = None) -> dict:
+    args = build_parser().parse_args(argv)
+    config = load_configs(args.config, args.overrides)
+    config = apply_inference_mapping(config)
+    inf = config.setdefault("inference", {})
+    for k in ("savedir", "prompt", "seed"):
+        v = getattr(args, k)
+        if v is not None:
+            inf[k] = v
+    check_required(config, ["flow.target"])
+    if not args.quiet:
+        print(format_config(config, "inference config"))
+
+    populate()
+    flow = instantiate(config["flow"])
+    ckpt = args.ckpt or config["flow"].get("pretrained")
+    if ckpt:
+        flow.from_pretrained(ckpt)
+    elif not flow.params:
+        print("[videotuna-tpu] no checkpoint given — using random init",
+              file=sys.stderr)
+        flow.init_params(seed=int(inf.get("seed", 0)))
+
+    result, metrics = monitor_resources()(flow.inference)(config)
+    if not args.quiet:
+        print(f"[videotuna-tpu] wrote {len(result['videos'])} video(s) "
+              f"in {metrics['time_sec']}s → {inf.get('savedir')}")
+    return result
+
+
+if __name__ == "__main__":
+    run_inference()

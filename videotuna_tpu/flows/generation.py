@@ -1,0 +1,253 @@
+"""GenerationFlow — the unified model-composition abstraction (L3).
+
+Capability parity with the reference ``GenerationBase``
+(/root/reference/videotuna/base/generation_base.py:18-345): every model family
+is composed of exactly four components —
+
+    first_stage   VAE (encode to / decode from latents)
+    cond_stage    text (or image) encoder [+ optional cond_stage_2]
+    denoiser      DiT / UNet
+    scheduler     diffusion or flow-matching schedule
+
+— instantiated from ``{target:, params:}`` YAML configs, with
+``from_pretrained`` / ``save_pretrained``, trainable-component selection, and
+an ``inference(config)`` entry.
+
+JAX redesign: modules are stateless definitions; all weights live in one
+``params`` dict keyed by component name. Sampling compiles to a single jit
+containing text-encode → scan(denoise) → VAE-decode. CPU-offload/VRAM
+management from the reference (generation_base.py:277-323) is subsumed by XLA
+memory planning + donation; per-component dtype policies are constructor args.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videotuna_tpu.core import checkpoint as ckpt_lib
+from videotuna_tpu.core.config import resolve_dtype
+from videotuna_tpu.core.monitor import save_metrics
+from videotuna_tpu.core.prng import KeyChain
+from videotuna_tpu.core.registry import instantiate
+from videotuna_tpu.data.video_io import save_video
+from videotuna_tpu.models.text_encoders import tokenize
+from videotuna_tpu.schedulers import DDIMSchedule, cfg_denoise
+
+Params = Dict[str, Any]
+
+COMPONENT_NAMES = ("denoiser", "first_stage", "cond_stage", "cond_stage_2")
+
+
+class GenerationFlow:
+    """Base flow. Concrete subclasses bind shapes and the sampling recipe."""
+
+    # subclasses override
+    latent_channels: int = 4
+    vae_spatial_ratio: int = 8
+    vae_temporal_ratio: int = 1
+
+    def __init__(self,
+                 denoiser_config: Dict[str, Any],
+                 scheduler_config: Dict[str, Any],
+                 first_stage_config: Optional[Dict[str, Any]] = None,
+                 cond_stage_config: Optional[Dict[str, Any]] = None,
+                 cond_stage_2_config: Optional[Dict[str, Any]] = None,
+                 scale_factor: float = 0.18215,
+                 trainable_components: Sequence[str] = ("denoiser",),
+                 tokenizer: Optional[str] = None,
+                 model_max_length: int = 120,
+                 param_dtype: Any = "float32"):
+        self.denoiser = instantiate(denoiser_config)
+        self.scheduler = instantiate(scheduler_config)
+        self.first_stage = (instantiate(first_stage_config)
+                            if first_stage_config else None)
+        self.cond_stage = (instantiate(cond_stage_config)
+                           if cond_stage_config else None)
+        self.cond_stage_2 = (instantiate(cond_stage_2_config)
+                             if cond_stage_2_config else None)
+        self.scale_factor = scale_factor
+        self.trainable_components = tuple(trainable_components)
+        self.tokenizer = tokenizer
+        self.model_max_length = model_max_length
+        self.param_dtype = resolve_dtype(param_dtype)
+        self.params: Params = {}
+
+    # ------------------------------------------------------------------ init
+    def example_inputs(self) -> Dict[str, Any]:
+        """Tiny shapes for parameter init; subclasses refine."""
+        raise NotImplementedError
+
+    def init_params(self, seed: int = 0) -> Params:
+        keys = KeyChain(seed)
+        ex = self.example_inputs()
+        params: Params = {}
+        params["denoiser"] = self.denoiser.init(
+            keys("init_denoiser"), *ex["denoiser"])["params"]
+        if self.first_stage is not None:
+            params["first_stage"] = self.first_stage.init(
+                keys("init_first_stage"), *ex["first_stage"])["params"]
+        if self.cond_stage is not None:
+            params["cond_stage"] = self.cond_stage.init(
+                keys("init_cond_stage"), *ex["cond_stage"])["params"]
+        if self.cond_stage_2 is not None and "cond_stage_2" in ex:
+            params["cond_stage_2"] = self.cond_stage_2.init(
+                keys("init_cond_stage_2"), *ex["cond_stage_2"])["params"]
+        self.params = params
+        return params
+
+    # ----------------------------------------------------------- checkpoints
+    def save_pretrained(self, path: str, step: int = 0,
+                        only_trained: bool = False) -> str:
+        comps = {k: v for k, v in self.params.items()
+                 if not only_trained or k in self.trainable_components}
+        return ckpt_lib.save_components(path, step, comps)
+
+    def from_pretrained(self, path: str) -> "GenerationFlow":
+        """Load per-component orbax trees from ``path`` (a step dir or a root
+        containing step dirs) — the analogue of generation_base.py:236-274."""
+        step_dir = path
+        if not any(os.path.isdir(os.path.join(path, c))
+                   for c in COMPONENT_NAMES):
+            found = ckpt_lib.latest_step_dir(path)
+            if found is None:
+                raise FileNotFoundError(f"No checkpoint under {path}")
+            step_dir = found
+        if not self.params:
+            self.init_params()
+        restored = ckpt_lib.restore_components(
+            step_dir, {k: v for k, v in self.params.items()})
+        self.params.update(restored)
+        return self
+
+    # ------------------------------------------------------------ components
+    def encode_text(self, params: Params, texts: Sequence[str]
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        ids, mask = tokenize(texts, pretrained=self.tokenizer,
+                             max_length=self.model_max_length)
+        states = self.cond_stage.apply({"params": params["cond_stage"]},
+                                       jnp.asarray(ids),
+                                       jnp.asarray(mask))
+        return states, jnp.asarray(mask)
+
+    def decode_latents(self, params: Params, z: jnp.ndarray) -> jnp.ndarray:
+        if self.first_stage is None:
+            return z
+        return self.first_stage.apply({"params": params["first_stage"]},
+                                      z / self.scale_factor,
+                                      method=self.first_stage.decode)
+
+    def encode_video(self, params: Params, video: jnp.ndarray,
+                     key: jax.Array) -> jnp.ndarray:
+        """pixels → scaled latent sample (training path)."""
+        moments = self.first_stage.apply({"params": params["first_stage"]},
+                                         video,
+                                         method=self.first_stage.encode)
+        from videotuna_tpu.models.vae2d import DiagonalGaussian
+        z = DiagonalGaussian(moments).sample(key)
+        return z * self.scale_factor
+
+    def denoise_apply(self, params: Params, x: jnp.ndarray, t: jnp.ndarray,
+                      cond: Dict[str, Any]) -> jnp.ndarray:
+        """Raw denoiser application; subclasses adapt the cond signature."""
+        raise NotImplementedError
+
+    # --------------------------------------------------------------- training
+    def training_loss(self, params: Params, batch: Dict[str, Any],
+                      key: jax.Array) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        raise NotImplementedError
+
+    # -------------------------------------------------------------- sampling
+    def latent_shape(self, batch: int, num_frames: int, height: int,
+                     width: int) -> Tuple[int, ...]:
+        return (batch,
+                (num_frames - 1) // self.vae_temporal_ratio + 1
+                if self.vae_temporal_ratio > 1
+                else num_frames,
+                height // self.vae_spatial_ratio,
+                width // self.vae_spatial_ratio,
+                self.latent_channels)
+
+    def sample(self, params: Params, cond: Dict[str, Any],
+               uncond: Optional[Dict[str, Any]], shape, key: jax.Array,
+               cfg_scale: float = 7.5) -> jnp.ndarray:
+        """Latent sampling under the flow's scheduler; returns latents."""
+        model_fn = lambda x, t, c: self.denoise_apply(params, x, t, c)
+        denoise = cfg_denoise(model_fn, cond, uncond, cfg_scale)
+        return self.scheduler.sample(denoise, shape, key)
+
+    # ------------------------------------------------------------- inference
+    def inference(self, config: Dict[str, Any]) -> Dict[str, Any]:
+        """Prompt-file → videos → mp4s + metric.json (InferenceBase parity:
+        reference base/inference_base.py:17-258)."""
+        inf = config.get("inference", config)
+        savedir = inf.get("savedir", "results/run")
+        prompts = load_prompts(inf)
+        bs = int(inf.get("bs", 1))
+        n_samples = int(inf.get("n_samples_prompt", 1))
+        height = int(inf.get("height", 256))
+        width = int(inf.get("width", 256))
+        frames = int(inf.get("frames", inf.get("num_frames", 16)))
+        cfg_scale = float(inf.get("unconditional_guidance_scale",
+                                  inf.get("cfg_scale", 7.5)))
+        fps = int(inf.get("fps", 8))
+        seed = int(inf.get("seed", 42))
+        keys = KeyChain(seed)
+
+        os.makedirs(savedir, exist_ok=True)
+        params = self.params
+
+        @jax.jit
+        def sample_fn(text_states, text_mask, un_states, un_mask, key):
+            cond = {"y": text_states, "mask": text_mask}
+            uncond = {"y": un_states, "mask": un_mask}
+            shape = self.latent_shape(text_states.shape[0], frames,
+                                      height, width)
+            z = self.sample(params, cond, uncond, shape, key, cfg_scale)
+            return self.decode_latents(params, z)
+
+        results = []
+        t_start = time.perf_counter()
+        for i in range(0, len(prompts), bs):
+            chunk = prompts[i:i + bs]
+            states, mask = self.encode_text(params, chunk)
+            un_states, un_mask = self.encode_text(params, [""] * len(chunk))
+            for s in range(n_samples):
+                videos = sample_fn(states, mask, un_states, un_mask,
+                                   keys("sample"))
+                videos = np.asarray(jax.device_get(videos))
+                for j, prompt in enumerate(chunk):
+                    name = savename(prompt, i + j, s)
+                    path = save_video(videos[j], os.path.join(savedir, name),
+                                      fps=fps)
+                    results.append(path)
+        metrics = {"time_sec": round(time.perf_counter() - t_start, 3),
+                   "num_videos": len(results)}
+        save_metrics(metrics, savedir, config)
+        return {"videos": results, "metrics": metrics}
+
+
+def load_prompts(inf_config: Dict[str, Any]) -> list[str]:
+    """Prompt-file or inline prompt loading (reference
+    inference_base.load_inference_inputs, :242-258)."""
+    if "prompt" in inf_config and inf_config["prompt"]:
+        return [str(inf_config["prompt"])]
+    pf = inf_config.get("prompt_file") or inf_config.get("prompt_dir")
+    if pf and os.path.isfile(pf):
+        with open(pf) as f:
+            return [l.strip() for l in f if l.strip()]
+    return ["a beautiful coastal beach in spring, waves lapping on sand"]
+
+
+def savename(prompt: str, idx: int, sample_idx: int,
+             max_words: int = 10) -> str:
+    """Reference savename policy: truncated prompt words + indices."""
+    words = "".join(c if c.isalnum() or c == " " else ""
+                    for c in prompt).split()[:max_words]
+    stem = "-".join(words) if words else "sample"
+    return f"{idx:04d}-{stem}-{sample_idx}.mp4"

@@ -1,0 +1,236 @@
+"""Fused attention for TPU: Pallas flash-attention kernel + jnp fallback.
+
+Replaces the reference's flash-attn 2/3 wrapper
+(videotuna/models/wan/wan/modules/attention.py:23-60) and the
+``enable_flashattn`` paths in opensora/hunyuan. One entry point,
+``dot_product_attention(q, k, v, ...)``, dispatches to:
+
+- a Pallas blockwise online-softmax kernel on TPU (MXU-tiled, fp32
+  accumulation, bf16 inputs welcome), or
+- ``jnp`` reference attention elsewhere (CPU tests, tiny shapes).
+
+Layout: (batch, seq, heads, head_dim) — the flax convention. Video models call
+this for spatial, temporal, and full-3D attention; the sequence axis is
+whatever the caller flattened (H·W, T, or T·H·W).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU-enabled builds
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+_NEG_INF = -1e30
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation (CPU fallback + correctness oracle for tests)
+# ---------------------------------------------------------------------------
+
+def reference_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        bias: Optional[jnp.ndarray] = None,
+                        causal: bool = False,
+                        scale: Optional[float] = None) -> jnp.ndarray:
+    *_, sq, h, d = q.shape
+    sk = k.shape[-3]
+    scale = 1.0 / math.sqrt(d) if scale is None else scale
+    logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias
+    if causal:
+        mask = jnp.tril(jnp.ones((sq, sk), bool))
+        logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("...hqk,...khd->...qhd", probs, v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float,
+                  causal: bool, kv_len: int, q_block: int):
+    """One (batch·head, q-block) program: stream KV blocks, online softmax.
+
+    Refs arrive as (q_block, d) / (kv_len, d) VMEM blocks. Accumulation in
+    fp32; the m/l running stats follow the FlashAttention-2 formulation.
+    """
+    q = q_ref[:].astype(jnp.float32) * sm_scale
+    d = q.shape[-1]
+    num_kv = pl.cdiv(kv_len, block_k)
+    q_start = pl.program_id(1) * q_block  # hoisted: interpret-mode can't
+    # rewrite program_id inside a fori_loop body
+
+    def body(i, carry):
+        acc, m_i, l_i = carry
+        k_blk = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+
+        needs_pad_mask = kv_len % block_k != 0
+        if causal or needs_pad_mask:
+            k_pos = (i * block_k
+                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            valid = k_pos < kv_len
+            if causal:
+                q_pos = (q_start
+                         + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
+                valid = jnp.logical_and(valid, q_pos >= k_pos)
+            s = jnp.where(valid, s, _NEG_INF)
+
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_i - m_new)
+        l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v_blk,
+                                    preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((q.shape[0], d), jnp.float32)
+    m0 = jnp.full((q.shape[0], 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
+
+    if causal:
+        # skip fully-masked KV blocks beyond this q block
+        hi = jax.lax.div(q_start + q_block + block_k - 1, block_k)
+        hi = jnp.minimum(hi, num_kv)
+    else:
+        hi = num_kv
+    acc, m_i, l_i = jax.lax.fori_loop(0, hi, body, (acc0, m0, l0))
+    o_ref[:] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+
+
+def _round_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q",
+                                             "block_k", "interpret"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    causal: bool = False, scale: Optional[float] = None,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Pallas flash attention. q,k,v: (B, S, H, D) → (B, Sq, H, D)."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    kh = k.shape[2]
+    if kh != h:  # GQA/MQA: broadcast KV heads
+        k = jnp.repeat(k, h // kh, axis=2)
+        v = jnp.repeat(v, h // kh, axis=2)
+    sm_scale = (1.0 / math.sqrt(d)) if scale is None else scale
+
+    # Mosaic requires the lane (last) dim 128-aligned. Zero-pad head_dim:
+    # scores are unchanged (zero columns contribute nothing to q·k), padded
+    # v columns produce zeros that we slice away.
+    d_pad = _round_to(d, 128)
+    if d_pad != d:
+        pad = ((0, 0), (0, 0), (0, 0), (0, d_pad - d))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    d_orig, d = d, d_pad
+
+    block_q = min(block_q, _round_to(sq, 128))
+    block_k = min(block_k, _round_to(sk, 128))
+    sq_pad = _round_to(sq, block_q)
+    sk_pad = _round_to(sk, block_k)
+
+    # (B, S, H, D) → (B·H, S, D) with head-major layout for the grid
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    if sq_pad != sq:
+        qt = jnp.pad(qt, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if sk_pad != sk:
+        # padded keys get -inf logits via explicit masking-free trick: pad K
+        # with zeros but V too; exp(s−m) for pad rows is then wrong, so mask
+        # by padding K with a large negative projection is unreliable —
+        # instead we simply require the kernel loop bound to cover only real
+        # KV via `kv_len`.
+        kt = jnp.pad(kt, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, sk_pad - sk), (0, 0)))
+
+    kernel = functools.partial(_flash_kernel, block_k=block_k,
+                               sm_scale=sm_scale, causal=causal,
+                               kv_len=sk, q_block=block_q)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, sq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, sk_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, sk_pad, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
+        interpret=interpret,
+    )(qt, kt, vt)
+    out = out[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    return out[..., :d_orig]
+
+
+# The kernel refs are (1, S, D) blocks; squeeze the leading dim inside.
+def _squeeze_kernel(fn):
+    @functools.wraps(fn)
+    def wrapped(q_ref, k_ref, v_ref, o_ref, **kw):
+        return fn(q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0], **kw)
+    return wrapped
+
+
+_flash_kernel_blocked = _flash_kernel
+_flash_kernel = _squeeze_kernel(_flash_kernel)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          bias: Optional[jnp.ndarray] = None,
+                          causal: bool = False,
+                          scale: Optional[float] = None,
+                          force_reference: bool = False) -> jnp.ndarray:
+    """Attention entry point used by every model in the zoo.
+
+    q,k,v: (..., seq, heads, head_dim); leading dims are flattened to batch.
+    Uses the Pallas kernel on TPU when there is no additive bias (the common
+    case); otherwise falls back to the XLA reference path (which XLA still
+    fuses well).
+    """
+    orig_shape = q.shape
+    if q.ndim > 4:
+        lead = math.prod(orig_shape[:-3])
+        q = q.reshape(lead, *orig_shape[-3:])
+        k = k.reshape(lead, *k.shape[-3:])
+        v = v.reshape(lead, *v.shape[-3:])
+    elif q.ndim == 3:
+        q, k, v = q[None], k[None], v[None]
+
+    use_pallas = (_on_tpu() and not force_reference and bias is None
+                  and q.shape[-1] <= 256 and q.shape[1] >= 128)
+    if use_pallas:
+        out = flash_attention(q, k, v, causal=causal, scale=scale)
+    else:
+        out = reference_attention(q, k, v, bias=bias, causal=causal,
+                                  scale=scale)
+    return out.reshape(orig_shape)

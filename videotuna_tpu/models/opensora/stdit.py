@@ -1,0 +1,214 @@
+"""STDiT — Open-Sora v1.0 spatial-temporal DiT, TPU-native.
+
+Capability parity with the reference ``STDiT``
+(/root/reference/videotuna/models/opensora/models/stdit/stdit.py:34-313):
+patchify (1,2,2) → [spatial attn → temporal attn → T5 cross-attn → MLP] ×
+depth with PixArt-style t2i modulation (shared 6-way scale/shift table +
+per-timestep offsets), sincos spatial pos-embed, temporal pos-embed added
+before the first temporal attention, T2I final layer, optional sigma
+prediction (out_ch = 2·in_ch).
+
+TPU-first design decisions (vs the reference):
+- channel-last (B, T, H, W, C) latents; tokens kept as (B, T, S, C) so the
+  spatial/temporal attention factorization is a reshape, not a rearrange copy;
+- sequence parallelism is *not* baked into the module (reference
+  SeqParallelAttention, stdit.py:52-56): the flow applies sharding constraints
+  / shard_map outside, so one module serves 1..N chips;
+- attention runs through the Pallas flash kernel (kernels/attention.py);
+- no variable-length y packing (reference masked_select, stdit.py:272-279):
+  we keep static shapes and mask via attention bias — XLA-friendly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videotuna_tpu.core.registry import register
+from videotuna_tpu.models.layers import (Attention, Mlp, PatchEmbed3D,
+                                         TimestepEmbedder, modulate,
+                                         unpatchify_3d)
+
+Dtype = Any
+
+
+def sincos_pos_embed_2d(dim: int, h: int, w: int,
+                        scale: float = 1.0) -> jnp.ndarray:
+    """2D sincos position table (h·w, dim)."""
+    def one_axis(d, n):
+        omega = 1.0 / (10000.0 ** (np.arange(d // 2, dtype=np.float64)
+                                   / (d // 2)))
+        pos = np.arange(n, dtype=np.float64) / scale
+        out = np.einsum("n,d->nd", pos, omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    emb_h = one_axis(dim // 2, h)            # (h, dim/2)
+    emb_w = one_axis(dim // 2, w)            # (w, dim/2)
+    grid = np.concatenate([
+        np.repeat(emb_h, w, axis=0),
+        np.tile(emb_w, (h, 1)),
+    ], axis=1)
+    return jnp.asarray(grid, dtype=jnp.float32)
+
+
+def sincos_pos_embed_1d(dim: int, n: int, scale: float = 1.0) -> jnp.ndarray:
+    omega = 1.0 / (10000.0 ** (np.arange(dim // 2, dtype=np.float64)
+                               / (dim // 2)))
+    pos = np.arange(n, dtype=np.float64) / scale
+    out = np.einsum("n,d->nd", pos, omega)
+    return jnp.asarray(np.concatenate([np.sin(out), np.cos(out)], axis=1),
+                       dtype=jnp.float32)
+
+
+class STDiTBlock(nn.Module):
+    hidden: int
+    heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray, t6: jnp.ndarray,
+                 y_mask: Optional[jnp.ndarray] = None,
+                 tpe: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # x: (B, T, S, C); y: (B, L, C); t6: (B, 6, C)
+        b, tt, ss, c = x.shape
+        table = self.param("scale_shift_table",
+                           nn.initializers.normal(self.hidden ** -0.5),
+                           (6, self.hidden))
+        mods = table[None] + t6.astype(jnp.float32)
+        (shift_msa, scale_msa, gate_msa,
+         shift_mlp, scale_mlp, gate_mlp) = [
+            m.astype(self.dtype).reshape(b, 1, 1, self.hidden)
+            for m in jnp.split(mods, 6, axis=1)
+        ]
+
+        norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                            dtype=self.dtype, name="norm1")
+        x_m = norm(x) * (1.0 + scale_msa) + shift_msa
+
+        # spatial attention: fold T into batch
+        x_s = x_m.reshape(b * tt, ss, c)
+        x_s = Attention(self.heads, dtype=self.dtype, name="attn")(x_s)
+        x = x + gate_msa * x_s.reshape(b, tt, ss, c)
+
+        # temporal attention: fold S into batch
+        x_t = x.transpose(0, 2, 1, 3).reshape(b * ss, tt, c)
+        if tpe is not None:
+            x_t = x_t + tpe.astype(self.dtype)
+        x_t = Attention(self.heads, dtype=self.dtype, name="attn_temp")(x_t)
+        x_t = x_t.reshape(b, ss, tt, c).transpose(0, 2, 1, 3)
+        x = x + gate_msa * x_t
+
+        # cross attention to text tokens
+        x_flat = x.reshape(b, tt * ss, c)
+        x_flat = x_flat + Attention(self.heads, dtype=self.dtype,
+                                    name="cross_attn")(
+            x_flat, context=y, mask=y_mask)
+        x = x_flat.reshape(b, tt, ss, c)
+
+        # MLP
+        norm2 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                             dtype=self.dtype, name="norm2")
+        x_m = norm2(x) * (1.0 + scale_mlp) + shift_mlp
+        x = x + gate_mlp * Mlp(int(self.hidden * self.mlp_ratio),
+                               act=lambda v: nn.gelu(v, approximate=True),
+                               dtype=self.dtype, name="mlp")(x_m)
+        return x
+
+
+@register("videotuna_tpu.models.opensora.STDiT",
+          aliases=[
+              "videotuna.models.opensora.models.stdit.stdit.STDiT",
+              "videotuna.models.opensora.models.stdit.stdit.STDiT_XL_2",
+          ])
+class STDiT(nn.Module):
+    """Args mirror the reference constructor (stdit.py:137-160)."""
+    input_size: Tuple[int, int, int] = (16, 32, 32)
+    in_channels: int = 4
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    hidden_size: int = 1152
+    depth: int = 28
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    pred_sigma: bool = True
+    caption_channels: int = 4096
+    model_max_length: int = 120
+    space_scale: float = 1.0
+    time_scale: float = 1.0
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @property
+    def out_channels(self) -> int:
+        return self.in_channels * 2 if self.pred_sigma else self.in_channels
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, timestep: jnp.ndarray,
+                 y: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """x: (B, T, H, W, C) latents; timestep: (B,); y: (B, L, C_cap) text
+        states; mask: (B, L) bool. Returns (B, T, H, W, C_out)."""
+        b, t_in, h_in, w_in, _ = x.shape
+        pt, ph, pw = self.patch_size
+        tt, hh, ww = t_in // pt, h_in // ph, w_in // pw
+        ss = hh * ww
+
+        x = x.astype(self.dtype)
+        tok = PatchEmbed3D(self.hidden_size, self.patch_size,
+                           dtype=self.dtype, flatten=False, name="x_embedder")(x)
+        tok = tok.reshape(b, tt, ss, self.hidden_size)
+
+        pos = sincos_pos_embed_2d(self.hidden_size, hh, ww, self.space_scale)
+        tok = tok + pos[None, None].astype(self.dtype)
+        tpe = sincos_pos_embed_1d(self.hidden_size, tt, self.time_scale)
+
+        t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype,
+                                 name="t_embedder")(timestep)
+        t6 = nn.Dense(6 * self.hidden_size, dtype=self.dtype,
+                      name="t_block")(nn.silu(t_emb))
+        t6 = t6.reshape(b, 6, self.hidden_size)
+
+        y = nn.Dense(self.hidden_size, dtype=self.dtype,
+                     name="y_proj1")(y.astype(self.dtype))
+        y = nn.gelu(y, approximate=True)
+        y = nn.Dense(self.hidden_size, dtype=self.dtype, name="y_proj2")(y)
+
+        block_cls = STDiTBlock
+        if self.remat:
+            block_cls = nn.remat(STDiTBlock, static_argnums=())
+        for i in range(self.depth):
+            tok = block_cls(self.hidden_size, self.num_heads, self.mlp_ratio,
+                            dtype=self.dtype, name=f"block_{i}")(
+                tok, y, t6, y_mask=mask, tpe=tpe if i == 0 else None)
+
+        # T2I final layer (reference T2IFinalLayer)
+        final_table = self.param(
+            "final_scale_shift_table",
+            nn.initializers.normal(self.hidden_size ** -0.5),
+            (2, self.hidden_size))
+        fin = final_table[None] + t_emb.astype(jnp.float32)[:, None, :]
+        shift, scale = [m.astype(self.dtype)[:, None, None]
+                        for m in jnp.split(fin, 2, axis=1)]
+        tok = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                           dtype=self.dtype, name="final_norm")(tok)
+        tok = tok * (1.0 + scale.reshape(b, 1, 1, -1)) \
+            + shift.reshape(b, 1, 1, -1)
+        out_dim = pt * ph * pw * self.out_channels
+        tok = nn.Dense(out_dim, dtype=self.dtype, name="final_linear")(tok)
+
+        tok = tok.reshape(b, tt * ss, out_dim)
+        out = unpatchify_3d(tok, (tt, hh, ww), self.patch_size,
+                            self.out_channels)
+        return out.astype(jnp.float32)
+
+
+def stdit_xl_2(**kwargs) -> STDiT:
+    kwargs.setdefault("hidden_size", 1152)
+    kwargs.setdefault("depth", 28)
+    kwargs.setdefault("num_heads", 16)
+    return STDiT(**kwargs)

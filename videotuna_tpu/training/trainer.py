@@ -1,0 +1,230 @@
+"""Training loop: the pjit replacement for PyTorch-Lightning `Trainer.fit`.
+
+Parity with the reference train path (SURVEY.md §3.1, §2.1): optimizer
+assembly (`configure_optimizers`, base/generation_base.py:135-154), LR scaling
+by world size (scripts/train.py:180-185), trainable-component selection
+(set_trainable_components, generation_base.py:188-208), EMA (utils/ema.py:5),
+gradient accumulation / clipping, checkpoint-every-N + auto-resume
+(utils/callbacks.py, train_utils.py:251-288).
+
+Design: a single jitted ``train_step(state, batch, key) → (state, metrics)``
+with in-sharding = out-sharding (param FSDP over the mesh's ``fsdp`` axis,
+batch over ``dp×fsdp``), donated state. Optimizer state inherits parameter
+shardings automatically from pjit propagation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import signal
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from videotuna_tpu.core import checkpoint as ckpt_lib
+from videotuna_tpu.core.prng import KeyChain
+from videotuna_tpu.parallel.sharding import (batch_sharding, replicated,
+                                             shard_batch, shard_params)
+
+Params = Any
+
+
+class TrainState(struct.PyTreeNode):
+    """Holds ONLY the trainable sub-trees (donation-safe: frozen components —
+    VAE, text encoders — are passed to the step separately and never donated,
+    so host-side helpers like encode_text can keep using them)."""
+    step: jnp.ndarray
+    params: Params                    # trainable components only
+    opt_state: Any
+    ema_params: Optional[Params] = None
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-2
+    beta1: float = 0.9
+    beta2: float = 0.999
+    grad_clip: float = 1.0
+    warmup_steps: int = 0
+    max_steps: int = 1000
+    ema_decay: Optional[float] = None        # e.g. 0.9999; None disables
+    scale_lr_by_devices: bool = False        # reference train.py:180-185
+    log_every: int = 10
+    ckpt_every: int = 500
+    ckpt_keep: int = 3
+
+
+def make_optimizer(cfg: TrainConfig, num_devices: int = 1
+                   ) -> optax.GradientTransformation:
+    lr = cfg.learning_rate * (num_devices if cfg.scale_lr_by_devices else 1)
+    if cfg.warmup_steps > 0:
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, lr, cfg.warmup_steps, max(cfg.max_steps, cfg.warmup_steps + 1))
+    else:
+        schedule = lr
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2,
+                    weight_decay=cfg.weight_decay),
+    )
+
+
+LossFn = Callable[[Params, Dict[str, Any], jax.Array],
+                  Tuple[jnp.ndarray, Dict[str, Any]]]
+
+
+def make_train_step(loss_fn: LossFn,
+                    optimizer: optax.GradientTransformation,
+                    ema_decay: Optional[float] = None) -> Callable:
+    """Build the pure train step ``(state, frozen, batch, key) → (state,
+    metrics)``. Frozen components get zero gradients by exclusion: grads are
+    taken only w.r.t. the trainable sub-trees in ``state.params`` (the JAX
+    equivalent of requires_grad_(False) in set_trainable_components)."""
+
+    def step(state: TrainState, frozen: Params, batch: Dict[str, Any],
+             key: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
+        def loss_of(train_params):
+            params = {**frozen, **train_params}
+            return loss_fn(params, batch, key)
+
+        (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_train = optax.apply_updates(state.params, updates)
+
+        new_ema = state.ema_params
+        if ema_decay is not None and state.ema_params is not None:
+            d = ema_decay
+            new_ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p,
+                                   state.ema_params, new_train)
+        gnorm = optax.global_norm(grads)
+        metrics = {**aux, "loss": loss, "grad_norm": gnorm}
+        return state.replace(step=state.step + 1, params=new_train,
+                             opt_state=new_opt, ema_params=new_ema), metrics
+
+    return step
+
+
+class Trainer:
+    """Host-side loop: data, jit, logging, checkpoints, signals, resume."""
+
+    def __init__(self, flow, cfg: TrainConfig, mesh: Mesh,
+                 workdir: str = "logs/run", seed: int = 42):
+        self.flow = flow
+        self.cfg = cfg
+        self.mesh = mesh
+        self.workdir = workdir
+        self.keys = KeyChain(seed)
+        self.optimizer = make_optimizer(cfg, mesh.size)
+        self.frozen: Params = {}
+        self._step_fn = None
+        self._want_ckpt = False
+        self.metrics_history: list[Dict[str, float]] = []
+
+    # ------------------------------------------------------------- state mgmt
+    def init_state(self) -> TrainState:
+        if not self.flow.params:
+            self.flow.init_params()
+        params = self.flow.params
+        train = {k: jax.tree.map(jnp.copy, v) for k, v in params.items()
+                 if k in self.flow.trainable_components}
+        self.frozen = {k: v for k, v in params.items()
+                       if k not in self.flow.trainable_components}
+        self.frozen = jax.device_put(self.frozen,
+                                     shard_params(self.frozen, self.mesh))
+        opt_state = self.optimizer.init(train)
+        ema = (jax.tree.map(lambda x: x, train)
+               if self.cfg.ema_decay else None)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=train,
+                           opt_state=opt_state, ema_params=ema)
+        return self.shard_state(state)
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        shardings = shard_params(state, self.mesh)
+        return jax.device_put(state, shardings)
+
+    def maybe_resume(self, state: TrainState) -> TrainState:
+        step_dir = ckpt_lib.latest_step_dir(self.workdir)
+        if step_dir is None:
+            return state
+        restored = ckpt_lib.restore_components(step_dir, {"state": state})
+        return restored.get("state", state)
+
+    # ---------------------------------------------------------------- running
+    def compiled_step(self, state: TrainState):
+        if self._step_fn is None:
+            raw = make_train_step(self.flow.training_loss, self.optimizer,
+                                  self.cfg.ema_decay)
+            self._step_fn = jax.jit(raw, donate_argnums=(0,))
+        return self._step_fn
+
+    def install_signal_checkpoint(self):
+        """SIGUSR1 → checkpoint at the next step boundary (reference
+        scripts/train.py:243-259)."""
+        def handler(signum, frame):
+            self._want_ckpt = True
+        try:
+            signal.signal(signal.SIGUSR1, handler)
+        except ValueError:
+            pass  # not main thread
+
+    def fit(self, loader, state: Optional[TrainState] = None,
+            max_steps: Optional[int] = None) -> TrainState:
+        state = state if state is not None else self.init_state()
+        state = self.maybe_resume(state)
+        step_fn = self.compiled_step(state)
+        self.install_signal_checkpoint()
+        max_steps = max_steps or self.cfg.max_steps
+        start = int(jax.device_get(state.step))
+        done = start
+        t_last = time.perf_counter()
+        while done < max_steps:
+            for batch in loader:
+                batch = self.prepare_batch(batch)
+                batch = shard_batch(batch, self.mesh)
+                state, metrics = step_fn(state, self.frozen, batch,
+                                         self.keys("train_step"))
+                done += 1
+                if done % self.cfg.log_every == 0:
+                    m = {k: float(jax.device_get(v))
+                         for k, v in metrics.items()}
+                    m["step"] = done
+                    m["steps_per_sec"] = self.cfg.log_every / (
+                        time.perf_counter() - t_last)
+                    t_last = time.perf_counter()
+                    self.metrics_history.append(m)
+                if self._want_ckpt or done % self.cfg.ckpt_every == 0:
+                    self.save(state, done)
+                    self._want_ckpt = False
+                if done >= max_steps:
+                    break
+        self.save(state, done)
+        return state
+
+    def prepare_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Host batch → model batch: tokenization + text encoding happen here
+        (device-side) so the step function sees arrays only."""
+        out = dict(batch)
+        if "caption" in out and "text_states" not in out:
+            states, mask = self.flow.encode_text(self.flow.params,
+                                                 out.pop("caption"))
+            out["text_states"] = states
+            out["text_mask"] = mask
+        out.pop("path", None)
+        out.pop("is_image", None)
+        return out
+
+    def save(self, state: TrainState, step: int):
+        ckpt_lib.save_components(self.workdir, step, {"state": state},
+                                 keep=self.cfg.ckpt_keep)
+        # component-split update (reference VideoTunaModelCheckpoint writes
+        # whole-flow + trained-only; here flow.params mirrors the live state)
+        self.flow.params.update(jax.device_get(state.params))
