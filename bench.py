@@ -1,10 +1,13 @@
 """Benchmark: DiT denoise steps/sec/chip (BASELINE.json north-star metric).
 
 Measures the flagship denoiser's CFG-doubled forward step — the hot loop of
-inference (SURVEY.md §3.2-3.3) — on the local accelerator, bf16. Baseline:
-Open-Sora v1.0 on H800-80G runs 16f@256×256 DDIM-50 in 11 s end-to-end
-(/root/reference/README.md:177) ≈ 4.55 denoise steps/s; ``vs_baseline`` is
-our steps/s over that.
+inference (SURVEY.md §3.2-3.3) — on the local accelerator in bf16. To exclude
+host→device round-trip latency (this rig tunnels to the chip), the N steps run
+as one ``lax.scan`` chained on-device and a single scalar is fetched.
+
+Baseline: Open-Sora v1.0 on H800-80G runs 16f@256×256 DDIM-50 in 11 s
+end-to-end (/root/reference/README.md:177) ≈ 4.55 denoise steps/s;
+``vs_baseline`` is our steps/s over that.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -18,13 +21,17 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_STEPS_PER_SEC = 50.0 / 11.0  # H800: 50 DDIM steps in ≤11 s
+N_STEPS = 20
 
 
 def main():
-    from __graft_entry__ import _flagship
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    except Exception:
+        pass
+    from __graft_entry__ import _flagship, _flagship_params
     model, (x, t, y, mask) = _flagship(dtype=jnp.bfloat16)
-    params = jax.jit(model.init)(jax.random.key(0), x, t, y, mask)["params"]
-    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+    params = _flagship_params(model, jnp.bfloat16)
 
     # CFG batch-doubling: one denoise step = one forward at batch 2
     x2 = jnp.concatenate([x, x], 0)
@@ -32,20 +39,26 @@ def main():
     y2 = jnp.concatenate([y, y], 0)
     m2 = jnp.concatenate([mask, mask], 0)
 
+    # One jitted step; the loop chains outputs into inputs so each dispatch
+    # is data-dependent on the previous (device-side serialization), and only
+    # ONE scalar fetch at the end — excludes per-step host RTT through the
+    # tunnel. (An outer lax.scan would also work but takes far longer to
+    # compile through the remote AOT service.)
     @jax.jit
-    def step(x, t, y, m):
-        return model.apply({"params": params}, x, t, y, m)
+    def step(x):
+        out = model.apply({"params": params}, x, t2, y2, m2)
+        return out[..., :x.shape[-1]].astype(x.dtype)
 
-    out = step(x2, t2, y2, m2)
-    out.block_until_ready()  # compile
+    warm = step(x2)
+    float(jnp.sum(warm.astype(jnp.float32)))  # compile + warm + sync
 
-    n = 20
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = step(x2, t2, y2, m2)
-    out.block_until_ready()
+    cur = x2
+    for _ in range(N_STEPS):
+        cur = step(cur)
+    float(jnp.sum(cur.astype(jnp.float32)))   # single sync
     elapsed = time.perf_counter() - t0
-    steps_per_sec = n / elapsed
+    steps_per_sec = N_STEPS / elapsed
 
     print(json.dumps({
         "metric": "stdit_xl2_denoise_steps_per_sec_per_chip",

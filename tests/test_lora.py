@@ -1,0 +1,82 @@
+"""LoRA tree tests: identity at init, merge math, training updates only the
+deltas, LoRA-only checkpoints."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videotuna_tpu.core import checkpoint as ckpt_lib
+from videotuna_tpu.training.lora import (count_lora_params, init_lora,
+                                         lora_loss_fn, lora_target,
+                                         merge_lora)
+from videotuna_tpu.training.trainer import (TrainConfig, TrainState,
+                                            make_optimizer, make_train_step)
+from tests.test_flow import TINY
+from tests.test_training import tiny_batch
+from videotuna_tpu.flows.opensora import OpenSoraFlow
+
+
+@pytest.fixture(scope="module")
+def flow():
+    f = OpenSoraFlow(**TINY, ddim_steps=4, model_max_length=8)
+    f.init_params(seed=0)
+    return f
+
+
+class TestLoraTree:
+    def test_identity_at_init(self, flow):
+        lora = init_lora(flow.params["denoiser"], rank=2)
+        merged = merge_lora(flow.params["denoiser"], lora)
+        for a, b in zip(jax.tree.leaves(flow.params["denoiser"]),
+                        jax.tree.leaves(merged)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_targets_matched(self, flow):
+        lora = init_lora(flow.params["denoiser"], rank=2,
+                         match=lora_target("attn"))
+        n = count_lora_params(lora)
+        assert n > 0
+        lora_all = init_lora(flow.params["denoiser"], rank=2)
+        assert count_lora_params(lora_all) > n
+
+    def test_merge_changes_weights(self, flow):
+        lora = init_lora(flow.params["denoiser"], rank=2)
+        # poke b away from zero
+        lora = jax.tree.map(lambda x: x + 0.1, lora)
+        merged = merge_lora(flow.params["denoiser"], lora, alpha=1.0)
+        diffs = [float(jnp.abs(a - b).max()) for a, b in
+                 zip(jax.tree.leaves(flow.params["denoiser"]),
+                     jax.tree.leaves(merged))]
+        assert max(diffs) > 0.0
+
+
+class TestLoraTraining:
+    def test_lora_step_trains_only_delta(self, flow):
+        lora = {"denoiser": init_lora(flow.params["denoiser"], rank=2)}
+        loss_fn = lora_loss_fn(flow.training_loss, flow.params)
+        cfg = TrainConfig(learning_rate=1e-3)
+        opt = make_optimizer(cfg)
+        step = jax.jit(make_train_step(loss_fn, opt))
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=lora,
+                           opt_state=opt.init(lora))
+        base_before = jax.tree.leaves(flow.params["denoiser"])
+        losses = []
+        for _ in range(20):
+            state, m = step(state, {}, tiny_batch(jax.random.key(0)),
+                            jax.random.key(1))
+            losses.append(float(m["loss"]))
+        # base untouched
+        for a, b in zip(base_before, jax.tree.leaves(flow.params["denoiser"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # lora b matrices moved
+        assert losses[-1] < losses[0]
+
+    def test_lora_only_checkpoint(self, flow, tmp_path):
+        lora = init_lora(flow.params["denoiser"], rank=2)
+        ckpt_lib.save_components(str(tmp_path), 1, {"lora_denoiser": lora})
+        restored = ckpt_lib.restore_components(
+            str(tmp_path / "step_1"), {"lora_denoiser": lora})
+        for a, b in zip(jax.tree.leaves(lora),
+                        jax.tree.leaves(restored["lora_denoiser"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -83,6 +83,30 @@ class TestSTDiT:
         out2 = model.apply({"params": params}, x, t, y2, mask)
         np.testing.assert_allclose(out1, out2, atol=1e-5)
 
+    def test_scan_blocks_matches_loop(self):
+        """nn.scan'd blocks must be numerically identical to the unrolled
+        loop (same per-layer weights, tpe gated to layer 0)."""
+        kw = dict(input_size=(4, 16, 16), in_channels=4, hidden_size=64,
+                  depth=3, num_heads=4, caption_channels=32,
+                  pred_sigma=False)
+        x = jax.random.normal(jax.random.key(1), (1, 4, 16, 16, 4))
+        t = jnp.array([5])
+        y = jax.random.normal(jax.random.key(2), (1, 8, 32))
+        m = jnp.ones((1, 8), bool)
+        m1 = STDiT(**kw, scan_blocks=False)
+        p1 = m1.init(jax.random.key(0), x, t, y, m)["params"]
+        m2 = STDiT(**kw, scan_blocks=True)
+        p2 = dict(m2.init(jax.random.key(0), x, t, y, m)["params"])
+        p2["blocks"] = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[p1[f"block_{i}"] for i in range(3)])
+        for k in p1:
+            if not k.startswith("block_"):
+                p2[k] = p1[k]
+        o1 = m1.apply({"params": p1}, x, t, y, m)
+        o2 = m2.apply({"params": p2}, x, t, y, m)
+        np.testing.assert_allclose(o1, o2, atol=1e-5)
+
     def test_timestep_changes_output(self, tiny):
         model, params = tiny
         x = jax.random.normal(jax.random.key(5), (1, 4, 16, 16, 4))

@@ -1,0 +1,306 @@
+"""UNet3D — VideoCrafter 1/2 + DynamiCrafter latent video UNet, TPU-native.
+
+Capability parity with the reference ``UNetModel``
+(/root/reference/videotuna/models/lvdm/modules/networks/openaimodel3d.py:313,
+forward :650; DynamiCrafter variant openaimodel3d_dc.py) and its blocks
+(modules/attention.py: SpatialTransformer :313, TemporalTransformer :395,
+RelativePosition :19; ResBlock/TemporalConvBlock openaimodel3d.py:123,258):
+
+- FiLM time conditioning (scale-shift norm), optional fps conditioning
+  (openaimodel3d.py:400-406);
+- per-level: ResBlock (+optional temporal conv) → SpatialTransformer
+  (self-attn + cross-attn to text[, + image tokens for DynamiCrafter i2v])
+  → TemporalTransformer (per-location attention over frames with learned
+  relative position bias);
+- down/up levels with skip connections, middle block, zero-init output conv.
+
+TPU-first: channel-last (B, T, H, W, C); spatial ops fold T into batch and
+temporal ops fold H·W into batch (pure reshapes); attention through the
+Pallas flash kernel; all shapes static.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from videotuna_tpu.core.registry import register
+from videotuna_tpu.kernels.attention import dot_product_attention
+from videotuna_tpu.models.layers import timestep_embedding
+
+Dtype = Any
+
+
+def _groups(c: int) -> int:
+    for g in (32, 16, 8, 4, 2):
+        if c % g == 0:
+            return g
+    return 1
+
+
+def zero_init_conv(ch, kernel, dtype, name):
+    return nn.Conv(ch, kernel, dtype=dtype, name=name,
+                   kernel_init=nn.initializers.zeros,
+                   bias_init=nn.initializers.zeros)
+
+
+class ResBlock3D(nn.Module):
+    """Residual block with FiLM time-embedding and optional factorized
+    temporal conv (reference ResBlock :123 + TemporalConvBlock :258)."""
+    out_ch: int
+    use_temporal_conv: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+        # x: (B, T, H, W, C); emb: (B, E)
+        b, t, hh, ww, c = x.shape
+        h = nn.GroupNorm(_groups(c), epsilon=1e-5, dtype=jnp.float32,
+                         name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_ch, (1, 3, 3), dtype=self.dtype,
+                    name="conv1")(h)
+        # FiLM: scale-shift from time embedding
+        es = nn.Dense(2 * self.out_ch, dtype=self.dtype,
+                      name="emb_proj")(nn.silu(emb))
+        scale, shift = jnp.split(es[:, None, None, None, :], 2, axis=-1)
+        h = nn.GroupNorm(_groups(self.out_ch), epsilon=1e-5,
+                         dtype=jnp.float32, name="norm2")(h)
+        h = h.astype(self.dtype) * (1.0 + scale) + shift
+        h = nn.silu(h)
+        h = zero_init_conv(self.out_ch, (1, 3, 3), self.dtype, "conv2")(h)
+        if c != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1, 1), dtype=self.dtype,
+                        name="skip")(x)
+        h = x + h
+        if self.use_temporal_conv:
+            v = nn.GroupNorm(_groups(self.out_ch), epsilon=1e-5,
+                             dtype=jnp.float32, name="tnorm")(h)
+            v = nn.silu(v).astype(self.dtype)
+            v = zero_init_conv(self.out_ch, (3, 1, 1), self.dtype,
+                               "tconv")(v)
+            h = h + v
+        return h
+
+
+class SpatialTransformer(nn.Module):
+    """Per-frame transformer: self-attn over H·W, cross-attn to text context
+    (+ optional image tokens — DynamiCrafter's img_cross_attention), GEGLU
+    MLP. (reference modules/attention.py:313)."""
+    heads: int
+    head_dim: int
+    context_dim: Optional[int] = None
+    image_cross: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray],
+                 context_img: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        b, t, hh, ww, c = x.shape
+        inner = self.heads * self.head_dim
+        h = nn.GroupNorm(_groups(c), epsilon=1e-6, dtype=jnp.float32,
+                         name="norm")(x)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(
+            h.astype(self.dtype))
+        tok = h.reshape(b * t, hh * ww, inner)
+
+        def mha(q_in, kv_in, name):
+            q = nn.DenseGeneral((self.heads, self.head_dim), use_bias=False,
+                                dtype=self.dtype, name=f"{name}_q")(q_in)
+            k = nn.DenseGeneral((self.heads, self.head_dim), use_bias=False,
+                                dtype=self.dtype, name=f"{name}_k")(kv_in)
+            v = nn.DenseGeneral((self.heads, self.head_dim), use_bias=False,
+                                dtype=self.dtype, name=f"{name}_v")(kv_in)
+            o = dot_product_attention(q, k, v)
+            o = o.reshape(*o.shape[:-2], inner)
+            return nn.Dense(inner, dtype=self.dtype, name=f"{name}_out")(o)
+
+        # self attention
+        normed = nn.LayerNorm(dtype=self.dtype, name="ln1")(tok)
+        tok = tok + mha(normed, normed, "attn1")
+        # cross attention (text), context repeated per frame
+        if context is not None:
+            ctx = jnp.repeat(context, t, axis=0).astype(self.dtype)
+            q_in = nn.LayerNorm(dtype=self.dtype, name="ln2")(tok)
+            out = mha(q_in, ctx, "attn2")
+            if self.image_cross and context_img is not None:
+                ctx_i = jnp.repeat(context_img, t, axis=0).astype(self.dtype)
+                out = out + mha(q_in, ctx_i, "attn2_img")
+            tok = tok + out
+        # GEGLU MLP
+        m = nn.LayerNorm(dtype=self.dtype, name="ln3")(tok)
+        gate = nn.Dense(inner * 8, dtype=self.dtype, name="geglu")(m)
+        a, g = jnp.split(gate, 2, axis=-1)
+        tok = tok + nn.Dense(inner, dtype=self.dtype, name="mlp_out")(
+            a * nn.gelu(g))
+
+        h = tok.reshape(b, t, hh, ww, inner)
+        h = nn.Dense(c, dtype=self.dtype, name="proj_out",
+                     kernel_init=nn.initializers.zeros)(h)
+        return x + h
+
+
+class TemporalTransformer(nn.Module):
+    """Per-location transformer over frames with learned relative-position
+    bias (reference TemporalTransformer :395 + RelativePosition :19)."""
+    heads: int
+    head_dim: int
+    max_len: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, hh, ww, c = x.shape
+        inner = self.heads * self.head_dim
+        h = nn.GroupNorm(_groups(c), epsilon=1e-6, dtype=jnp.float32,
+                         name="norm")(x)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(
+            h.astype(self.dtype))
+        tok = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, t, inner)
+
+        # learned relative position bias over frame offsets
+        rel = self.param("rel_bias", nn.initializers.normal(0.02),
+                         (2 * self.max_len - 1, self.heads))
+        idx = (jnp.arange(t)[:, None] - jnp.arange(t)[None, :]
+               + self.max_len - 1)
+        bias = rel[idx].transpose(2, 0, 1)[None]  # (1, H, T, T)
+
+        m = nn.LayerNorm(dtype=self.dtype, name="ln1")(tok)
+        q = nn.DenseGeneral((self.heads, self.head_dim), use_bias=False,
+                            dtype=self.dtype, name="q")(m)
+        k = nn.DenseGeneral((self.heads, self.head_dim), use_bias=False,
+                            dtype=self.dtype, name="k")(m)
+        v = nn.DenseGeneral((self.heads, self.head_dim), use_bias=False,
+                            dtype=self.dtype, name="v")(m)
+        o = dot_product_attention(q, k, v, bias=bias)
+        o = o.reshape(*o.shape[:-2], inner)
+        tok = tok + nn.Dense(inner, dtype=self.dtype, name="attn_out")(o)
+
+        m = nn.LayerNorm(dtype=self.dtype, name="ln2")(tok)
+        gate = nn.Dense(inner * 8, dtype=self.dtype, name="geglu")(m)
+        a, g = jnp.split(gate, 2, axis=-1)
+        tok = tok + nn.Dense(inner, dtype=self.dtype, name="mlp_out")(
+            a * nn.gelu(g))
+
+        h = tok.reshape(b, hh, ww, t, inner).transpose(0, 3, 1, 2, 4)
+        h = nn.Dense(c, dtype=self.dtype, name="proj_out",
+                     kernel_init=nn.initializers.zeros)(h)
+        return x + h
+
+
+@register("videotuna_tpu.models.lvdm.UNet3D",
+          aliases=[
+              "videotuna.models.lvdm.modules.networks.openaimodel3d.UNetModel",
+              "videotuna.models.lvdm.modules.networks.openaimodel3d_dc."
+              "UNetModel",
+          ])
+class UNet3D(nn.Module):
+    """Constructor args mirror the reference YAML surface
+    (configs/001_videocrafter2/vc2_t2v_320x512.yaml unet_config)."""
+    in_channels: int = 4
+    model_channels: int = 320
+    out_channels: int = 4
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_head_channels: int = 64
+    context_dim: Optional[int] = 1024
+    temporal_conv: bool = True
+    temporal_attention: bool = True
+    temporal_length: int = 16
+    use_image_attention: bool = False       # DynamiCrafter i2v
+    fps_cond: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
+                 context: Optional[jnp.ndarray] = None,
+                 context_img: Optional[jnp.ndarray] = None,
+                 fps: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """x: (B, T, H, W, C); timesteps: (B,); context: (B, L, D_ctx);
+        context_img: (B, L_img, D_ctx) image tokens (DynamiCrafter);
+        fps: (B,) optional. Returns (B, T, H, W, out_channels)."""
+        mc = self.model_channels
+        ted = mc * 4
+        emb = timestep_embedding(timesteps, mc).astype(self.dtype)
+        emb = nn.Dense(ted, dtype=self.dtype, name="time_fc1")(emb)
+        emb = nn.Dense(ted, dtype=self.dtype,
+                       name="time_fc2")(nn.silu(emb))
+        if self.fps_cond and fps is not None:
+            fe = timestep_embedding(fps, mc).astype(self.dtype)
+            fe = nn.Dense(ted, dtype=self.dtype, name="fps_fc1")(fe)
+            fe = nn.Dense(ted, dtype=self.dtype,
+                          name="fps_fc2")(nn.silu(fe))
+            emb = emb + fe
+
+        x = x.astype(self.dtype)
+        h = nn.Conv(mc, (1, 3, 3), dtype=self.dtype, name="conv_in")(x)
+
+        def attn_pair(h, ch, ds, idx):
+            if ds in self.attention_resolutions:
+                heads = ch // self.num_head_channels
+                h = SpatialTransformer(
+                    heads, self.num_head_channels, self.context_dim,
+                    image_cross=self.use_image_attention, dtype=self.dtype,
+                    name=f"spatial_{idx}")(h, context, context_img)
+                if self.temporal_attention:
+                    h = TemporalTransformer(
+                        heads, self.num_head_channels,
+                        max_len=max(self.temporal_length, 16),
+                        dtype=self.dtype, name=f"temporal_{idx}")(h)
+            return h
+
+        # down path
+        skips = [h]
+        ch = mc
+        ds = 1
+        idx = 0
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                ch = mult * mc
+                h = ResBlock3D(ch, self.temporal_conv, dtype=self.dtype,
+                               name=f"down_res_{idx}")(h, emb)
+                h = attn_pair(h, ch, ds, f"down_{idx}")
+                skips.append(h)
+                idx += 1
+            if level != len(self.channel_mult) - 1:
+                h = nn.Conv(ch, (1, 3, 3), strides=(1, 2, 2),
+                            dtype=self.dtype, name=f"downsample_{level}")(h)
+                skips.append(h)
+                ds *= 2
+
+        # middle
+        h = ResBlock3D(ch, self.temporal_conv, dtype=self.dtype,
+                       name="mid_res_1")(h, emb)
+        h = attn_pair(h, ch, ds, "mid")
+        h = ResBlock3D(ch, self.temporal_conv, dtype=self.dtype,
+                       name="mid_res_2")(h, emb)
+
+        # up path
+        idx = 0
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            for i in range(self.num_res_blocks + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                ch = mult * mc
+                h = ResBlock3D(ch, self.temporal_conv, dtype=self.dtype,
+                               name=f"up_res_{idx}")(h, emb)
+                h = attn_pair(h, ch, ds, f"up_{idx}")
+                if level != 0 and i == self.num_res_blocks:
+                    b2, t2, h2, w2, c2 = h.shape
+                    h = jax.image.resize(
+                        h, (b2, t2, h2 * 2, w2 * 2, c2), "nearest")
+                    h = nn.Conv(ch, (1, 3, 3), dtype=self.dtype,
+                                name=f"upsample_{level}")(h)
+                    ds //= 2
+                idx += 1
+
+        h = nn.GroupNorm(_groups(h.shape[-1]), epsilon=1e-5,
+                         dtype=jnp.float32, name="norm_out")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = zero_init_conv(self.out_channels, (1, 3, 3), self.dtype,
+                           "conv_out")(h)
+        return h.astype(jnp.float32)

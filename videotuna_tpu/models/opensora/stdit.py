@@ -66,15 +66,25 @@ def sincos_pos_embed_1d(dim: int, n: int, scale: float = 1.0) -> jnp.ndarray:
 
 
 class STDiTBlock(nn.Module):
+    """One STDiT layer. ``as_cell=True`` gives the (carry, ys) signature
+    required by ``nn.scan`` (used for the deep configs — 28 inlined blocks
+    take minutes to XLA-compile; one scanned block compiles once).
+
+    In scan mode ``tpe`` is passed to every layer with a per-layer scalar
+    ``tpe_gate`` (1.0 only for layer 0), which reproduces the reference's
+    "temporal pos-embed added in the first block only" semantics
+    (stdit.py:288-299) under a uniform scan body."""
     hidden: int
     heads: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
+    as_cell: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray, t6: jnp.ndarray,
                  y_mask: Optional[jnp.ndarray] = None,
-                 tpe: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 tpe: Optional[jnp.ndarray] = None,
+                 tpe_gate: Optional[jnp.ndarray] = None):
         # x: (B, T, S, C); y: (B, L, C); t6: (B, 6, C)
         b, tt, ss, c = x.shape
         table = self.param("scale_shift_table",
@@ -99,7 +109,10 @@ class STDiTBlock(nn.Module):
         # temporal attention: fold S into batch
         x_t = x.transpose(0, 2, 1, 3).reshape(b * ss, tt, c)
         if tpe is not None:
-            x_t = x_t + tpe.astype(self.dtype)
+            add = tpe.astype(self.dtype)
+            if tpe_gate is not None:
+                add = add * tpe_gate.astype(self.dtype)
+            x_t = x_t + add
         x_t = Attention(self.heads, dtype=self.dtype, name="attn_temp")(x_t)
         x_t = x_t.reshape(b, ss, tt, c).transpose(0, 2, 1, 3)
         x = x + gate_msa * x_t
@@ -118,6 +131,8 @@ class STDiTBlock(nn.Module):
         x = x + gate_mlp * Mlp(int(self.hidden * self.mlp_ratio),
                                act=lambda v: nn.gelu(v, approximate=True),
                                dtype=self.dtype, name="mlp")(x_m)
+        if self.as_cell:
+            return x, None
         return x
 
 
@@ -142,6 +157,7 @@ class STDiT(nn.Module):
     time_scale: float = 1.0
     dtype: Dtype = jnp.float32
     remat: bool = False
+    scan_blocks: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -178,13 +194,31 @@ class STDiT(nn.Module):
         y = nn.gelu(y, approximate=True)
         y = nn.Dense(self.hidden_size, dtype=self.dtype, name="y_proj2")(y)
 
-        block_cls = STDiTBlock
-        if self.remat:
-            block_cls = nn.remat(STDiTBlock, static_argnums=())
-        for i in range(self.depth):
-            tok = block_cls(self.hidden_size, self.num_heads, self.mlp_ratio,
-                            dtype=self.dtype, name=f"block_{i}")(
-                tok, y, t6, y_mask=mask, tpe=tpe if i == 0 else None)
+        if self.scan_blocks:
+            cell_cls = STDiTBlock
+            if self.remat:
+                cell_cls = nn.remat(STDiTBlock, prevent_cse=False)
+            scan_cls = nn.scan(
+                cell_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
+                         nn.broadcast, 0),
+                length=self.depth)
+            gates = jnp.zeros((self.depth, 1, 1),
+                              self.dtype).at[0].set(1.0)
+            cell = scan_cls(self.hidden_size, self.num_heads, self.mlp_ratio,
+                            dtype=self.dtype, as_cell=True, name="blocks")
+            tok, _ = cell(tok, y, t6, mask, tpe, gates)
+        else:
+            block_cls = STDiTBlock
+            if self.remat:
+                block_cls = nn.remat(STDiTBlock, prevent_cse=False)
+            for i in range(self.depth):
+                tok = block_cls(self.hidden_size, self.num_heads,
+                                self.mlp_ratio, dtype=self.dtype,
+                                name=f"block_{i}")(
+                    tok, y, t6, y_mask=mask, tpe=tpe if i == 0 else None)
 
         # T2I final layer (reference T2IFinalLayer)
         final_table = self.param(

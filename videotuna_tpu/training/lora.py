@@ -1,0 +1,116 @@
+"""LoRA as separate parameter trees — the peft equivalent.
+
+Reference behavior: peft ``get_peft_model`` injection + LoRA-only checkpoints
+(videotuna/models/lvdm/ddpm3d.py:112-117,434-445; utils/callbacks.py:28-53;
+cogvideo_pl.py:143-149,781-787; hunyuan lora_utils).
+
+JAX redesign: instead of monkey-patching modules, LoRA lives as an explicit
+low-rank delta tree aligned with the base kernel tree. Only the delta is
+trainable/checkpointed; merging is a pure tree-map:
+
+    lora = init_lora(params, rank=16, match=lora_target("q","k","v","out"))
+    merged = merge_lora(params, lora, alpha)      # for inference
+    loss(merged_params) → grads w.r.t. lora only  # for training
+
+This composes with FSDP sharding (deltas follow the same specs) and with
+optax masking without any model-code changes.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Any
+MatchFn = Callable[[Tuple[str, ...], jnp.ndarray], bool]
+
+
+def lora_target(*name_patterns: str) -> MatchFn:
+    """Match 2D kernels whose path contains any of the given substrings
+    (e.g. 'q','k','v','out','fc1','fc2' — the reference's default
+    target_modules are the attention/MLP projections)."""
+    def match(path: Tuple[str, ...], leaf: jnp.ndarray) -> bool:
+        if leaf.ndim != 2 or path[-1] != "kernel":
+            return False
+        joined = "/".join(path)
+        return any(p in joined for p in name_patterns)
+    return match
+
+
+def default_match(path: Tuple[str, ...], leaf: jnp.ndarray) -> bool:
+    return leaf.ndim == 2 and path[-1] == "kernel"
+
+
+def _iter_tree(tree: Any, prefix: Tuple[str, ...] = ()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _iter_tree(v, prefix + (str(k),))
+    else:
+        yield prefix, tree
+
+
+def init_lora(params: Params, rank: int = 16,
+              match: Optional[MatchFn] = None,
+              key: Optional[jax.Array] = None,
+              dtype=jnp.float32) -> Dict[str, Any]:
+    """Build the LoRA delta tree: for each matched (in, out) kernel, a pair
+    {"a": (in, r) ~ N(0, 1/r), "b": (r, out) = 0} (zero-init b ⇒ identity at
+    step 0, the standard LoRA init)."""
+    match = match or default_match
+    key = key if key is not None else jax.random.key(0)
+    flat: Dict[Tuple[str, ...], Any] = {}
+    for path, leaf in _iter_tree(params):
+        if match(path, leaf):
+            key, sub = jax.random.split(key)
+            din, dout = leaf.shape
+            flat[path] = {
+                "a": (jax.random.normal(sub, (din, rank), dtype)
+                      / jnp.sqrt(rank)),
+                "b": jnp.zeros((rank, dout), dtype),
+            }
+    # rebuild nested
+    out: Dict[str, Any] = {}
+    for path, ab in flat.items():
+        node = out
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = ab
+    return out
+
+
+def merge_lora(params: Params, lora: Dict[str, Any],
+               alpha: float = 1.0) -> Params:
+    """params + α·(a@b) wherever the lora tree has an entry."""
+    def rec(p: Any, l: Any):
+        if isinstance(l, dict) and "a" in l and "b" in l and not \
+                isinstance(p, dict):
+            delta = (l["a"] @ l["b"]).astype(p.dtype)
+            return p + alpha * delta
+        if isinstance(p, dict):
+            return {k: rec(v, l[k]) if isinstance(l, dict) and k in l else v
+                    for k, v in p.items()}
+        return p
+    return rec(params, lora)
+
+
+def count_lora_params(lora: Dict[str, Any]) -> int:
+    return sum(x.size for x in jax.tree.leaves(lora))
+
+
+def lora_loss_fn(base_loss_fn: Callable, base_params: Params,
+                 component: str = "denoiser",
+                 alpha: float = 1.0) -> Callable:
+    """Wrap a flow loss so gradients flow through a LoRA tree only.
+
+    ``base_loss_fn(params, batch, key)`` → ``wrapped({component: lora},
+    batch, key)``; the base params are closed over (frozen).
+    """
+    def wrapped(lora_tree: Dict[str, Any], batch, key):
+        merged = dict(base_params)
+        merged[component] = merge_lora(base_params[component],
+                                       lora_tree[component], alpha)
+        return base_loss_fn(merged, batch, key)
+    return wrapped
