@@ -1,0 +1,83 @@
+"""Sequence-parallel attention parity on the 8-virtual-device CPU mesh:
+ulysses, ring, and hybrid must all equal single-device full attention."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from videotuna_tpu.core.mesh import MeshConfig, make_mesh
+from videotuna_tpu.kernels.attention import reference_attention
+from videotuna_tpu.parallel.sequence import sp_attention
+
+
+def _qkv(key, b=2, s=64, h=8, d=16):
+    ks = jax.random.split(key, 3)
+    return tuple(jax.random.normal(k, (b, s, h, d), jnp.float32)
+                 for k in ks)
+
+
+@pytest.fixture(scope="module")
+def ref_out():
+    q, k, v = _qkv(jax.random.key(0))
+    return (q, k, v), reference_attention(q, k, v)
+
+
+class TestUlysses:
+    def test_matches_full_attention(self, devices8, ref_out):
+        (q, k, v), ref = ref_out
+        mesh = make_mesh(MeshConfig(sp=8), devices=devices8)
+        with mesh:
+            out = sp_attention(mesh, q, k, v, ulysses_axis="sp")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+class TestRing:
+    def test_matches_full_attention(self, devices8, ref_out):
+        (q, k, v), ref = ref_out
+        mesh = make_mesh(MeshConfig(sp=8), devices=devices8)
+        with mesh:
+            out = sp_attention(mesh, q, k, v, ulysses_axis=None,
+                               ring_axis="sp")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+class TestHybrid:
+    def test_ulysses_x_ring(self, devices8, ref_out):
+        """world = ulysses(2) × ring(2) on a 2×2 sub-mesh (the xfuser
+        factorization, reference flow/wanvideo.py:119)."""
+        (q, k, v), ref = ref_out
+        mesh = make_mesh(MeshConfig(dp=2, sp=2, tp=2), devices=devices8)
+        # use tp axis as the ring axis for the test (any named axis works)
+        with mesh:
+            out = sp_attention(mesh, q, k, v, ulysses_axis="sp",
+                               ring_axis="tp", batch_axes=("dp",))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+class TestGradients:
+    def test_ring_grads_match(self, devices8):
+        """Ring attention must be differentiable and match full-attention
+        gradients (the reference needs hand-written autograd collectives —
+        communications.py:23-67; shard_map gives it for free)."""
+        q, k, v = _qkv(jax.random.key(1), b=1, s=32, h=4, d=8)
+        mesh = make_mesh(MeshConfig(sp=8), devices=devices8)
+
+        def loss_ring(q, k, v):
+            with mesh:
+                return jnp.sum(sp_attention(mesh, q, k, v,
+                                            ulysses_axis=None,
+                                            ring_axis="sp") ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(reference_attention(q, k, v) ** 2)
+
+        g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_ring, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
