@@ -158,5 +158,5 @@ def sp_attention(mesh: Mesh, q, k, v,
         fn = functools.partial(ulysses_attention_local, axis=ulysses_axis)
 
     mapped = shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
-                       out_specs=spec, check_rep=False)
+                       out_specs=spec, check_vma=False)
     return mapped(q, k, v)
