@@ -127,13 +127,15 @@ class GenerationFlow:
 
     # ------------------------------------------------------------ components
     def encode_text(self, params: Params, texts: Sequence[str]
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    ) -> Dict[str, Any]:
+        """Returns the conditioning dict; base flows give {"y", "mask"},
+        subclasses add keys (pooled, image latents…)."""
         ids, mask = tokenize(texts, pretrained=self.tokenizer,
                              max_length=self.model_max_length)
         states = self.cond_stage.apply({"params": params["cond_stage"]},
                                        jnp.asarray(ids),
                                        jnp.asarray(mask))
-        return states, jnp.asarray(mask)
+        return {"y": states, "mask": jnp.asarray(mask)}
 
     def decode_latents(self, params: Params, z: jnp.ndarray) -> jnp.ndarray:
         if self.first_stage is None:
@@ -203,10 +205,8 @@ class GenerationFlow:
         params = self.params
 
         @jax.jit
-        def sample_fn(text_states, text_mask, un_states, un_mask, key):
-            cond = {"y": text_states, "mask": text_mask}
-            uncond = {"y": un_states, "mask": un_mask}
-            shape = self.latent_shape(text_states.shape[0], frames,
+        def sample_fn(cond, uncond, key):
+            shape = self.latent_shape(cond["y"].shape[0], frames,
                                       height, width)
             z = self.sample(params, cond, uncond, shape, key, cfg_scale)
             return self.decode_latents(params, z)
@@ -215,11 +215,12 @@ class GenerationFlow:
         t_start = time.perf_counter()
         for i in range(0, len(prompts), bs):
             chunk = prompts[i:i + bs]
-            states, mask = self.encode_text(params, chunk)
-            un_states, un_mask = self.encode_text(params, [""] * len(chunk))
+            cond = self.encode_text(params, chunk)
+            neg = str(inf.get("negative_prompt", ""))
+            uncond = self.encode_text(params, [neg] * len(chunk)) \
+                if cfg_scale != 1.0 else None
             for s in range(n_samples):
-                videos = sample_fn(states, mask, un_states, un_mask,
-                                   keys("sample"))
+                videos = sample_fn(cond, uncond, keys("sample"))
                 videos = np.asarray(jax.device_get(videos))
                 for j, prompt in enumerate(chunk):
                     name = savename(prompt, i + j, s)

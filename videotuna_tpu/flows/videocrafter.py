@@ -71,7 +71,7 @@ class VideocrafterFlow(GenerationFlow):
                              max_length=max_len)
         states = self.cond_stage.apply({"params": params["cond_stage"]},
                                        jnp.asarray(ids))
-        return states, jnp.asarray(mask)
+        return {"y": states, "mask": jnp.asarray(mask)}
 
     def denoise_apply(self, params: Params, x, t, cond):
         kwargs = {}

@@ -1,0 +1,120 @@
+"""WanVideoFlow — Wan 2.1 T2V/I2V (1.3B / 14B), flow matching with
+UniPC/DPM++ sampling.
+
+Capability parity with the reference ``WanVideoModelFlow``
+(/root/reference/videotuna/flow/wanvideo.py:39; pipelines
+models/wan/wan/text2video.py:27 generate :97-255, image2video.py:373):
+umT5 text encoding, sp-padded sequence lengths, FlowUniPC / FlowDPM
+schedulers (:190-209), CFG loop (:217-238), negative-prompt support,
+I2V via CLIP image features + masked first-frame latents. FSDP/SP come from
+the mesh (parallel/), not per-model wrappers (wan/distributed/fsdp.py:11-33).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from videotuna_tpu.core.registry import register
+from videotuna_tpu.flows.generation import GenerationFlow, Params
+from videotuna_tpu.schedulers import (FlowMatchSchedule, flow_interpolate,
+                                      flow_target, sample_sigmas)
+from videotuna_tpu.schedulers.fm_solvers import (FlowDPMSolverSchedule,
+                                                 FlowUniPCSchedule)
+
+DEFAULT_NEGATIVE = ("low quality, blurry, distorted, text, watermark, "
+                    "static, worst quality")
+
+
+@register("videotuna_tpu.flows.WanVideoFlow",
+          aliases=["videotuna.flow.wanvideo.WanVideoModelFlow"])
+class WanVideoFlow(GenerationFlow):
+    latent_channels = 16
+    vae_spatial_ratio = 8
+    vae_temporal_ratio = 4
+
+    def __init__(self, *args,
+                 num_inference_steps: int = 50,
+                 flow_shift: float = 5.0,
+                 sample_solver: str = "unipc",
+                 negative_prompt: str = DEFAULT_NEGATIVE,
+                 i2v_mode: bool = False,
+                 **kwargs):
+        kwargs.setdefault("model_max_length", 512)
+        super().__init__(*args, **kwargs)
+        self.i2v_mode = i2v_mode
+        self.negative_prompt = negative_prompt
+        if not isinstance(self.scheduler, (FlowUniPCSchedule,
+                                           FlowDPMSolverSchedule,
+                                           FlowMatchSchedule)):
+            if sample_solver == "dpm++":
+                self.scheduler = FlowDPMSolverSchedule.create(
+                    num_inference_steps, flow_shift)
+            else:
+                self.scheduler = FlowUniPCSchedule.create(
+                    num_inference_steps, flow_shift)
+
+    def example_inputs(self) -> Dict[str, Any]:
+        zc = self.latent_channels
+        td = getattr(self.cond_stage, "dim", 4096) \
+            if self.cond_stage is not None else 4096
+        ex = {
+            "denoiser": (jnp.zeros((1, 2, 8, 8, zc)),
+                         jnp.zeros((1,)),
+                         jnp.zeros((1, 8, td))),
+            "first_stage": (jnp.zeros((1, 5, 32, 32, 3)),),
+            "cond_stage": (jnp.zeros((1, 8), jnp.int32),
+                           jnp.ones((1, 8), bool)),
+        }
+        if self.i2v_mode and getattr(self.denoiser, "img_dim", None):
+            ex["denoiser"] = ex["denoiser"] + (
+                jnp.zeros((1, 4, self.denoiser.img_dim)),)
+        return ex
+
+    def latent_shape(self, batch, num_frames, height, width):
+        return (batch,
+                (num_frames - 1) // self.vae_temporal_ratio + 1,
+                height // self.vae_spatial_ratio,
+                width // self.vae_spatial_ratio,
+                self.latent_channels)
+
+    def denoise_apply(self, params: Params, x, t, cond):
+        return self.denoiser.apply({"params": params["denoiser"]},
+                                   x, t, cond["y"],
+                                   cond.get("image_features"))
+
+    # --------------------------------------------------------------- training
+    def training_loss(self, params: Params, batch: Dict[str, Any],
+                      key: jax.Array) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        k_enc, k_sig, k_noise = jax.random.split(key, 3)
+        z = batch.get("latents")
+        if z is None:
+            z = self.encode_video(params, batch["video"], k_enc)
+        b = z.shape[0]
+        sigma = sample_sigmas(k_sig, b, "logit_normal")
+        noise = jax.random.normal(k_noise, z.shape, z.dtype)
+        x_t = flow_interpolate(z, noise, sigma)
+        cond = {"y": batch["text_states"]}
+        v_pred = self.denoise_apply(params, x_t, sigma * 1000.0, cond)
+        per = jnp.mean((v_pred - flow_target(z, noise)) ** 2,
+                       axis=tuple(range(1, z.ndim)))
+        per = jnp.where(jnp.isnan(per), 0.0, per)
+        loss = jnp.mean(per)
+        return loss, {"loss": loss}
+
+    # -------------------------------------------------------------- sampling
+    def sample(self, params: Params, cond, uncond, shape, key,
+               cfg_scale: float = 5.0):
+        from videotuna_tpu.schedulers import cfg_denoise
+        model_fn = lambda x, t, c: self.denoise_apply(params, x, t, c)
+        denoise = cfg_denoise(model_fn, cond, uncond, cfg_scale)
+        return self.scheduler.sample(denoise, shape, key)
+
+    def inference(self, config: Dict[str, Any]) -> Dict[str, Any]:
+        """Wan uses a rich default negative prompt instead of empty uncond
+        (reference wan/text2video.py sample_neg_prompt)."""
+        inf = config.get("inference", config)
+        inf.setdefault("negative_prompt", self.negative_prompt)
+        return super().inference(config)

@@ -1,0 +1,303 @@
+"""HunyuanVideo DiT — dual/single-stream MMDiT with flow matching, TPU-native.
+
+Capability parity with the reference ``HYVideoDiffusionTransformer``
+(/root/reference/videotuna/models/hunyuan/hyvideo_i2v/modules/models.py:464;
+``MMDoubleStreamBlock`` :25, ``MMSingleStreamBlock`` :300; RoPE
+posemb_layers.py:310; LLaMA-state token refiner text_encoder/__init__.py:610):
+
+- conditioning vector = timestep ⊕ pooled-CLIP ⊕ (optional) guidance embed;
+- N double-stream blocks: img and txt streams with separate adaLN
+  modulation/QKV/MLP but ONE joint attention over [img; txt];
+- M single-stream blocks: concatenated sequence, fused qkv+mlp linear in,
+  fused attn+mlp linear out;
+- 3D RoPE on image/video tokens only (text tokens un-rotated);
+- token refiner: small self-attention stack over LLaMA text states with
+  timestep-gated modulation;
+- final adaLN + linear → unpatchify.
+
+TPU-first: one attention call per block over the concatenated sequence (maps
+onto the Pallas flash kernel / ring attention for SP); blocks scanned for
+compile time; RIFLEx temporal-frequency scaling enters via the rope tables
+(models/layers.rope_3d temporal_scale).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from videotuna_tpu.core.registry import register
+from videotuna_tpu.kernels.attention import dot_product_attention
+from videotuna_tpu.models.layers import (RMSNorm, TimestepEmbedder,
+                                         apply_rope, rope_3d, unpatchify_3d)
+
+Dtype = Any
+
+
+def _modulation(vec: jnp.ndarray, n: int, dim: int, dtype, name: str):
+    mods = nn.Dense(n * dim, dtype=dtype, name=name,
+                    kernel_init=nn.initializers.zeros)(nn.silu(vec))
+    return jnp.split(mods[:, None, :], n, axis=-1)  # each (B, 1, dim)
+
+
+class MMDoubleStreamBlock(nn.Module):
+    dim: int
+    heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+    as_cell: bool = False
+
+    @nn.compact
+    def __call__(self, carry, vec, img_cos, img_sin):
+        img, txt = carry
+        d = self.dim
+        hd = d // self.heads
+
+        (i_s1, i_sc1, i_g1, i_s2, i_sc2, i_g2) = _modulation(
+            vec, 6, d, self.dtype, "img_mod")
+        (t_s1, t_sc1, t_g1, t_s2, t_sc2, t_g2) = _modulation(
+            vec, 6, d, self.dtype, "txt_mod")
+
+        def qkv(x, prefix):
+            q = nn.DenseGeneral((self.heads, hd), dtype=self.dtype,
+                                name=f"{prefix}_q")(x)
+            k = nn.DenseGeneral((self.heads, hd), dtype=self.dtype,
+                                name=f"{prefix}_k")(x)
+            v = nn.DenseGeneral((self.heads, hd), dtype=self.dtype,
+                                name=f"{prefix}_v")(x)
+            q = RMSNorm(dtype=self.dtype, name=f"{prefix}_q_norm")(q)
+            k = RMSNorm(dtype=self.dtype, name=f"{prefix}_k_norm")(k)
+            return q, k, v
+
+        ln = lambda nm: nn.LayerNorm(epsilon=1e-6, use_bias=False,
+                                     use_scale=False, dtype=self.dtype,
+                                     name=nm)
+        img_m = ln("img_norm1")(img) * (1 + i_sc1) + i_s1
+        txt_m = ln("txt_norm1")(txt) * (1 + t_sc1) + t_s1
+
+        iq, ik, iv = qkv(img_m, "img")
+        tq, tk, tv = qkv(txt_m, "txt")
+        if img_cos is not None:
+            iq = apply_rope(iq, img_cos, img_sin)
+            ik = apply_rope(ik, img_cos, img_sin)
+
+        q = jnp.concatenate([iq, tq], axis=1)
+        k = jnp.concatenate([ik, tk], axis=1)
+        v = jnp.concatenate([iv, tv], axis=1)
+        att = dot_product_attention(q, k, v)
+        att = att.reshape(att.shape[0], -1, d)
+        li = img.shape[1]
+        img_att, txt_att = att[:, :li], att[:, li:]
+
+        img = img + i_g1 * nn.Dense(d, dtype=self.dtype,
+                                    name="img_attn_out")(img_att)
+        txt = txt + t_g1 * nn.Dense(d, dtype=self.dtype,
+                                    name="txt_attn_out")(txt_att)
+
+        def mlp(x, prefix):
+            h = nn.Dense(int(d * self.mlp_ratio), dtype=self.dtype,
+                         name=f"{prefix}_mlp1")(x)
+            h = nn.gelu(h, approximate=True)
+            return nn.Dense(d, dtype=self.dtype, name=f"{prefix}_mlp2")(h)
+
+        img = img + i_g2 * mlp(
+            ln("img_norm2")(img) * (1 + i_sc2) + i_s2, "img")
+        txt = txt + t_g2 * mlp(
+            ln("txt_norm2")(txt) * (1 + t_sc2) + t_s2, "txt")
+        if self.as_cell:
+            return (img, txt), None
+        return img, txt
+
+
+class MMSingleStreamBlock(nn.Module):
+    dim: int
+    heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+    as_cell: bool = False
+
+    @nn.compact
+    def __call__(self, x, vec, cos_full, sin_full, img_len: int):
+        d = self.dim
+        hd = d // self.heads
+        mlp_dim = int(d * self.mlp_ratio)
+        s1, sc1, gate = _modulation(vec, 3, d, self.dtype, "mod")
+        xm = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                          dtype=self.dtype, name="norm")(x)
+        xm = xm * (1 + sc1) + s1
+        qkv_mlp = nn.Dense(3 * d + mlp_dim, dtype=self.dtype,
+                           name="linear1")(xm)
+        qkv, mlp_in = jnp.split(qkv_mlp, [3 * d], axis=-1)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, s = q.shape[:2]
+        q = RMSNorm(dtype=self.dtype, name="q_norm")(
+            q.reshape(b, s, self.heads, hd))
+        k = RMSNorm(dtype=self.dtype, name="k_norm")(
+            k.reshape(b, s, self.heads, hd))
+        v = v.reshape(b, s, self.heads, hd)
+        if cos_full is not None:
+            # rotate image positions only; text rows of the table are
+            # identity (cos=1, sin=0) — built by the caller
+            q = apply_rope(q, cos_full, sin_full)
+            k = apply_rope(k, cos_full, sin_full)
+        att = dot_product_attention(q, k, v).reshape(b, s, d)
+        fused = jnp.concatenate([att, nn.gelu(mlp_in, approximate=True)],
+                                axis=-1)
+        out = nn.Dense(d, dtype=self.dtype, name="linear2")(fused)
+        x = x + gate * out
+        if self.as_cell:
+            return x, None
+        return x
+
+
+class TokenRefiner(nn.Module):
+    """2-layer self-attn refiner over LLaMA text states with timestep gating
+    (reference text_encoder/__init__.py:610 SingleTokenRefiner)."""
+    dim: int
+    heads: int = 8
+    layers: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, txt, t_vec, mask=None):
+        x = nn.Dense(self.dim, dtype=self.dtype, name="in_proj")(txt)
+        c = t_vec + nn.Dense(self.dim, dtype=self.dtype, name="ctx_proj")(
+            jnp.mean(x, axis=1))
+        for i in range(self.layers):
+            g1, g2 = _modulation(c, 2, self.dim, self.dtype, f"mod_{i}")
+            h = nn.LayerNorm(dtype=self.dtype, name=f"ln1_{i}")(x)
+            q = nn.DenseGeneral((self.heads, self.dim // self.heads),
+                                dtype=self.dtype, name=f"q_{i}")(h)
+            k = nn.DenseGeneral((self.heads, self.dim // self.heads),
+                                dtype=self.dtype, name=f"k_{i}")(h)
+            v = nn.DenseGeneral((self.heads, self.dim // self.heads),
+                                dtype=self.dtype, name=f"v_{i}")(h)
+            bias = None
+            if mask is not None:
+                bias = jnp.where(mask[:, None, None, :], 0.0, -1e30)
+            o = dot_product_attention(q, k, v, bias=bias)
+            o = o.reshape(*o.shape[:-2], self.dim)
+            x = x + g1 * nn.Dense(self.dim, dtype=self.dtype,
+                                  name=f"attn_out_{i}")(o)
+            h = nn.LayerNorm(dtype=self.dtype, name=f"ln2_{i}")(x)
+            h = nn.Dense(self.dim * 4, dtype=self.dtype, name=f"fc1_{i}")(h)
+            x = x + g2 * nn.Dense(self.dim, dtype=self.dtype,
+                                  name=f"fc2_{i}")(nn.silu(h))
+        return x
+
+
+@register("videotuna_tpu.models.hunyuan.HYVideoDiT",
+          aliases=[
+              "videotuna.models.hunyuan.hyvideo_i2v.modules.models."
+              "HYVideoDiffusionTransformer",
+          ])
+class HYVideoDiT(nn.Module):
+    """Defaults scaled down; 13B config: dim 3072, heads 24, double 20,
+    single 40, patch (1,2,2)."""
+    in_channels: int = 16
+    out_channels: int = 16
+    dim: int = 3072
+    heads: int = 24
+    double_blocks: int = 20
+    single_blocks: int = 40
+    mlp_ratio: float = 4.0
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    text_dim: int = 4096
+    pooled_dim: int = 768
+    guidance_embed: bool = False
+    rope_theta: float = 256.0
+    dtype: Dtype = jnp.float32
+    scan_blocks: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, timestep: jnp.ndarray,
+                 text_states: jnp.ndarray,
+                 pooled_text: Optional[jnp.ndarray] = None,
+                 text_mask: Optional[jnp.ndarray] = None,
+                 guidance: Optional[jnp.ndarray] = None,
+                 temporal_rope_scale: Optional[jnp.ndarray] = None
+                 ) -> jnp.ndarray:
+        b, t_in, h_in, w_in, _ = x.shape
+        pt, ph, pw = self.patch_size
+        tt, hh, ww = t_in // pt, h_in // ph, w_in // pw
+        d = self.dim
+
+        vec = TimestepEmbedder(d, dtype=self.dtype, name="t_embedder")(
+            timestep)
+        if pooled_text is not None:
+            vec = vec + nn.Dense(d, dtype=self.dtype, name="vector_in")(
+                pooled_text.astype(self.dtype))
+        if self.guidance_embed and guidance is not None:
+            vec = vec + TimestepEmbedder(d, dtype=self.dtype,
+                                         name="guidance_in")(guidance)
+
+        img = nn.Conv(d, kernel_size=self.patch_size,
+                      strides=self.patch_size, padding="VALID",
+                      dtype=self.dtype, name="img_in")(x.astype(self.dtype))
+        img = img.reshape(b, tt * hh * ww, d)
+        txt = TokenRefiner(d, dtype=self.dtype, name="txt_in")(
+            text_states.astype(self.dtype), vec, text_mask)
+        lt = txt.shape[1]
+
+        hd = d // self.heads
+        dt_r = hd // 4
+        dh_r = dw_r = (hd - dt_r) // 2
+        dt_r = hd - 2 * dh_r
+        cos, sin = rope_3d(dt_r, dh_r, dw_r, tt, hh, ww,
+                           theta=self.rope_theta,
+                           temporal_scale=temporal_rope_scale)
+        cos = cos.astype(self.dtype)
+        sin = sin.astype(self.dtype)
+        # single-stream tables: identity rows appended for text positions
+        cos_full = jnp.concatenate(
+            [cos, jnp.ones((lt, cos.shape[1]), self.dtype)], axis=0)
+        sin_full = jnp.concatenate(
+            [sin, jnp.zeros((lt, sin.shape[1]), self.dtype)], axis=0)
+
+        if self.scan_blocks:
+            dscan = nn.scan(MMDoubleStreamBlock,
+                            variable_axes={"params": 0},
+                            split_rngs={"params": True},
+                            in_axes=(nn.broadcast,) * 3,
+                            length=self.double_blocks)
+            (img, txt), _ = dscan(d, self.heads, self.mlp_ratio,
+                                  dtype=self.dtype, as_cell=True,
+                                  name="double_blocks")(
+                (img, txt), vec, cos, sin)
+        else:
+            for i in range(self.double_blocks):
+                img, txt = MMDoubleStreamBlock(
+                    d, self.heads, self.mlp_ratio, dtype=self.dtype,
+                    name=f"double_{i}")((img, txt), vec, cos, sin)
+
+        xcat = jnp.concatenate([img, txt], axis=1)
+        if self.scan_blocks:
+            sscan = nn.scan(MMSingleStreamBlock,
+                            variable_axes={"params": 0},
+                            split_rngs={"params": True},
+                            in_axes=(nn.broadcast,) * 4,
+                            length=self.single_blocks)
+            xcat, _ = sscan(d, self.heads, self.mlp_ratio, dtype=self.dtype,
+                            as_cell=True, name="single_blocks")(
+                xcat, vec, cos_full, sin_full, img.shape[1])
+        else:
+            for i in range(self.single_blocks):
+                xcat = MMSingleStreamBlock(
+                    d, self.heads, self.mlp_ratio, dtype=self.dtype,
+                    name=f"single_{i}")(xcat, vec, cos_full, sin_full,
+                                        img.shape[1])
+        img = xcat[:, :img.shape[1]]
+
+        shift, scale = _modulation(vec, 2, d, self.dtype, "final_mod")
+        img = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                           dtype=self.dtype, name="final_norm")(img)
+        img = img * (1 + scale) + shift
+        out_dim = pt * ph * pw * self.out_channels
+        img = nn.Dense(out_dim, dtype=self.dtype, name="final_proj",
+                       kernel_init=nn.initializers.zeros)(img)
+        out = unpatchify_3d(img, (tt, hh, ww), self.patch_size,
+                            self.out_channels)
+        return out.astype(jnp.float32)

@@ -194,6 +194,79 @@ class CLIPTextEncoder(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# LLaMA-style decoder used as a text encoder (HunyuanVideo's LLaVA-LLaMA
+# path — reference models/hunyuan/hyvideo_i2v/text_encoder/__init__.py:610:
+# hidden states of a causal LM feed the DiT's token refiner)
+# ---------------------------------------------------------------------------
+
+class LlamaBlock(nn.Module):
+    dim: int
+    heads: int
+    kv_heads: Optional[int] = None
+    ff_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cos, sin):
+        from videotuna_tpu.models.layers import apply_rope
+        hd = self.dim // self.heads
+        kvh = self.kv_heads or self.heads
+        h = RMSNorm(eps=1e-5, dtype=self.dtype, name="attn_norm")(x)
+        q = nn.DenseGeneral((self.heads, hd), use_bias=False,
+                            dtype=self.dtype, name="q")(h)
+        k = nn.DenseGeneral((kvh, hd), use_bias=False,
+                            dtype=self.dtype, name="k")(h)
+        v = nn.DenseGeneral((kvh, hd), use_bias=False,
+                            dtype=self.dtype, name="v")(h)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        o = dot_product_attention(q, k, v, causal=True)
+        o = o.reshape(*x.shape[:-1], self.dim)
+        x = x + nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                         name="o")(o)
+        h = RMSNorm(eps=1e-5, dtype=self.dtype, name="mlp_norm")(x)
+        ff = self.ff_dim or int(self.dim * 8 / 3)
+        gate = nn.Dense(ff, use_bias=False, dtype=self.dtype,
+                        name="gate")(h)
+        up = nn.Dense(ff, use_bias=False, dtype=self.dtype, name="up")(h)
+        return x + nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                            name="down")(nn.silu(gate) * up)
+
+
+@register("videotuna_tpu.models.LlamaTextEncoder",
+          aliases=[
+              "videotuna.models.hunyuan.hyvideo_i2v.text_encoder.TextEncoder",
+          ])
+class LlamaTextEncoder(nn.Module):
+    """Causal LLaMA returning final hidden states (+ last-token pooled)."""
+    vocab_size: int = 32000
+    dim: int = 4096
+    heads: int = 32
+    kv_heads: Optional[int] = None
+    ff_dim: Optional[int] = None
+    num_layers: int = 32
+    rope_theta: float = 10000.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from videotuna_tpu.models.layers import rope_frequencies
+        x = nn.Embed(self.vocab_size, self.dim, dtype=self.dtype,
+                     name="token_embed")(input_ids)
+        hd = self.dim // self.heads
+        cos, sin = rope_frequencies(hd, jnp.arange(input_ids.shape[-1]),
+                                    self.rope_theta)
+        for i in range(self.num_layers):
+            x = LlamaBlock(self.dim, self.heads, self.kv_heads, self.ff_dim,
+                           dtype=self.dtype, name=f"block_{i}")(x, cos, sin)
+        x = RMSNorm(eps=1e-5, dtype=self.dtype, name="final_norm")(x)
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
+        return x
+
+
+# ---------------------------------------------------------------------------
 # Host-side tokenization helpers (lazy transformers import)
 # ---------------------------------------------------------------------------
 

@@ -214,10 +214,13 @@ class Trainer:
         (device-side) so the step function sees arrays only."""
         out = dict(batch)
         if "caption" in out and "text_states" not in out:
-            states, mask = self.flow.encode_text(self.flow.params,
-                                                 out.pop("caption"))
-            out["text_states"] = states
-            out["text_mask"] = mask
+            cond = self.flow.encode_text(self.flow.params,
+                                         out.pop("caption"))
+            out["text_states"] = cond["y"]
+            if cond.get("mask") is not None:
+                out["text_mask"] = cond["mask"]
+            if cond.get("pooled") is not None:
+                out["pooled_text"] = cond["pooled"]
         out.pop("path", None)
         out.pop("is_image", None)
         return out
