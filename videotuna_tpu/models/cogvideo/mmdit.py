@@ -147,10 +147,8 @@ class CogVideoXTransformer(nn.Module):
         rope_cos = rope_sin = None
         if self.use_rope:
             head_dim = self.dim // self.heads
-            dt = head_dim // 4
-            dh = dw = (head_dim - dt) // 2
-            # ensure even split summing to head_dim
-            dt = head_dim - 2 * dh
+            from videotuna_tpu.models.layers import split_rope_dims
+            dt, dh, dw = split_rope_dims(head_dim)
             rope_cos, rope_sin = rope_3d(dt, dh, dw, tt, hh, ww)
             rope_cos = rope_cos.astype(self.dtype)
             rope_sin = rope_sin.astype(self.dtype)

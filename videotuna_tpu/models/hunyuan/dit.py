@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from videotuna_tpu.core.registry import register
 from videotuna_tpu.kernels.attention import dot_product_attention
 from videotuna_tpu.models.layers import (RMSNorm, TimestepEmbedder,
-                                         apply_rope, rope_3d, unpatchify_3d)
+                                         apply_rope, rope_3d,
+                                         split_rope_dims, unpatchify_3d)
 
 Dtype = Any
 

@@ -114,6 +114,16 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray,
     return jnp.stack([o1, o2], axis=-1).reshape(x.shape)
 
 
+def split_rope_dims(head_dim: int) -> Tuple[int, int, int]:
+    """Split head_dim into (t, h, w) rotary dims — all even, summing to
+    head_dim, ~(1/4, 3/8, 3/8) (the Hunyuan/Wan convention: 128 → 32/48/48).
+    """
+    assert head_dim % 2 == 0, "head_dim must be even for RoPE"
+    dh = (head_dim * 3 // 8) // 2 * 2
+    dt = head_dim - 2 * dh
+    return dt, dh, dh
+
+
 def rope_3d(dim_t: int, dim_h: int, dim_w: int,
             t: int, h: int, w: int,
             theta: float = 10000.0,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from videotuna_tpu.core.registry import register
 from videotuna_tpu.kernels.attention import dot_product_attention
 from videotuna_tpu.models.layers import (RMSNorm, apply_rope, rope_3d,
+                                         split_rope_dims,
                                          timestep_embedding, unpatchify_3d)
 
 Dtype = Any
@@ -158,8 +159,7 @@ class WanModel(nn.Module):
             ctx_img = nn.Dense(d, dtype=self.dtype, name="img_fc2")(ci)
 
         hd = d // self.heads
-        dt_r = hd - 2 * ((hd - hd // 4) // 2)
-        dh_r = dw_r = (hd - dt_r) // 2
+        dt_r, dh_r, dw_r = split_rope_dims(hd)
         cos, sin = rope_3d(dt_r, dh_r, dw_r, tt, hh, ww,
                            theta=self.rope_theta)
         cos = cos.astype(self.dtype)
