@@ -1,0 +1,102 @@
+"""Eval kit tests: correlation op, metrics behavior, runner e2e."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videotuna_tpu.evalkit.correlation import (correlation_volume,
+                                               estimate_flow,
+                                               flow_from_correlation)
+from videotuna_tpu.evalkit.metrics import (dynamic_degree, evaluate_video,
+                                           motion_smoothness,
+                                           subject_consistency,
+                                           temporal_flickering)
+from videotuna_tpu.evalkit.runner import (evaluate_directory,
+                                          save_videos_vbench, tabular_score)
+
+
+class TestCorrelation:
+    def test_volume_shape_and_identity_peak(self):
+        f = jax.random.normal(jax.random.key(0), (1, 8, 8, 16))
+        corr = correlation_volume(f, f, radius=2)
+        assert corr.shape == (1, 8, 8, 25)
+        # zero displacement (center of 5×5 window = index 12) is the argmax
+        # almost everywhere (ties can occur when a neighbor feature has
+        # larger norm and correlates — rare for iid gaussian features)
+        center_is_max = corr.argmax(-1)[:, 2:-2, 2:-2] == 12
+        assert float(jnp.mean(center_is_max)) > 0.85
+        others = jnp.delete(corr, 12, axis=-1)
+        assert float(corr[..., 12].mean()) > float(others.mean()) + 1.0
+
+    def test_flow_recovers_shift(self):
+        """A pure translation must be recovered by the soft-argmax flow."""
+        rng = np.random.default_rng(0)
+        base = rng.normal(size=(1, 16, 16, 8)).astype(np.float32)
+        shifted = np.roll(base, shift=2, axis=2)   # dx = +2
+        corr = correlation_volume(jnp.asarray(base), jnp.asarray(shifted),
+                                  radius=3)
+        flow = flow_from_correlation(corr, radius=3)
+        inner = flow[:, 4:-4, 4:-4]
+        # flow dx should be ≈ +2 away from borders
+        assert abs(float(inner[..., 1].mean()) - 2.0) < 0.5
+        assert abs(float(inner[..., 0].mean())) < 0.5
+
+
+class TestMetrics:
+    def test_static_video_flickering_perfect(self):
+        v = jnp.zeros((8, 32, 32, 3))
+        assert float(temporal_flickering(v)) == 1.0
+        assert float(motion_smoothness(v)) == 1.0
+        assert float(dynamic_degree(v)) == 0.0
+
+    def test_noise_video_flickers(self):
+        v = jax.random.uniform(jax.random.key(0), (8, 32, 32, 3),
+                               minval=-1, maxval=1)
+        assert float(temporal_flickering(v)) < 0.5
+
+    def test_moving_square_dynamic(self):
+        frames = []
+        for t in range(8):
+            f = -np.ones((64, 64, 3), np.float32)
+            f[20:40, 4 * t:4 * t + 20] = 1.0
+            frames.append(f)
+        v = jnp.asarray(np.stack(frames))
+        moving = float(dynamic_degree(v))
+        static = float(dynamic_degree(jnp.asarray(
+            np.repeat(frames[0][None], 8, 0))))
+        assert moving > static
+
+    def test_subject_consistency_orders(self):
+        stable = jnp.zeros((6, 32, 32, 3)) + 0.5
+        noisy = jax.random.uniform(jax.random.key(1), (6, 32, 32, 3),
+                                   minval=-1, maxval=1)
+        assert float(subject_consistency(stable)) > \
+            float(subject_consistency(noisy))
+
+    def test_evaluate_video_all_dims(self):
+        v = np.zeros((4, 32, 32, 3), np.uint8)
+        scores = evaluate_video(v)
+        assert set(scores) >= {"temporal_flickering", "dynamic_degree"}
+        assert all(0.0 <= s <= 1.0 for s in scores.values())
+
+
+class TestRunner:
+    def test_vbench_save_and_evaluate(self, tmp_path):
+        rng = np.random.default_rng(0)
+        videos = [rng.integers(0, 255, (6, 32, 32, 3)).astype(np.uint8)
+                  for _ in range(2)]
+        paths = save_videos_vbench(videos, ["a cat", "a dog"],
+                                   str(tmp_path), n_per_prompt=1)
+        assert len(paths) == 2
+        assert (tmp_path / "info.json").exists()
+        info = json.loads((tmp_path / "info.json").read_text())
+        assert info[0]["prompt_en"] == "a cat"
+
+        final = evaluate_directory(str(tmp_path))
+        assert final["num_videos"] == 2
+        assert (tmp_path / "final_results.json").exists()
+        table = tabular_score(final)
+        assert "mean" in table

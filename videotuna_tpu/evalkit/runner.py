@@ -1,0 +1,107 @@
+"""VBench-style evaluation runner + VBench-format output.
+
+Parity:
+- save_videos_vbench writes ``<prompt>-<n>.mp4`` + info.json
+  (/root/reference/videotuna/base/inference_base.py:131-161,
+  scripts/inference.py:318-328);
+- the runner walks a results dir, scores each mp4 over the requested
+  dimensions, writes ``final_results.json``
+  (eval/scripts/evaluation.py) and a tabular summary
+  (eval/scripts/tabular_score.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from videotuna_tpu.data.video_io import load_video, save_video
+from videotuna_tpu.evalkit.metrics import STANDARD_DIMENSIONS, evaluate_video
+
+
+def save_videos_vbench(videos: Sequence[np.ndarray],
+                       prompts: Sequence[str], savedir: str,
+                       n_per_prompt: int = 1, fps: int = 8) -> List[str]:
+    """``<prompt>-<idx>.mp4`` naming + info.json prompt mapping."""
+    os.makedirs(savedir, exist_ok=True)
+    info = []
+    paths = []
+    for i, prompt in enumerate(prompts):
+        for n in range(n_per_prompt):
+            vid = videos[i * n_per_prompt + n]
+            name = f"{prompt}-{n}.mp4".replace("/", "_")
+            path = save_video(vid, os.path.join(savedir, name), fps=fps)
+            paths.append(path)
+        info.append({"prompt_en": prompt,
+                     "video_list": [f"{prompt}-{n}.mp4"
+                                    for n in range(n_per_prompt)]})
+    with open(os.path.join(savedir, "info.json"), "w") as f:
+        json.dump(info, f, indent=2)
+    return paths
+
+
+def evaluate_directory(videos_dir: str,
+                       dimensions: Optional[List[str]] = None,
+                       output_path: Optional[str] = None,
+                       max_frames: int = 64) -> Dict:
+    """Score every video in a directory; write final_results.json."""
+    dims = dimensions or list(STANDARD_DIMENSIONS)
+    results: Dict[str, Dict[str, float]] = {}
+    vdir = Path(videos_dir)
+    files = sorted([p for p in vdir.iterdir()
+                    if p.suffix in (".mp4", ".avi", ".mkv", ".npy")])
+    for p in files:
+        try:
+            video = load_video(str(p), num_frames=max_frames)
+        except Exception as e:
+            results[p.name] = {"error": str(e)}
+            continue
+        results[p.name] = evaluate_video(video, dims)
+
+    summary = {}
+    for d in dims:
+        vals = [r[d] for r in results.values() if d in r]
+        summary[d] = float(np.mean(vals)) if vals else None
+    final = {"per_video": results, "summary": summary,
+             "num_videos": len(files)}
+    out = output_path or str(vdir / "final_results.json")
+    with open(out, "w") as f:
+        json.dump(final, f, indent=2)
+    return final
+
+
+def tabular_score(final_results: Dict) -> str:
+    """Aligned text table of dimension scores (eval/scripts/
+    tabular_score.py analogue)."""
+    rows = [(k, v) for k, v in final_results["summary"].items()
+            if v is not None]
+    width = max((len(k) for k, _ in rows), default=10) + 2
+    lines = [f"{'dimension'.ljust(width)}score",
+             "-" * (width + 6)]
+    for k, v in rows:
+        lines.append(f"{k.ljust(width)}{v:.4f}")
+    if rows:
+        mean = float(np.mean([v for _, v in rows]))
+        lines.append("-" * (width + 6))
+        lines.append(f"{'mean'.ljust(width)}{mean:.4f}")
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser("videotuna-tpu eval")
+    ap.add_argument("--videos", required=True)
+    ap.add_argument("--dimensions", nargs="*", default=None)
+    ap.add_argument("--output", default=None)
+    args = ap.parse_args(argv)
+    final = evaluate_directory(args.videos, args.dimensions, args.output)
+    print(tabular_score(final))
+    return final
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,317 @@
+"""Torch→JAX checkpoint conversion.
+
+Capability parity with the reference's weight-loading/adaptation layer
+(/root/reference/videotuna/utils/load_weights.py: SD-2D→video-3D expansion
+``expand_to_3d``/``expand_conv_kernel`` :69-157, LoRA safetensors conversion
+``convert_lora`` :331, partial/empty-param loading; utils/train_utils.py:
+158-191 DeepSpeed ``module.``-prefix stripping; tools/
+deepspeed_checkpoint_converter.py; generation_base.py:236-274 per-component
+checkpoint dirs).
+
+Pieces:
+- ``load_torch_state_dict``: .pt/.pth/.ckpt (Lightning ``state_dict`` key),
+  .safetensors; prefix stripping (module./model./model.diffusion_model.).
+- layout transforms: torch Linear (out,in) → flax kernel (in,out); torch
+  Conv (out,in,*k) → flax (*k,in,out); qkv-fused splits; DenseGeneral
+  head reshapes.
+- ``inflate_conv2d_to_3d``: SD spatial conv → temporal-centered 3D kernel
+  (the reference's 2D→3D inflation semantics).
+- ``ConversionMap``: ordered (regex → flax path template + transform) rules;
+  ``convert_state_dict`` applies them and assembles the nested flax tree.
+- ``verify_tree_shapes``: every converted leaf must match the target tree
+  (the parity gate; mismatches are reported, not silently skipped, unlike
+  the reference's shape-mismatch skip at train_utils.py:198-215).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Transform = Callable[[np.ndarray], np.ndarray]
+
+STRIP_PREFIXES = ("module.", "model.diffusion_model.", "model.")
+
+
+def load_torch_state_dict(path: str,
+                          strip: Sequence[str] = STRIP_PREFIXES
+                          ) -> Dict[str, np.ndarray]:
+    """Load any torch-family checkpoint into {name: np.ndarray}."""
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        sd = load_file(path)
+    else:
+        import torch
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(obj, dict) and "state_dict" in obj:
+            obj = obj["state_dict"]
+        sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else
+              np.asarray(v) for k, v in obj.items()
+              if hasattr(v, "shape")}
+    return strip_prefixes(sd, strip)
+
+
+def strip_prefixes(sd: Dict[str, np.ndarray],
+                   prefixes: Sequence[str] = STRIP_PREFIXES
+                   ) -> Dict[str, np.ndarray]:
+    """Strip the longest matching prefix shared by ALL keys (DeepSpeed's
+    ``module.``, Lightning's ``model.``)."""
+    out = dict(sd)
+    changed = True
+    while changed:
+        changed = False
+        for p in prefixes:
+            if out and all(k.startswith(p) for k in out):
+                out = {k[len(p):]: v for k, v in out.items()}
+                changed = True
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Layout transforms
+# ---------------------------------------------------------------------------
+
+def t_linear(w: np.ndarray) -> np.ndarray:
+    """torch Linear (out, in) → flax Dense kernel (in, out)."""
+    return np.ascontiguousarray(w.T)
+
+
+def t_conv(w: np.ndarray) -> np.ndarray:
+    """torch Conv (out, in, *k) → flax (*k, in, out)."""
+    nd = w.ndim
+    perm = tuple(range(2, nd)) + (1, 0)
+    return np.ascontiguousarray(w.transpose(perm))
+
+
+def t_dense_general(heads: int) -> Transform:
+    """torch (H·hd, in) → flax DenseGeneral kernel (in, H, hd)."""
+    def f(w: np.ndarray) -> np.ndarray:
+        out_dim, in_dim = w.shape
+        hd = out_dim // heads
+        return np.ascontiguousarray(
+            w.reshape(heads, hd, in_dim).transpose(2, 0, 1))
+    return f
+
+
+def t_dense_general_bias(heads: int) -> Transform:
+    def f(b: np.ndarray) -> np.ndarray:
+        return b.reshape(heads, -1)
+    return f
+
+
+def split_qkv(w: np.ndarray, n: int = 3) -> List[np.ndarray]:
+    """Fused qkv (3·d, in) → [q, k, v] each (d, in)."""
+    return list(np.split(w, n, axis=0))
+
+
+def inflate_conv2d_to_3d(w2d: np.ndarray, kt: int = 3,
+                         center: bool = True) -> np.ndarray:
+    """SD 2D→3D kernel inflation (reference load_weights.py:69-157):
+    flax layout (kh, kw, in, out) → (kt, kh, kw, in, out) with the 2D kernel
+    at the temporal center (identity over time at init)."""
+    w3d = np.zeros((kt,) + w2d.shape, w2d.dtype)
+    idx = kt // 2 if center else kt - 1
+    w3d[idx] = w2d
+    return w3d
+
+
+# ---------------------------------------------------------------------------
+# Conversion engine
+# ---------------------------------------------------------------------------
+
+class ConversionMap:
+    """Ordered regex rules mapping torch names → flax tree paths.
+
+    rule = (pattern, path_template, transform | None). The template may use
+    backrefs (``\\1``); transform defaults to t_linear for ``.weight`` of 2D
+    tensors and identity otherwise.
+    """
+
+    def __init__(self, rules: Sequence[Tuple[str, str,
+                                             Optional[Transform]]]):
+        self.rules = [(re.compile(p), t, fn) for p, t, fn in rules]
+
+    def convert(self, sd: Dict[str, np.ndarray],
+                strict: bool = False) -> Dict[str, Any]:
+        tree: Dict[str, Any] = {}
+        unmatched: List[str] = []
+        for name, val in sd.items():
+            for pat, template, fn in self.rules:
+                m = pat.match(name)
+                if not m:
+                    continue
+                path = m.expand(template)
+                if fn is None and name.endswith(".weight") and val.ndim == 2:
+                    val = t_linear(val)
+                elif fn is not None:
+                    val = fn(val)
+                node = tree
+                parts = path.split("/")
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = val
+                break
+            else:
+                unmatched.append(name)
+        if strict and unmatched:
+            raise KeyError(f"Unconverted torch params: {unmatched[:20]}"
+                           f"{'…' if len(unmatched) > 20 else ''}")
+        return tree
+
+
+def verify_tree_shapes(converted: Any, target: Any,
+                       path: str = "") -> List[str]:
+    """Return a list of mismatch descriptions (empty = exact match)."""
+    problems: List[str] = []
+    if isinstance(target, dict):
+        conv = converted if isinstance(converted, dict) else {}
+        for k, v in target.items():
+            if k not in conv:
+                problems.append(f"missing {path}/{k}")
+            else:
+                problems += verify_tree_shapes(conv[k], v, f"{path}/{k}")
+        for k in conv:
+            if k not in target:
+                problems.append(f"extra {path}/{k}")
+    else:
+        if tuple(np.shape(converted)) != tuple(np.shape(target)):
+            problems.append(
+                f"shape {path}: {np.shape(converted)} vs "
+                f"{np.shape(target)}")
+    return problems
+
+
+def merge_into_tree(target: Dict[str, Any],
+                    converted: Dict[str, Any]) -> Dict[str, Any]:
+    """Partial load: converted leaves override target where shapes match
+    (the reference's partial-load path, train_utils.py:198-215 — but
+    mismatches raise instead of silently skipping)."""
+    out = dict(target)
+    for k, v in converted.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = merge_into_tree(out[k], v)
+        elif k in out:
+            if tuple(np.shape(out[k])) != tuple(np.shape(v)):
+                raise ValueError(
+                    f"shape mismatch for {k}: {np.shape(v)} vs "
+                    f"{np.shape(out[k])}")
+            out[k] = v
+        else:
+            out[k] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Family maps (worked example: STDiT — the PR1 model)
+# ---------------------------------------------------------------------------
+
+def stdit_map(heads: int = 16) -> ConversionMap:
+    """Open-Sora v1.0 STDiT torch names → videotuna_tpu STDiT tree."""
+    dg = t_dense_general(heads)
+    dgb = t_dense_general_bias(heads)
+    return ConversionMap([
+        (r"x_embedder\.proj\.weight", r"x_embedder/proj/kernel", t_conv),
+        (r"x_embedder\.proj\.bias", r"x_embedder/proj/bias", None),
+        (r"t_embedder\.mlp\.0\.weight", r"t_embedder/fc1/kernel", t_linear),
+        (r"t_embedder\.mlp\.0\.bias", r"t_embedder/fc1/bias", None),
+        (r"t_embedder\.mlp\.2\.weight", r"t_embedder/fc2/kernel", t_linear),
+        (r"t_embedder\.mlp\.2\.bias", r"t_embedder/fc2/bias", None),
+        (r"t_block\.1\.weight", r"t_block/kernel", t_linear),
+        (r"t_block\.1\.bias", r"t_block/bias", None),
+        (r"y_embedder\.y_proj\.fc1\.weight", r"y_proj1/kernel", t_linear),
+        (r"y_embedder\.y_proj\.fc1\.bias", r"y_proj1/bias", None),
+        (r"y_embedder\.y_proj\.fc2\.weight", r"y_proj2/kernel", t_linear),
+        (r"y_embedder\.y_proj\.fc2\.bias", r"y_proj2/bias", None),
+        (r"blocks\.(\d+)\.scale_shift_table",
+         r"block_\1/scale_shift_table", None),
+        # spatial attention (torch fused qkv handled by caller splitting)
+        (r"blocks\.(\d+)\.attn\.q\.weight", r"block_\1/attn/q/kernel", dg),
+        (r"blocks\.(\d+)\.attn\.q\.bias", r"block_\1/attn/q/bias", dgb),
+        (r"blocks\.(\d+)\.attn\.k\.weight", r"block_\1/attn/k/kernel", dg),
+        (r"blocks\.(\d+)\.attn\.k\.bias", r"block_\1/attn/k/bias", dgb),
+        (r"blocks\.(\d+)\.attn\.v\.weight", r"block_\1/attn/v/kernel", dg),
+        (r"blocks\.(\d+)\.attn\.v\.bias", r"block_\1/attn/v/bias", dgb),
+        (r"blocks\.(\d+)\.attn\.proj\.weight",
+         r"block_\1/attn/out/kernel", t_linear),
+        (r"blocks\.(\d+)\.attn\.proj\.bias",
+         r"block_\1/attn/out/bias", None),
+        # temporal attention
+        (r"blocks\.(\d+)\.attn_temp\.q\.weight",
+         r"block_\1/attn_temp/q/kernel", dg),
+        (r"blocks\.(\d+)\.attn_temp\.q\.bias",
+         r"block_\1/attn_temp/q/bias", dgb),
+        (r"blocks\.(\d+)\.attn_temp\.k\.weight",
+         r"block_\1/attn_temp/k/kernel", dg),
+        (r"blocks\.(\d+)\.attn_temp\.k\.bias",
+         r"block_\1/attn_temp/k/bias", dgb),
+        (r"blocks\.(\d+)\.attn_temp\.v\.weight",
+         r"block_\1/attn_temp/v/kernel", dg),
+        (r"blocks\.(\d+)\.attn_temp\.v\.bias",
+         r"block_\1/attn_temp/v/bias", dgb),
+        (r"blocks\.(\d+)\.attn_temp\.proj\.weight",
+         r"block_\1/attn_temp/out/kernel", t_linear),
+        (r"blocks\.(\d+)\.attn_temp\.proj\.bias",
+         r"block_\1/attn_temp/out/bias", None),
+        # cross attention
+        (r"blocks\.(\d+)\.cross_attn\.q_linear\.weight",
+         r"block_\1/cross_attn/q/kernel", dg),
+        (r"blocks\.(\d+)\.cross_attn\.q_linear\.bias",
+         r"block_\1/cross_attn/q/bias", dgb),
+        (r"blocks\.(\d+)\.cross_attn\.proj\.weight",
+         r"block_\1/cross_attn/out/kernel", t_linear),
+        (r"blocks\.(\d+)\.cross_attn\.proj\.bias",
+         r"block_\1/cross_attn/out/bias", None),
+        # mlp
+        (r"blocks\.(\d+)\.mlp\.fc1\.weight",
+         r"block_\1/mlp/fc1/kernel", t_linear),
+        (r"blocks\.(\d+)\.mlp\.fc1\.bias", r"block_\1/mlp/fc1/bias", None),
+        (r"blocks\.(\d+)\.mlp\.fc2\.weight",
+         r"block_\1/mlp/fc2/kernel", t_linear),
+        (r"blocks\.(\d+)\.mlp\.fc2\.bias", r"block_\1/mlp/fc2/bias", None),
+        # final
+        (r"final_layer\.scale_shift_table",
+         r"final_scale_shift_table", None),
+        (r"final_layer\.linear\.weight", r"final_linear/kernel", t_linear),
+        (r"final_layer\.linear\.bias", r"final_linear/bias", None),
+    ])
+
+
+def stack_blocks_for_scan(tree: Dict[str, Any], prefix: str = "block_",
+                          out_key: str = "blocks") -> Dict[str, Any]:
+    """Convert per-block entries (block_0..block_N) into the stacked layout
+    nn.scan expects."""
+    import jax
+    import jax.numpy as jnp
+    idxs = sorted(int(k[len(prefix):]) for k in tree
+                  if k.startswith(prefix) and k[len(prefix):].isdigit())
+    if not idxs:
+        return tree
+    blocks = [tree[f"{prefix}{i}"] for i in idxs]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(
+        [jnp.asarray(x) for x in xs]), *blocks)
+    out = {k: v for k, v in tree.items()
+           if not (k.startswith(prefix) and k[len(prefix):].isdigit())}
+    out[out_key] = stacked
+    return out
+
+
+def convert_lora_safetensors(sd: Dict[str, np.ndarray],
+                             rank_key: str = "lora"
+                             ) -> Dict[str, Dict[str, np.ndarray]]:
+    """peft/safetensors LoRA (lora_A/lora_B or lora_down/lora_up) → our
+    {path: {"a", "b"}} delta-tree layout (reference convert_lora,
+    load_weights.py:331)."""
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for name, val in sd.items():
+        low = name.lower()
+        if "lora_a" in low or "lora_down" in low:
+            key = re.sub(r"\.lora_(a|down)(\.weight)?$", "", name,
+                         flags=re.I)
+            out.setdefault(key, {})["a"] = t_linear(val)
+        elif "lora_b" in low or "lora_up" in low:
+            key = re.sub(r"\.lora_(b|up)(\.weight)?$", "", name,
+                         flags=re.I)
+            out.setdefault(key, {})["b"] = t_linear(val)
+    return out
