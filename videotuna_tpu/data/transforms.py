@@ -169,6 +169,20 @@ class ImageToVideo:
         return np.repeat(img[:1], self.num_frames, axis=0)
 
 
+class NativeCropResizeNormalize:
+    """Fused crop→resize→normalize via the C++ frameproc library
+    (native/frameproc.cpp), falling back to the Python pair."""
+
+    def __init__(self, size: Tuple[int, int]):
+        self.size = size
+
+    def __call__(self, video: np.ndarray) -> np.ndarray:
+        from videotuna_tpu.data import native_loader
+        if video.dtype == np.uint8 and native_loader.native_available():
+            return native_loader.crop_resize_normalize(video, self.size)
+        return Normalize()(CenterCropResize(self.size)(video))
+
+
 def get_transforms_video(resolution: Tuple[int, int] = (256, 256),
                          num_frames: int = 16,
                          frame_interval: int = 1) -> Compose:
@@ -176,8 +190,7 @@ def get_transforms_video(resolution: Tuple[int, int] = (256, 256),
     return Compose([
         CheckVideo(min_frames=1),
         TemporalRandomCrop(num_frames, frame_interval),
-        CenterCropResize(resolution),
-        Normalize(),
+        NativeCropResizeNormalize(resolution),
     ])
 
 
