@@ -93,12 +93,29 @@ def apply_dotlist(config: ConfigDict, dotlist: Sequence[str]) -> ConfigDict:
     return out
 
 
+def _load_with_defaults(path: Union[str, Path],
+                        _depth: int = 0) -> ConfigDict:
+    """Load a YAML; a top-level ``defaults: <path>`` key pulls in a base
+    config first (relative to the repo root or the file's directory)."""
+    if _depth > 8:
+        raise RecursionError(f"defaults chain too deep at {path}")
+    cfg = load_yaml(path)
+    base_ref = cfg.pop("defaults", None)
+    if base_ref:
+        base_path = Path(base_ref)
+        if not base_path.exists():
+            base_path = Path(path).parent / base_ref
+        base = _load_with_defaults(base_path, _depth + 1)
+        cfg = deep_merge(base, cfg)
+    return cfg
+
+
 def load_configs(paths: Sequence[Union[str, Path]],
                  dotlist: Sequence[str] = ()) -> ConfigDict:
     """Merge YAML files left→right then apply CLI dotlist overrides."""
     cfg: ConfigDict = {}
     for p in paths:
-        cfg = deep_merge(cfg, load_yaml(p))
+        cfg = deep_merge(cfg, _load_with_defaults(p))
     if dotlist:
         cfg = apply_dotlist(cfg, dotlist)
     return cfg

@@ -114,6 +114,9 @@ def populate() -> None:
         "videotuna_tpu.models.vae3d",
         "videotuna_tpu.models.text_encoders",
         "videotuna_tpu.models.lvdm.unet3d",
+        "videotuna_tpu.models.lvdm.image_cond",
+        "videotuna_tpu.schedulers.fm_solvers",
+        "videotuna_tpu.schedulers.iddpm",
         "videotuna_tpu.models.cogvideo.mmdit",
         "videotuna_tpu.models.hunyuan.dit",
         "videotuna_tpu.models.wan.dit",
