@@ -57,7 +57,24 @@ def run_inference(argv: Optional[List[str]] = None) -> dict:
               file=sys.stderr)
         flow.init_params(seed=int(inf.get("seed", 0)))
 
-    result, metrics = monitor_resources()(flow.inference)(config)
+    # multi-chip inference: inference.mesh {dp, fsdp, sp, tp} builds the
+    # global mesh; sp>1 routes long attention through ulysses/ring SP
+    import contextlib
+    ctx = contextlib.nullcontext()
+    mesh_cfg = inf.get("mesh") or {}
+    if mesh_cfg:
+        import jax
+        from videotuna_tpu.core.mesh import MeshConfig, make_mesh, use_mesh
+        from videotuna_tpu.kernels.attention import sequence_parallel
+        mesh = make_mesh(MeshConfig(**mesh_cfg))
+        stack = contextlib.ExitStack()
+        stack.enter_context(use_mesh(mesh))
+        if mesh.shape.get("sp", 1) > 1:
+            stack.enter_context(sequence_parallel(mesh))
+        ctx = stack
+
+    with ctx:
+        result, metrics = monitor_resources()(flow.inference)(config)
     if not args.quiet:
         print(f"[videotuna-tpu] wrote {len(result['videos'])} video(s) "
               f"in {metrics['time_sec']}s → {inf.get('savedir')}")

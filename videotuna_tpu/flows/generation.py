@@ -183,6 +183,51 @@ class GenerationFlow:
         denoise = cfg_denoise(model_fn, cond, uncond, cfg_scale)
         return self.scheduler.sample(denoise, shape, key)
 
+    def enhance(self, params: Params, video: jnp.ndarray,
+                cond: Dict[str, Any], key: jax.Array,
+                strength: float = 0.4,
+                cfg_scale: float = 7.5,
+                uncond: Optional[Dict[str, Any]] = None) -> jnp.ndarray:
+        """Video-to-video enhancement (SDEdit): encode → renoise to
+        ``strength``·T → denoise back. Replaces the reference's ModelScope
+        v2v shim (scripts/inference_v2v_ms.py) with an in-framework path
+        usable by every flow."""
+        from videotuna_tpu.schedulers import DDIMSchedule, FlowMatchSchedule
+        k_enc, k_noise, k_samp = jax.random.split(key, 3)
+        z = self.encode_video(params, video, k_enc)
+        from videotuna_tpu.schedulers import cfg_denoise
+        model_fn = lambda x, t, c: self.denoise_apply(params, x, t, c)
+        denoise = cfg_denoise(model_fn, cond, uncond, cfg_scale)
+        sched = self.scheduler
+        if isinstance(sched, DDIMSchedule):
+            n_start = max(int(sched.num_steps * strength), 1)
+            t0 = sched.timesteps[n_start - 1]
+            noise = jax.random.normal(k_noise, z.shape, z.dtype)
+            x = sched.base.q_sample(
+                z, jnp.full((z.shape[0],), t0, jnp.int32), noise)
+            idxs = jnp.arange(n_start - 1, -1, -1)
+            keys = jax.random.split(k_samp, n_start)
+
+            def body(xc, inp):
+                i, kk = inp
+                return sched.step(denoise, xc, i, kk), None
+            x, _ = jax.lax.scan(body, x, (idxs, keys))
+        elif isinstance(sched, FlowMatchSchedule):
+            n_start = max(int(sched.num_steps * strength), 1)
+            i0 = sched.num_steps - n_start
+            sigma0 = sched.sigmas[i0]
+            noise = jax.random.normal(k_noise, z.shape, z.dtype)
+            x = (1.0 - sigma0) * z + sigma0 * noise
+
+            def body(xc, i):
+                t = jnp.full((z.shape[0],), sched.timesteps[i], jnp.float32)
+                v = denoise(xc, t)
+                return sched.step(xc, v, i), None
+            x, _ = jax.lax.scan(body, x, jnp.arange(i0, sched.num_steps))
+        else:
+            raise TypeError(f"enhance unsupported for {type(sched)}")
+        return self.decode_latents(params, x)
+
     # ------------------------------------------------------------- inference
     def inference(self, config: Dict[str, Any]) -> Dict[str, Any]:
         """Prompt-file → videos → mp4s + metric.json (InferenceBase parity:

@@ -202,6 +202,64 @@ _flash_kernel = _squeeze_kernel(_flash_kernel)
 
 
 # ---------------------------------------------------------------------------
+# Sequence-parallel routing context
+# ---------------------------------------------------------------------------
+
+import contextlib
+import threading
+
+_SP_CTX = threading.local()
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh, ulysses_axis: Optional[str] = "sp",
+                      ring_axis: Optional[str] = None,
+                      batch_axes=("dp", "fsdp"),
+                      min_seq: int = 1024):
+    """Route long self-attention calls through ulysses/ring SP.
+
+    Used by flows around the denoiser apply (replacing the reference's
+    per-model xfuser monkey-patching, flow/hunyuanvideo.py:114-179): within
+    this context every ``dot_product_attention`` whose q==kv sequence length
+    is ≥ ``min_seq`` and divisible by the sp extent runs as
+    ``parallel.sequence.sp_attention`` over the given mesh axes. Short
+    sequences (text cross-attn, per-frame spatial attn) stay local.
+    """
+    prev = getattr(_SP_CTX, "cfg", None)
+    _SP_CTX.cfg = {"mesh": mesh, "ulysses_axis": ulysses_axis,
+                   "ring_axis": ring_axis, "batch_axes": tuple(batch_axes),
+                   "min_seq": min_seq}
+    try:
+        yield
+    finally:
+        _SP_CTX.cfg = prev
+
+
+def _maybe_sp(q, k, v, bias, causal):
+    cfg = getattr(_SP_CTX, "cfg", None)
+    if cfg is None or bias is not None or causal:
+        return None
+    if q.ndim != 4 or q.shape[1] != k.shape[1] or q.shape[1] < cfg["min_seq"]:
+        return None
+    mesh = cfg["mesh"]
+    extent = 1
+    for ax in (cfg["ulysses_axis"], cfg["ring_axis"]):
+        if ax:
+            extent *= mesh.shape.get(ax, 1)
+    if extent <= 1 or q.shape[1] % extent != 0:
+        return None
+    hx = mesh.shape.get(cfg["ulysses_axis"], 1) if cfg["ulysses_axis"] \
+        else 1
+    if q.shape[2] % max(hx, 1) != 0:
+        return None
+    from videotuna_tpu.parallel.sequence import sp_attention
+    return sp_attention(mesh, q, k, v,
+                        ulysses_axis=cfg["ulysses_axis"],
+                        ring_axis=cfg["ring_axis"],
+                        batch_axes=cfg["batch_axes"])
+
+
+# ---------------------------------------------------------------------------
 # Public entry
 # ---------------------------------------------------------------------------
 
@@ -225,6 +283,10 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         v = v.reshape(lead, *v.shape[-3:])
     elif q.ndim == 3:
         q, k, v = q[None], k[None], v[None]
+
+    sp_out = _maybe_sp(q, k, v, bias, causal)
+    if sp_out is not None:
+        return sp_out.reshape(orig_shape)
 
     use_pallas = (_on_tpu() and not force_reference and bias is None
                   and q.shape[-1] <= 256 and q.shape[1] >= 128)

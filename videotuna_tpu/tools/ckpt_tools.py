@@ -1,0 +1,97 @@
+"""Checkpoint tools CLI: torch→orbax conversion and inspection.
+
+Capability parity with the reference's offline converters:
+- tools/deepspeed_checkpoint_converter.py (zero shards → fp32 state dict) —
+  here the ``module.`` stripping + consolidation lives in convert_weights;
+- tools/convert_checkpoint.py / videocrafter_checkpoint_converter.py —
+  family-specific torch→native conversion;
+- inspection of orbax component dirs.
+
+Usage:
+    python -m videotuna_tpu.tools.ckpt_tools convert \
+        --src model.ckpt --family stdit --out ckpts/opensora --heads 16
+    python -m videotuna_tpu.tools.ckpt_tools inspect --path ckpts/opensora
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import Any, Dict
+
+import numpy as np
+
+from videotuna_tpu.core import checkpoint as ckpt_lib
+from videotuna_tpu.tools import convert_weights as cw
+
+FAMILIES = {
+    "stdit": lambda args: cw.stdit_map(heads=args.heads),
+}
+
+
+def cmd_convert(args) -> None:
+    sd = cw.load_torch_state_dict(args.src)
+    print(f"loaded {len(sd)} torch tensors from {args.src}")
+    if args.family not in FAMILIES:
+        raise SystemExit(f"unknown family {args.family!r}; "
+                         f"available: {sorted(FAMILIES)}")
+    cmap = FAMILIES[args.family](args)
+    tree = cmap.convert(sd, strict=args.strict)
+    if args.scan_layout:
+        tree = cw.stack_blocks_for_scan(tree)
+    n = sum(np.size(x) for x in _leaves(tree))
+    print(f"converted tree: {n/1e6:.1f}M params")
+    ckpt_lib.save_components(args.out, step=0, components={args.component:
+                                                           tree})
+    print(f"wrote {args.out}/step_0/{args.component}")
+
+
+def cmd_inspect(args) -> None:
+    root = Path(args.path)
+    step_dir = root if (root / "denoiser").exists() or \
+        any(root.glob("*/")) else None
+    latest = ckpt_lib.latest_step_dir(str(root))
+    target = Path(latest) if latest else root
+    print(f"checkpoint: {target}")
+    for comp in sorted(p for p in target.iterdir() if p.is_dir()):
+        try:
+            tree = ckpt_lib.restore_tree(str(comp))
+            n = sum(np.size(x) for x in _leaves(tree))
+            print(f"  {comp.name}: {n/1e6:.2f}M params, "
+                  f"{_count_leaves(tree)} tensors")
+        except Exception as e:
+            print(f"  {comp.name}: unreadable ({e})")
+
+
+def _leaves(tree: Any):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _leaves(v)
+    else:
+        yield tree
+
+
+def _count_leaves(tree: Any) -> int:
+    return sum(1 for _ in _leaves(tree))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser("videotuna-tpu ckpt tools")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("convert")
+    c.add_argument("--src", required=True)
+    c.add_argument("--family", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--component", default="denoiser")
+    c.add_argument("--heads", type=int, default=16)
+    c.add_argument("--strict", action="store_true")
+    c.add_argument("--scan-layout", action="store_true")
+    i = sub.add_parser("inspect")
+    i.add_argument("--path", required=True)
+    args = ap.parse_args(argv)
+    {"convert": cmd_convert, "inspect": cmd_inspect}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()
