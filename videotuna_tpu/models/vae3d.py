@@ -222,6 +222,54 @@ class CausalVAE3D(nn.Module):
         """(B, k+1, h, w, z) → (B, 4k+1, H, W, 3)."""
         return self.decoder(z)
 
+    def decode_tiled(self, z: jnp.ndarray,
+                     spatial_tile: int = 32,
+                     overlap: int = 8) -> jnp.ndarray:
+        """Spatially tiled decode with linear overlap blending — bounds peak
+        HBM for 720p+ decodes (parity with the reference's tiled decode,
+        hyvideo autoencoder_kl_causal_3d.py:262; Hunyuan decodes rank-0-only
+        to dodge this, we just tile).
+
+        Temporal chunking needs no blending at all: the per-frame
+        normalization + causal convs make latent-time chunks exact when fed
+        with their full causal prefix (see parallel/cp_vae.py for the
+        multi-chip version)."""
+        b, t, h, w, c = z.shape
+        sr = self.spatial_ratio
+        if h <= spatial_tile and w <= spatial_tile:
+            return self.decode(z)
+        step = spatial_tile - overlap
+        ys = list(range(0, max(h - overlap, 1), step))
+        xs = list(range(0, max(w - overlap, 1), step))
+        out = jnp.zeros((b, 4 * (t - 1) + 1 if t > 1 else 1,
+                         h * sr, w * sr, 3), jnp.float32)
+        weight = jnp.zeros((1, 1, h * sr, w * sr, 1), jnp.float32)
+
+        def ramp(n, lead, trail):
+            r = jnp.ones((n,))
+            if lead > 0:
+                r = r.at[:lead].set(jnp.linspace(0, 1, lead + 1)[1:])
+            if trail > 0:
+                r = r.at[-trail:].set(jnp.linspace(1, 0, trail + 1)[:-1])
+            return r
+
+        for yi in ys:
+            for xi in xs:
+                y1 = min(yi + spatial_tile, h)
+                x1 = min(xi + spatial_tile, w)
+                tile = self.decode(z[:, :, yi:y1, xi:x1])
+                th, tw = tile.shape[2], tile.shape[3]
+                wy = ramp(th, overlap * sr if yi > 0 else 0,
+                          overlap * sr if y1 < h else 0)
+                wx = ramp(tw, overlap * sr if xi > 0 else 0,
+                          overlap * sr if x1 < w else 0)
+                wmap = (wy[:, None] * wx[None, :])[None, None, :, :, None]
+                out = out.at[:, :, yi * sr:y1 * sr, xi * sr:x1 * sr].add(
+                    tile * wmap)
+                weight = weight.at[:, :, yi * sr:y1 * sr,
+                                   xi * sr:x1 * sr].add(wmap)
+        return out / jnp.maximum(weight, 1e-8)
+
     def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
         moments = self.encode(video)
         mean = jnp.split(moments, 2, axis=-1)[0]

@@ -125,6 +125,7 @@ class Trainer:
         self.keys = KeyChain(seed)
         self.optimizer = make_optimizer(cfg, mesh.size)
         self.frozen: Params = {}
+        self.callbacks: list = []     # callables (step, metrics, state)
         self._step_fn = None
         self._want_ckpt = False
         self.metrics_history: list[Dict[str, float]] = []
@@ -201,6 +202,8 @@ class Trainer:
                         time.perf_counter() - t_last)
                     t_last = time.perf_counter()
                     self.metrics_history.append(m)
+                    for cb in self.callbacks:
+                        cb(done, m, state)
                 if self._want_ckpt or done % self.cfg.ckpt_every == 0:
                     self.save(state, done)
                     self._want_ckpt = False
