@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--savedir", default=None)
     p.add_argument("--prompt", default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--shard", default=None, metavar="I/N",
+                   help="process only the i-th of N prompt shards "
+                        "(multi-process DP inference, reference "
+                        "scripts/inference_ddp.py)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("overrides", nargs="*",
                    help="dotlist overrides key.sub=value")
@@ -43,6 +47,12 @@ def run_inference(argv: Optional[List[str]] = None) -> dict:
         v = getattr(args, k)
         if v is not None:
             inf[k] = v
+    if args.shard:
+        # prompt-list DP over processes (P8): shard i of N
+        i, _, n = args.shard.partition("/")
+        from videotuna_tpu.flows.generation import load_prompts
+        prompts = load_prompts(inf)
+        inf["prompts_list"] = prompts[int(i)::int(n)]
     check_required(config, ["flow.target"])
     if not args.quiet:
         print(format_config(config, "inference config"))

@@ -281,6 +281,8 @@ class GenerationFlow:
 def load_prompts(inf_config: Dict[str, Any]) -> list[str]:
     """Prompt-file or inline prompt loading (reference
     inference_base.load_inference_inputs, :242-258)."""
+    if inf_config.get("prompts_list"):
+        return list(inf_config["prompts_list"])
     if "prompt" in inf_config and inf_config["prompt"]:
         return [str(inf_config["prompt"])]
     pf = inf_config.get("prompt_file") or inf_config.get("prompt_dir")
