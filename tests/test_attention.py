@@ -62,6 +62,27 @@ def test_flash_cross_attention_lengths():
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
 
 
+def test_flash_vjp_matches_reference_grads():
+    """custom_vjp backward must equal autodiff through the reference."""
+    from videotuna_tpu.kernels.attention import flash_attention_diff
+    q, k, v = _rand_qkv(jax.random.key(7), 1, 32, 2, 8)
+
+    # interpret-mode flash fwd isn't needed: on CPU flash_attention_diff's
+    # forward would run pallas; instead verify the VJP rule itself by
+    # comparing bwd outputs on the reference forward (same math).
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    from videotuna_tpu.kernels.attention import _fa_bwd
+    out = reference_attention(q, k, v)
+    g_out = 2.0 * out
+    g_manual = _fa_bwd(False, None, (q, k, v), g_out)
+    for a, b in zip(g_manual, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_entrypoint_bias_and_shapes():
     q, k, v = _rand_qkv(jax.random.key(5), 2, 16, 4, 8)
     mask_bias = jnp.where(

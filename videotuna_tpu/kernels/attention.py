@@ -67,56 +67,56 @@ def reference_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # Pallas flash attention
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float,
-                  causal: bool, kv_len: int, q_block: int):
-    """One (batch·head, q-block) program: stream KV blocks, online softmax.
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                  block_k: int, sm_scale: float, causal: bool, kv_len: int,
+                  q_block: int):
+    """Grid = (batch·head, q_blocks, kv_blocks); kv is the innermost
+    (sequential) dim, so the online-softmax stats persist in VMEM scratch
+    across kv steps while Pallas double-buffers the (block_k, d) KV tiles
+    from HBM. Peak VMEM is O(block_q·d + 2·block_k·d), independent of
+    sequence length — the reference keeps full KV per device and relies on
+    80 GB HBM.
+    Accumulation fp32 (FlashAttention-2 recurrence)."""
+    j = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+    q_start = pl.program_id(1) * q_block
 
-    Refs arrive as (q_block, d) / (kv_len, d) VMEM blocks. Accumulation in
-    fp32; the m/l running stats follow the FlashAttention-2 formulation.
-    """
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
     q = q_ref[:].astype(jnp.float32) * sm_scale
-    d = q.shape[-1]
-    num_kv = pl.cdiv(kv_len, block_k)
-    q_start = pl.program_id(1) * q_block  # hoisted: interpret-mode can't
-    # rewrite program_id inside a fori_loop body
+    k_blk = k_ref[:].astype(jnp.float32)
+    v_blk = v_ref[:].astype(jnp.float32)
+    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
 
-    def body(i, carry):
-        acc, m_i, l_i = carry
-        k_blk = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+    needs_pad_mask = kv_len % block_k != 0
+    if causal or needs_pad_mask:
+        k_pos = (j * block_k
+                 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+        valid = k_pos < kv_len
+        if causal:
+            q_pos = (q_start
+                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
+            valid = jnp.logical_and(valid, q_pos >= k_pos)
+        s = jnp.where(valid, s, _NEG_INF)
 
-        needs_pad_mask = kv_len % block_k != 0
-        if causal or needs_pad_mask:
-            k_pos = (i * block_k
-                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
-            valid = k_pos < kv_len
-            if causal:
-                q_pos = (q_start
-                         + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
-                valid = jnp.logical_and(valid, q_pos >= k_pos)
-            s = jnp.where(valid, s, _NEG_INF)
+    m_i = m_ref[:]
+    l_i = l_ref[:]
+    m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_i - m_new)
+    l_ref[:] = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p, v_blk, preferred_element_type=jnp.float32)
 
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_i - m_new)
-        l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk,
-                                    preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
-
-    acc0 = jnp.zeros((q.shape[0], d), jnp.float32)
-    m0 = jnp.full((q.shape[0], 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
-
-    if causal:
-        # skip fully-masked KV blocks beyond this q block
-        hi = jax.lax.div(q_start + q_block + block_k - 1, block_k)
-        hi = jnp.minimum(hi, num_kv)
-    else:
-        hi = num_kv
-    acc, m_i, l_i = jax.lax.fori_loop(0, hi, body, (acc0, m0, l0))
-    o_ref[:] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+    @pl.when(j == num_kv - 1)
+    def _finish():
+        o_ref[:] = (acc_ref[:]
+                    / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
 def _round_to(x: int, m: int) -> int:
@@ -175,30 +175,79 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                kv_len=sk, q_block=block_q)
     out = pl.pallas_call(
         kernel,
-        grid=(b * h, sq_pad // block_q),
+        grid=(b * h, sq_pad // block_q, sk_pad // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, sk_pad, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, sk_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),   # acc
+            pltpu.VMEM((block_q, 1), jnp.float32),   # m
+            pltpu.VMEM((block_q, 1), jnp.float32),   # l
+        ] if pltpu is not None else [],
         interpret=interpret,
     )(qt, kt, vt)
     out = out[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
     return out[..., :d_orig]
 
 
-# The kernel refs are (1, S, D) blocks; squeeze the leading dim inside.
+# The tensor refs are (1, S, D) blocks; squeeze the leading dim inside
+# (scratch refs are already 2D).
 def _squeeze_kernel(fn):
     @functools.wraps(fn)
-    def wrapped(q_ref, k_ref, v_ref, o_ref, **kw):
-        return fn(q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0], **kw)
+    def wrapped(q_ref, k_ref, v_ref, o_ref, *scratch, **kw):
+        return fn(q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0],
+                  *scratch, **kw)
     return wrapped
 
 
 _flash_kernel_blocked = _flash_kernel
 _flash_kernel = _squeeze_kernel(_flash_kernel)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward + XLA backward
+# ---------------------------------------------------------------------------
+# pallas_call has no autodiff rule; training paths need gradients through
+# attention. Forward runs the streaming flash kernel; the backward recomputes
+# probabilities with einsums (O(S²) transient that XLA tiles) — the standard
+# softmax-attention VJP. A fused Pallas backward is a later optimization.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_diff(q, k, v, causal=False, scale=None):
+    return flash_attention(q, k, v, causal=causal, scale=scale)
+
+
+def _fa_fwd(q, k, v, causal, scale):
+    out = flash_attention(q, k, v, causal=causal, scale=scale)
+    return out, (q, k, v)
+
+
+def _fa_bwd(causal, scale, res, g):
+    q, k, v = res
+    d = q.shape[-1]
+    sm = (1.0 / math.sqrt(d)) if scale is None else scale
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * sm
+    if causal:
+        mask = jnp.tril(jnp.ones((q.shape[1], k.shape[1]), bool))
+        s = jnp.where(mask, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kf) * sm
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qf) * sm
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention_diff.defvjp(_fa_fwd, _fa_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -291,7 +340,7 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     use_pallas = (_on_tpu() and not force_reference and bias is None
                   and q.shape[-1] <= 256 and q.shape[1] >= 128)
     if use_pallas:
-        out = flash_attention(q, k, v, causal=causal, scale=scale)
+        out = flash_attention_diff(q, k, v, causal, scale)
     else:
         out = reference_attention(q, k, v, bias=bias, causal=causal,
                                   scale=scale)
