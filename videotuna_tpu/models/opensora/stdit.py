@@ -79,6 +79,8 @@ class STDiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
     as_cell: bool = False
+    qk_norm: bool = False            # STDiT2/3 variant feature
+    temporal_rope: bool = False      # STDiT3: RoPE instead of additive tpe
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray, t6: jnp.ndarray,
@@ -103,17 +105,24 @@ class STDiTBlock(nn.Module):
 
         # spatial attention: fold T into batch
         x_s = x_m.reshape(b * tt, ss, c)
-        x_s = Attention(self.heads, dtype=self.dtype, name="attn")(x_s)
+        x_s = Attention(self.heads, qk_norm=self.qk_norm, dtype=self.dtype,
+                        name="attn")(x_s)
         x = x + gate_msa * x_s.reshape(b, tt, ss, c)
 
         # temporal attention: fold S into batch
         x_t = x.transpose(0, 2, 1, 3).reshape(b * ss, tt, c)
-        if tpe is not None:
+        rope_t = None
+        if self.temporal_rope:
+            from videotuna_tpu.models.layers import rope_frequencies
+            rope_t = rope_frequencies(self.hidden // self.heads,
+                                      jnp.arange(tt))
+        elif tpe is not None:
             add = tpe.astype(self.dtype)
             if tpe_gate is not None:
                 add = add * tpe_gate.astype(self.dtype)
             x_t = x_t + add
-        x_t = Attention(self.heads, dtype=self.dtype, name="attn_temp")(x_t)
+        x_t = Attention(self.heads, qk_norm=self.qk_norm, dtype=self.dtype,
+                        name="attn_temp")(x_t, rope=rope_t)
         x_t = x_t.reshape(b, ss, tt, c).transpose(0, 2, 1, 3)
         x = x + gate_msa * x_t
 
@@ -158,6 +167,8 @@ class STDiT(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     scan_blocks: bool = False
+    qk_norm: bool = False            # STDiT2/3: per-head qk RMSNorm
+    temporal_rope: bool = False      # STDiT3: rotary temporal positions
 
     @property
     def out_channels(self) -> int:
@@ -208,7 +219,9 @@ class STDiT(nn.Module):
             gates = jnp.zeros((self.depth, 1, 1),
                               self.dtype).at[0].set(1.0)
             cell = scan_cls(self.hidden_size, self.num_heads, self.mlp_ratio,
-                            dtype=self.dtype, as_cell=True, name="blocks")
+                            dtype=self.dtype, as_cell=True,
+                            qk_norm=self.qk_norm,
+                            temporal_rope=self.temporal_rope, name="blocks")
             tok, _ = cell(tok, y, t6, mask, tpe, gates)
         else:
             block_cls = STDiTBlock
@@ -217,6 +230,8 @@ class STDiT(nn.Module):
             for i in range(self.depth):
                 tok = block_cls(self.hidden_size, self.num_heads,
                                 self.mlp_ratio, dtype=self.dtype,
+                                qk_norm=self.qk_norm,
+                                temporal_rope=self.temporal_rope,
                                 name=f"block_{i}")(
                     tok, y, t6, y_mask=mask, tpe=tpe if i == 0 else None)
 
