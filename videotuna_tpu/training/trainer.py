@@ -15,6 +15,7 @@ shardings automatically from pjit propagation.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 import signal
@@ -111,6 +112,22 @@ def make_train_step(loss_fn: LossFn,
                              opt_state=new_opt, ema_params=new_ema), metrics
 
     return step
+
+
+@contextlib.contextmanager
+def ema_scope(flow, state: TrainState):
+    """Temporarily swap the flow's trainable components for their EMA
+    shadows (the reference's ``ema_scope``, flow/videocrafter.py:202-215 —
+    validation/log_images sample under EMA weights)."""
+    if state.ema_params is None:
+        yield flow
+        return
+    saved = {k: flow.params[k] for k in state.ema_params}
+    flow.params.update(jax.device_get(state.ema_params))
+    try:
+        yield flow
+    finally:
+        flow.params.update(saved)
 
 
 class Trainer:
