@@ -56,6 +56,7 @@ class TrainConfig:
     warmup_steps: int = 0
     max_steps: int = 1000
     ema_decay: Optional[float] = None        # e.g. 0.9999; None disables
+    accumulate_grad_batches: int = 1         # lightning accumulate_grad_batches
     scale_lr_by_devices: bool = False        # reference train.py:180-185
     log_every: int = 10
     ckpt_every: int = 500
@@ -70,11 +71,16 @@ def make_optimizer(cfg: TrainConfig, num_devices: int = 1
             0.0, lr, cfg.warmup_steps, max(cfg.max_steps, cfg.warmup_steps + 1))
     else:
         schedule = lr
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2,
                     weight_decay=cfg.weight_decay),
     )
+    if cfg.accumulate_grad_batches > 1:
+        # gradient accumulation (lightning accumulate_grad_batches):
+        # params update every N micro-batches, grads averaged in between
+        tx = optax.MultiSteps(tx, cfg.accumulate_grad_batches)
+    return tx
 
 
 LossFn = Callable[[Params, Dict[str, Any], jax.Array],
