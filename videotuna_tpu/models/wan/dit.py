@@ -58,16 +58,18 @@ class WanBlock(nn.Module):
                                      use_scale=False, dtype=self.dtype,
                                      name=nm)
 
-        # self attention with rope
+        def heads_of(z):
+            return z.reshape(*z.shape[:-1], self.heads, hd)
+
+        # self attention with rope; q/k RMSNorm is over the FULL dim before
+        # the head split (reference WanRMSNorm(dim) at model.py:120-125)
         h = ln("norm1")(x) * (1 + sc1) + s1
-        q = nn.DenseGeneral((self.heads, hd), dtype=self.dtype,
-                            name="self_q")(h)
-        k = nn.DenseGeneral((self.heads, hd), dtype=self.dtype,
-                            name="self_k")(h)
-        v = nn.DenseGeneral((self.heads, hd), dtype=self.dtype,
-                            name="self_v")(h)
-        q = RMSNorm(dtype=self.dtype, name="self_q_norm")(q)
-        k = RMSNorm(dtype=self.dtype, name="self_k_norm")(k)
+        q = nn.Dense(d, dtype=self.dtype, name="self_q")(h)
+        k = nn.Dense(d, dtype=self.dtype, name="self_k")(h)
+        v = nn.Dense(d, dtype=self.dtype, name="self_v")(h)
+        q = heads_of(RMSNorm(dtype=self.dtype, name="self_q_norm")(q))
+        k = heads_of(RMSNorm(dtype=self.dtype, name="self_k_norm")(k))
+        v = heads_of(v)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         att = dot_product_attention(q, k, v).reshape(x.shape[0], -1, d)
@@ -75,21 +77,19 @@ class WanBlock(nn.Module):
 
         # cross attention to text (norm3 has learned scale in the reference)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm3")(x)
-        q = nn.DenseGeneral((self.heads, hd), dtype=self.dtype,
-                            name="cross_q")(h)
-        q = RMSNorm(dtype=self.dtype, name="cross_q_norm")(q)
-        k = nn.DenseGeneral((self.heads, hd), dtype=self.dtype,
-                            name="cross_k")(ctx)
-        v = nn.DenseGeneral((self.heads, hd), dtype=self.dtype,
-                            name="cross_v")(ctx)
-        k = RMSNorm(dtype=self.dtype, name="cross_k_norm")(k)
+        q = nn.Dense(d, dtype=self.dtype, name="cross_q")(h)
+        q = heads_of(RMSNorm(dtype=self.dtype, name="cross_q_norm")(q))
+        k = nn.Dense(d, dtype=self.dtype, name="cross_k")(ctx)
+        v = nn.Dense(d, dtype=self.dtype, name="cross_v")(ctx)
+        k = heads_of(RMSNorm(dtype=self.dtype, name="cross_k_norm")(k))
+        v = heads_of(v)
         out = dot_product_attention(q, k, v)
         if ctx_img is not None:
-            k_i = nn.DenseGeneral((self.heads, hd), dtype=self.dtype,
-                                  name="cross_k_img")(ctx_img)
-            v_i = nn.DenseGeneral((self.heads, hd), dtype=self.dtype,
-                                  name="cross_v_img")(ctx_img)
-            k_i = RMSNorm(dtype=self.dtype, name="cross_k_img_norm")(k_i)
+            k_i = nn.Dense(d, dtype=self.dtype, name="cross_k_img")(ctx_img)
+            v_i = heads_of(nn.Dense(d, dtype=self.dtype,
+                                    name="cross_v_img")(ctx_img))
+            k_i = heads_of(RMSNorm(dtype=self.dtype,
+                                   name="cross_k_img_norm")(k_i))
             out = out + dot_product_attention(q, k_i, v_i)
         out = out.reshape(x.shape[0], -1, d)
         x = x + nn.Dense(d, dtype=self.dtype, name="cross_out")(out)
@@ -180,12 +180,12 @@ class WanModel(nn.Module):
                                dtype=self.dtype, name=f"block_{i}")(
                     tok, e6, ctx, ctx_img, cos, sin)
 
-        # head: 2-way modulated norm + linear
+        # head: 2-way modulated norm + linear. As in the reference (WanModel
+        # Head :320-331), the time embedding e is ADDED to both modulation
+        # rows directly — no extra projection.
         head_table = self.param("head_modulation",
                                 nn.initializers.normal(d ** -0.5), (2, d))
-        he = nn.Dense(2 * d, dtype=self.dtype, name="head_proj")(
-            nn.silu(e)).reshape(b, 2, d)
-        hm = head_table[None] + he.astype(jnp.float32)
+        hm = head_table[None] + e.astype(jnp.float32)[:, None]
         shift, scale = [m.astype(self.dtype)
                         for m in jnp.split(hm, 2, axis=1)]
         tok = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,

@@ -278,6 +278,73 @@ def stdit_map(heads: int = 16) -> ConversionMap:
     ])
 
 
+def wan_map(heads: int = 12) -> ConversionMap:
+    """Wan 2.1 torch names (models/wan/wan/modules/model.py) →
+    videotuna_tpu WanModel tree."""
+    rules: List[Tuple[str, str, Optional[Transform]]] = [
+        (r"patch_embedding\.weight", r"patch_embedding/kernel", t_conv),
+        (r"patch_embedding\.bias", r"patch_embedding/bias", None),
+        (r"text_embedding\.0\.weight", r"text_fc1/kernel", t_linear),
+        (r"text_embedding\.0\.bias", r"text_fc1/bias", None),
+        (r"text_embedding\.2\.weight", r"text_fc2/kernel", t_linear),
+        (r"text_embedding\.2\.bias", r"text_fc2/bias", None),
+        (r"time_embedding\.0\.weight", r"time_fc1/kernel", t_linear),
+        (r"time_embedding\.0\.bias", r"time_fc1/bias", None),
+        (r"time_embedding\.2\.weight", r"time_fc2/kernel", t_linear),
+        (r"time_embedding\.2\.bias", r"time_fc2/bias", None),
+        (r"time_projection\.1\.weight", r"time_projection/kernel",
+         t_linear),
+        (r"time_projection\.1\.bias", r"time_projection/bias", None),
+        (r"head\.head\.weight", r"head_out/kernel", t_linear),
+        (r"head\.head\.bias", r"head_out/bias", None),
+        (r"head\.modulation", r"head_modulation",
+         lambda w: w.reshape(2, -1)),
+        (r"blocks\.(\d+)\.modulation", r"block_\1/modulation",
+         lambda w: w.reshape(6, -1)),
+        (r"blocks\.(\d+)\.norm3\.weight", r"block_\1/norm3/scale", None),
+        (r"blocks\.(\d+)\.norm3\.bias", r"block_\1/norm3/bias", None),
+    ]
+    for torch_attn, ours in (("self_attn", "self"), ("cross_attn", "cross")):
+        for p in "qkv":
+            # q/k/v are full-dim Dense (the qk norm runs before head split)
+            rules += [
+                (rf"blocks\.(\d+)\.{torch_attn}\.{p}\.weight",
+                 rf"block_\1/{ours}_{p}/kernel", t_linear),
+                (rf"blocks\.(\d+)\.{torch_attn}\.{p}\.bias",
+                 rf"block_\1/{ours}_{p}/bias", None),
+            ]
+        rules += [
+            (rf"blocks\.(\d+)\.{torch_attn}\.o\.weight",
+             rf"block_\1/{ours}_out/kernel", t_linear),
+            (rf"blocks\.(\d+)\.{torch_attn}\.o\.bias",
+             rf"block_\1/{ours}_out/bias", None),
+            (rf"blocks\.(\d+)\.{torch_attn}\.norm_q\.weight",
+             rf"block_\1/{ours}_q_norm/scale", None),
+            (rf"blocks\.(\d+)\.{torch_attn}\.norm_k\.weight",
+             rf"block_\1/{ours}_k_norm/scale", None),
+        ]
+    # i2v image cross attention
+    rules += [
+        (r"blocks\.(\d+)\.cross_attn\.k_img\.weight",
+         r"block_\1/cross_k_img/kernel", t_linear),
+        (r"blocks\.(\d+)\.cross_attn\.k_img\.bias",
+         r"block_\1/cross_k_img/bias", None),
+        (r"blocks\.(\d+)\.cross_attn\.v_img\.weight",
+         r"block_\1/cross_v_img/kernel", t_linear),
+        (r"blocks\.(\d+)\.cross_attn\.v_img\.bias",
+         r"block_\1/cross_v_img/bias", None),
+        (r"blocks\.(\d+)\.cross_attn\.norm_k_img\.weight",
+         r"block_\1/cross_k_img_norm/scale", None),
+        (r"blocks\.(\d+)\.ffn\.0\.weight", r"block_\1/ffn1/kernel",
+         t_linear),
+        (r"blocks\.(\d+)\.ffn\.0\.bias", r"block_\1/ffn1/bias", None),
+        (r"blocks\.(\d+)\.ffn\.2\.weight", r"block_\1/ffn2/kernel",
+         t_linear),
+        (r"blocks\.(\d+)\.ffn\.2\.bias", r"block_\1/ffn2/bias", None),
+    ]
+    return ConversionMap(rules)
+
+
 def stack_blocks_for_scan(tree: Dict[str, Any], prefix: str = "block_",
                           out_key: str = "blocks") -> Dict[str, Any]:
     """Convert per-block entries (block_0..block_N) into the stacked layout
