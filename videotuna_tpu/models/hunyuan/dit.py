@@ -229,8 +229,11 @@ class HYVideoDiT(nn.Module):
         vec = TimestepEmbedder(d, dtype=self.dtype, name="t_embedder")(
             timestep)
         if pooled_text is not None:
-            vec = vec + nn.Dense(d, dtype=self.dtype, name="vector_in")(
+            # MLPEmbedder (reference mlp_layers.py:63): in→d, silu, d→d
+            pv = nn.Dense(d, dtype=self.dtype, name="vector_in")(
                 pooled_text.astype(self.dtype))
+            vec = vec + nn.Dense(d, dtype=self.dtype,
+                                 name="vector_in_out")(nn.silu(pv))
         if self.guidance_embed and guidance is not None:
             vec = vec + TimestepEmbedder(d, dtype=self.dtype,
                                          name="guidance_in")(guidance)

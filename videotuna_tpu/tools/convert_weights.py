@@ -106,6 +106,26 @@ def split_qkv(w: np.ndarray, n: int = 3) -> List[np.ndarray]:
     return list(np.split(w, n, axis=0))
 
 
+def preprocess_split_fused_qkv(sd: Dict[str, np.ndarray],
+                               pattern: str,
+                               names: Sequence[str] = ("q", "k", "v")
+                               ) -> Dict[str, np.ndarray]:
+    """Rewrite fused attention projections into separate entries BEFORE rule
+    mapping: any key matching ``pattern`` (must contain the literal ``qkv``)
+    is split along dim 0 into len(names) parts, each re-keyed with ``qkv`` →
+    name. Applies to both .weight and .bias."""
+    rx = re.compile(pattern)
+    out: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        if rx.search(key) and "qkv" in key:
+            parts = np.split(val, len(names), axis=0)
+            for name, part in zip(names, parts):
+                out[key.replace("qkv", name)] = part
+        else:
+            out[key] = val
+    return out
+
+
 def inflate_conv2d_to_3d(w2d: np.ndarray, kt: int = 3,
                          center: bool = True) -> np.ndarray:
     """SD 2D→3D kernel inflation (reference load_weights.py:69-157):
@@ -341,6 +361,91 @@ def wan_map(heads: int = 12) -> ConversionMap:
         (r"blocks\.(\d+)\.ffn\.2\.weight", r"block_\1/ffn2/kernel",
          t_linear),
         (r"blocks\.(\d+)\.ffn\.2\.bias", r"block_\1/ffn2/bias", None),
+    ]
+    return ConversionMap(rules)
+
+
+def hunyuan_map(heads: int = 24) -> ConversionMap:
+    """HunyuanVideo torch names (hyvideo modules/models.py) →
+    videotuna_tpu HYVideoDiT tree. Run
+    ``preprocess_split_fused_qkv(sd, r"attn_qkv|linear1_qkv")`` first for
+    the fused projections (double blocks fuse qkv; single blocks fuse
+    qkv+mlp inside linear1, which stays fused here as our layout matches).
+    """
+    dg = t_dense_general(heads)
+    dgb = t_dense_general_bias(heads)
+    rules: List[Tuple[str, str, Optional[Transform]]] = [
+        (r"img_in\.proj\.weight", r"img_in/kernel", t_conv),
+        (r"img_in\.proj\.bias", r"img_in/bias", None),
+        (r"time_in\.mlp\.0\.weight", r"t_embedder/fc1/kernel", t_linear),
+        (r"time_in\.mlp\.0\.bias", r"t_embedder/fc1/bias", None),
+        (r"time_in\.mlp\.2\.weight", r"t_embedder/fc2/kernel", t_linear),
+        (r"time_in\.mlp\.2\.bias", r"t_embedder/fc2/bias", None),
+        (r"vector_in\.in_layer\.weight", r"vector_in/kernel", t_linear),
+        (r"vector_in\.in_layer\.bias", r"vector_in/bias", None),
+        (r"vector_in\.out_layer\.weight", r"vector_in_out/kernel",
+         t_linear),
+        (r"vector_in\.out_layer\.bias", r"vector_in_out/bias", None),
+        (r"guidance_in\.mlp\.0\.weight", r"guidance_in/fc1/kernel",
+         t_linear),
+        (r"guidance_in\.mlp\.0\.bias", r"guidance_in/fc1/bias", None),
+        (r"guidance_in\.mlp\.2\.weight", r"guidance_in/fc2/kernel",
+         t_linear),
+        (r"guidance_in\.mlp\.2\.bias", r"guidance_in/fc2/bias", None),
+        (r"final_layer\.linear\.weight", r"final_proj/kernel", t_linear),
+        (r"final_layer\.linear\.bias", r"final_proj/bias", None),
+        (r"final_layer\.adaLN_modulation\.1\.weight",
+         r"final_mod/kernel", t_linear),
+        (r"final_layer\.adaLN_modulation\.1\.bias",
+         r"final_mod/bias", None),
+    ]
+    for stream in ("img", "txt"):
+        rules += [
+            (rf"double_blocks\.(\d+)\.{stream}_mod\.linear\.weight",
+             rf"double_\1/{stream}_mod/kernel", t_linear),
+            (rf"double_blocks\.(\d+)\.{stream}_mod\.linear\.bias",
+             rf"double_\1/{stream}_mod/bias", None),
+            (rf"double_blocks\.(\d+)\.{stream}_attn_proj\.weight",
+             rf"double_\1/{stream}_attn_out/kernel", t_linear),
+            (rf"double_blocks\.(\d+)\.{stream}_attn_proj\.bias",
+             rf"double_\1/{stream}_attn_out/bias", None),
+            (rf"double_blocks\.(\d+)\.{stream}_attn_q_norm\.weight",
+             rf"double_\1/{stream}_q_norm/scale", None),
+            (rf"double_blocks\.(\d+)\.{stream}_attn_k_norm\.weight",
+             rf"double_\1/{stream}_k_norm/scale", None),
+            (rf"double_blocks\.(\d+)\.{stream}_mlp\.fc1\.weight",
+             rf"double_\1/{stream}_mlp1/kernel", t_linear),
+            (rf"double_blocks\.(\d+)\.{stream}_mlp\.fc1\.bias",
+             rf"double_\1/{stream}_mlp1/bias", None),
+            (rf"double_blocks\.(\d+)\.{stream}_mlp\.fc2\.weight",
+             rf"double_\1/{stream}_mlp2/kernel", t_linear),
+            (rf"double_blocks\.(\d+)\.{stream}_mlp\.fc2\.bias",
+             rf"double_\1/{stream}_mlp2/bias", None),
+        ]
+        for p in "qkv":
+            rules += [
+                (rf"double_blocks\.(\d+)\.{stream}_attn_{p}\.weight",
+                 rf"double_\1/{stream}_{p}/kernel", dg),
+                (rf"double_blocks\.(\d+)\.{stream}_attn_{p}\.bias",
+                 rf"double_\1/{stream}_{p}/bias", dgb),
+            ]
+    rules += [
+        (r"single_blocks\.(\d+)\.linear1\.weight",
+         r"single_\1/linear1/kernel", t_linear),
+        (r"single_blocks\.(\d+)\.linear1\.bias",
+         r"single_\1/linear1/bias", None),
+        (r"single_blocks\.(\d+)\.linear2\.weight",
+         r"single_\1/linear2/kernel", t_linear),
+        (r"single_blocks\.(\d+)\.linear2\.bias",
+         r"single_\1/linear2/bias", None),
+        (r"single_blocks\.(\d+)\.q_norm\.weight",
+         r"single_\1/q_norm/scale", None),
+        (r"single_blocks\.(\d+)\.k_norm\.weight",
+         r"single_\1/k_norm/scale", None),
+        (r"single_blocks\.(\d+)\.modulation\.linear\.weight",
+         r"single_\1/mod/kernel", t_linear),
+        (r"single_blocks\.(\d+)\.modulation\.linear\.bias",
+         r"single_\1/mod/bias", None),
     ]
     return ConversionMap(rules)
 
