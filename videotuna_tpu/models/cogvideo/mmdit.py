@@ -49,12 +49,15 @@ class CogVideoXBlock(nn.Module):
         head_dim = d // self.heads
         lt = self.text_len
 
-        # per-modality adaLN: 6 params for video, 6 for text (diffusers
-        # CogVideoXLayerNormZero has separate text/video modulation)
-        mods = nn.Dense(12 * d, dtype=self.dtype, name="adaln")(
+        # per-modality adaLN: two CogVideoXLayerNormZero linears (one before
+        # attention, one before FF), each emitting 6 chunks in the diffusers
+        # order (video shift/scale/gate, then text shift/scale/gate)
+        mods1 = nn.Dense(6 * d, dtype=self.dtype, name="norm1_mod")(
             nn.silu(temb))
-        (vs1, vsc1, vg1, vs2, vsc2, vg2,
-         ts1, tsc1, tg1, ts2, tsc2, tg2) = jnp.split(mods, 12, axis=-1)
+        mods2 = nn.Dense(6 * d, dtype=self.dtype, name="norm2_mod")(
+            nn.silu(temb))
+        (vs1, vsc1, vg1, ts1, tsc1, tg1) = jnp.split(mods1, 6, axis=-1)
+        (vs2, vsc2, vg2, ts2, tsc2, tg2) = jnp.split(mods2, 6, axis=-1)
 
         def seg_mod(h, tshift, tscale, vshift, vscale):
             ht = h[:, :lt] * (1 + tscale[:, None]) + tshift[:, None]
@@ -76,8 +79,9 @@ class CogVideoXBlock(nn.Module):
                             name="k")(h)
         v = nn.DenseGeneral((self.heads, head_dim), dtype=self.dtype,
                             name="v")(h)
-        q = RMSNorm(dtype=self.dtype, name="q_norm")(q)
-        k = RMSNorm(dtype=self.dtype, name="k_norm")(k)
+        # diffusers CogVideoX uses qk_norm="layer_norm" over head_dim
+        q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="q_norm")(q)
+        k = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="k_norm")(k)
         if rope_cos is not None:
             qv = apply_rope(q[:, lt:], rope_cos, rope_sin)
             kv_ = apply_rope(k[:, lt:], rope_cos, rope_sin)

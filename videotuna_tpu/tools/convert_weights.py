@@ -450,6 +450,73 @@ def hunyuan_map(heads: int = 24) -> ConversionMap:
     return ConversionMap(rules)
 
 
+def cogvideox_map(heads: int = 30) -> ConversionMap:
+    """diffusers CogVideoXTransformer3DModel names → videotuna_tpu
+    CogVideoXTransformer tree."""
+    dg = t_dense_general(heads)
+    dgb = t_dense_general_bias(heads)
+    return ConversionMap([
+        (r"patch_embed\.proj\.weight", r"patch_embed/kernel", t_conv),
+        (r"patch_embed\.proj\.bias", r"patch_embed/bias", None),
+        (r"patch_embed\.text_proj\.weight", r"text_proj/kernel", t_linear),
+        (r"patch_embed\.text_proj\.bias", r"text_proj/bias", None),
+        (r"time_embedding\.linear_1\.weight", r"t_embedder/fc1/kernel",
+         t_linear),
+        (r"time_embedding\.linear_1\.bias", r"t_embedder/fc1/bias", None),
+        (r"time_embedding\.linear_2\.weight", r"t_embedder/fc2/kernel",
+         t_linear),
+        (r"time_embedding\.linear_2\.bias", r"t_embedder/fc2/bias", None),
+        (r"transformer_blocks\.(\d+)\.norm1\.linear\.weight",
+         r"block_\1/norm1_mod/kernel", t_linear),
+        (r"transformer_blocks\.(\d+)\.norm1\.linear\.bias",
+         r"block_\1/norm1_mod/bias", None),
+        (r"transformer_blocks\.(\d+)\.norm2\.linear\.weight",
+         r"block_\1/norm2_mod/kernel", t_linear),
+        (r"transformer_blocks\.(\d+)\.norm2\.linear\.bias",
+         r"block_\1/norm2_mod/bias", None),
+        (r"transformer_blocks\.(\d+)\.attn1\.to_q\.weight",
+         r"block_\1/q/kernel", dg),
+        (r"transformer_blocks\.(\d+)\.attn1\.to_q\.bias",
+         r"block_\1/q/bias", dgb),
+        (r"transformer_blocks\.(\d+)\.attn1\.to_k\.weight",
+         r"block_\1/k/kernel", dg),
+        (r"transformer_blocks\.(\d+)\.attn1\.to_k\.bias",
+         r"block_\1/k/bias", dgb),
+        (r"transformer_blocks\.(\d+)\.attn1\.to_v\.weight",
+         r"block_\1/v/kernel", dg),
+        (r"transformer_blocks\.(\d+)\.attn1\.to_v\.bias",
+         r"block_\1/v/bias", dgb),
+        (r"transformer_blocks\.(\d+)\.attn1\.norm_q\.weight",
+         r"block_\1/q_norm/scale", None),
+        (r"transformer_blocks\.(\d+)\.attn1\.norm_q\.bias",
+         r"block_\1/q_norm/bias", None),
+        (r"transformer_blocks\.(\d+)\.attn1\.norm_k\.weight",
+         r"block_\1/k_norm/scale", None),
+        (r"transformer_blocks\.(\d+)\.attn1\.norm_k\.bias",
+         r"block_\1/k_norm/bias", None),
+        (r"transformer_blocks\.(\d+)\.attn1\.to_out\.0\.weight",
+         r"block_\1/attn_out/kernel", t_linear),
+        (r"transformer_blocks\.(\d+)\.attn1\.to_out\.0\.bias",
+         r"block_\1/attn_out/bias", None),
+        (r"transformer_blocks\.(\d+)\.ff\.net\.0\.proj\.weight",
+         r"block_\1/ff1/kernel", t_linear),
+        (r"transformer_blocks\.(\d+)\.ff\.net\.0\.proj\.bias",
+         r"block_\1/ff1/bias", None),
+        (r"transformer_blocks\.(\d+)\.ff\.net\.2\.weight",
+         r"block_\1/ff2/kernel", t_linear),
+        (r"transformer_blocks\.(\d+)\.ff\.net\.2\.bias",
+         r"block_\1/ff2/bias", None),
+        (r"norm_final\.weight", r"norm_final/scale", None),
+        (r"norm_final\.bias", r"norm_final/bias", None),
+        (r"norm_out\.linear\.weight", r"adaln_out/kernel", t_linear),
+        (r"norm_out\.linear\.bias", r"adaln_out/bias", None),
+        (r"proj_out\.weight", r"proj_out/kernel", t_linear),
+        (r"proj_out\.bias", r"proj_out/bias", None),
+        (r"patch_embed\.pos_embedding", r"pos_embed",
+         lambda w: w.reshape(w.shape[-2], w.shape[-1])),
+    ])
+
+
 def stack_blocks_for_scan(tree: Dict[str, Any], prefix: str = "block_",
                           out_key: str = "blocks") -> Dict[str, Any]:
     """Convert per-block entries (block_0..block_N) into the stacked layout
