@@ -212,6 +212,7 @@ class HYVideoDiT(nn.Module):
     rope_theta: float = 256.0
     dtype: Dtype = jnp.float32
     scan_blocks: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timestep: jnp.ndarray,
@@ -262,7 +263,9 @@ class HYVideoDiT(nn.Module):
             [sin, jnp.zeros((lt, sin.shape[1]), self.dtype)], axis=0)
 
         if self.scan_blocks:
-            dscan = nn.scan(MMDoubleStreamBlock,
+            dcell = nn.remat(MMDoubleStreamBlock, prevent_cse=False) \
+                if self.remat else MMDoubleStreamBlock
+            dscan = nn.scan(dcell,
                             variable_axes={"params": 0},
                             split_rngs={"params": True},
                             in_axes=(nn.broadcast,) * 3,
@@ -279,7 +282,9 @@ class HYVideoDiT(nn.Module):
 
         xcat = jnp.concatenate([img, txt], axis=1)
         if self.scan_blocks:
-            sscan = nn.scan(MMSingleStreamBlock,
+            scell = nn.remat(MMSingleStreamBlock, prevent_cse=False) \
+                if self.remat else MMSingleStreamBlock
+            sscan = nn.scan(scell,
                             variable_axes={"params": 0},
                             split_rngs={"params": True},
                             in_axes=(nn.broadcast,) * 4,

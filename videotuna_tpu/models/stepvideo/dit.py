@@ -101,6 +101,7 @@ class StepVideoModel(nn.Module):
     rope_theta: float = 10000.0
     dtype: Dtype = jnp.float32
     scan_blocks: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timestep: jnp.ndarray,
@@ -131,7 +132,9 @@ class StepVideoModel(nn.Module):
         sin = sin.astype(self.dtype)
 
         if self.scan_blocks:
-            scan_cls = nn.scan(StepVideoBlock,
+            cell = nn.remat(StepVideoBlock, prevent_cse=False) \
+                if self.remat else StepVideoBlock
+            scan_cls = nn.scan(cell,
                                variable_axes={"params": 0},
                                split_rngs={"params": True},
                                in_axes=(nn.broadcast,) * 4,

@@ -122,6 +122,7 @@ class WanModel(nn.Module):
     rope_theta: float = 10000.0
     dtype: Dtype = jnp.float32
     scan_blocks: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timestep: jnp.ndarray,
@@ -166,7 +167,9 @@ class WanModel(nn.Module):
         sin = sin.astype(self.dtype)
 
         if self.scan_blocks:
-            scan_cls = nn.scan(WanBlock,
+            cell = nn.remat(WanBlock, prevent_cse=False) if self.remat \
+                else WanBlock
+            scan_cls = nn.scan(cell,
                                variable_axes={"params": 0},
                                split_rngs={"params": True},
                                in_axes=(nn.broadcast,) * 5,

@@ -57,6 +57,8 @@ class TrainConfig:
     max_steps: int = 1000
     ema_decay: Optional[float] = None        # e.g. 0.9999; None disables
     accumulate_grad_batches: int = 1         # lightning accumulate_grad_batches
+    optimizer: str = "adamw"                 # adamw | adafactor (13B-scale:
+    # adafactor's factored second moment cuts optimizer HBM ~2x vs adam)
     scale_lr_by_devices: bool = False        # reference train.py:180-185
     log_every: int = 10
     ckpt_every: int = 500
@@ -71,10 +73,14 @@ def make_optimizer(cfg: TrainConfig, num_devices: int = 1
             0.0, lr, cfg.warmup_steps, max(cfg.max_steps, cfg.warmup_steps + 1))
     else:
         schedule = lr
+    if cfg.optimizer == "adafactor":
+        opt = optax.adafactor(schedule)
+    else:
+        opt = optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2,
+                          weight_decay=cfg.weight_decay)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2,
-                    weight_decay=cfg.weight_decay),
+        opt,
     )
     if cfg.accumulate_grad_batches > 1:
         # gradient accumulation (lightning accumulate_grad_batches):
