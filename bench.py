@@ -25,6 +25,19 @@ N_STEPS = 20
 
 
 def main():
+    for attempt in range(3):
+        try:
+            _run()
+            return
+        except Exception as e:  # remote compile service can drop requests
+            import sys
+            print(f"bench attempt {attempt + 1} failed: {e}",
+                  file=sys.stderr)
+            time.sleep(30)
+    _run()  # final attempt, let it raise
+
+
+def _run():
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     except Exception:
