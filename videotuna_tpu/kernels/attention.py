@@ -337,6 +337,12 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if sp_out is not None:
         return sp_out.reshape(orig_shape)
 
+    import os
+    if os.environ.get("VIDEOTUNA_FORCE_REF_ATTN"):
+        # escape hatch: pure-XLA attention everywhere (e.g. when the remote
+        # Mosaic compile service is unavailable; XLA attention is also the
+        # better choice for short/medium sequences)
+        force_reference = True
     use_pallas = (_on_tpu() and not force_reference and bias is None
                   and q.shape[-1] <= 256 and q.shape[1] >= 128)
     if use_pallas:
