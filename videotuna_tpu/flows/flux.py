@@ -12,13 +12,13 @@ Capability parity with the reference's Flux paths:
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from videotuna_tpu.core.registry import register
-from videotuna_tpu.flows.generation import GenerationFlow, Params, savename
+from videotuna_tpu.flows.generation import GenerationFlow, Params
 from videotuna_tpu.schedulers import (FlowMatchSchedule, flow_interpolate,
                                       flow_target, sample_sigmas)
 

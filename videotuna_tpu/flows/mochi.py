@@ -18,10 +18,6 @@ now.
 
 from __future__ import annotations
 
-from typing import Any, Dict
-
-import jax.numpy as jnp
-
 from videotuna_tpu.core.registry import register
 from videotuna_tpu.flows.hunyuan import HunyuanVideoFlow
 

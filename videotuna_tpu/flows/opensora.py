@@ -12,7 +12,7 @@ sampling loop is one jit'd scan; the training loss is eps-prediction MSE
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ mesh — GSPMD inserts Megatron's all-reduces.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ the mesh (parallel/), not per-model wrappers (wan/distributed/fsdp.py:11-33).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ call with static shapes).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,8 +23,7 @@ import numpy as np
 from flax import struct
 
 from videotuna_tpu.core.registry import register
-from videotuna_tpu.schedulers.common import (extract_into,
-                                             make_ddim_sampling_parameters,
+from videotuna_tpu.schedulers.common import (make_ddim_sampling_parameters,
                                              make_ddim_timesteps,
                                              rescale_noise_cfg)
 from videotuna_tpu.schedulers.ddpm import DDPMSchedule

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
-import functools
 import signal
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -30,8 +29,7 @@ from jax.sharding import Mesh
 
 from videotuna_tpu.core import checkpoint as ckpt_lib
 from videotuna_tpu.core.prng import KeyChain
-from videotuna_tpu.parallel.sharding import (batch_sharding, replicated,
-                                             shard_batch, shard_params)
+from videotuna_tpu.parallel.sharding import shard_batch, shard_params
 
 Params = Any
 
