@@ -39,30 +39,32 @@ Dtype = Any
 
 def sincos_pos_embed_2d(dim: int, h: int, w: int,
                         scale: float = 1.0) -> jnp.ndarray:
-    """2D sincos position table (h·w, dim)."""
+    """2D sincos position table (h·w, dim), built from traced jnp ops so it
+    is computed on device rather than embedded as a multi-MB HLO literal
+    (a 32×32 grid at dim 1152 would otherwise ship ~4.7 MB of constants
+    with every program)."""
     def one_axis(d, n):
-        omega = 1.0 / (10000.0 ** (np.arange(d // 2, dtype=np.float64)
+        omega = 1.0 / (10000.0 ** (jnp.arange(d // 2, dtype=jnp.float32)
                                    / (d // 2)))
-        pos = np.arange(n, dtype=np.float64) / scale
-        out = np.einsum("n,d->nd", pos, omega)
-        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+        pos = jnp.arange(n, dtype=jnp.float32) / scale
+        out = pos[:, None] * omega[None]
+        return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=1)
 
     emb_h = one_axis(dim // 2, h)            # (h, dim/2)
     emb_w = one_axis(dim // 2, w)            # (w, dim/2)
-    grid = np.concatenate([
-        np.repeat(emb_h, w, axis=0),
-        np.tile(emb_w, (h, 1)),
+    grid = jnp.concatenate([
+        jnp.repeat(emb_h, w, axis=0),
+        jnp.tile(emb_w, (h, 1)),
     ], axis=1)
-    return jnp.asarray(grid, dtype=jnp.float32)
+    return grid
 
 
 def sincos_pos_embed_1d(dim: int, n: int, scale: float = 1.0) -> jnp.ndarray:
-    omega = 1.0 / (10000.0 ** (np.arange(dim // 2, dtype=np.float64)
+    omega = 1.0 / (10000.0 ** (jnp.arange(dim // 2, dtype=jnp.float32)
                                / (dim // 2)))
-    pos = np.arange(n, dtype=np.float64) / scale
-    out = np.einsum("n,d->nd", pos, omega)
-    return jnp.asarray(np.concatenate([np.sin(out), np.cos(out)], axis=1),
-                       dtype=jnp.float32)
+    pos = jnp.arange(n, dtype=jnp.float32) / scale
+    out = pos[:, None] * omega[None]
+    return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=1)
 
 
 class STDiTBlock(nn.Module):
