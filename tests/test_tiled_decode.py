@@ -35,6 +35,32 @@ class TestTiledDecode:
         np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
                                    atol=1e-6)
 
+    def test_temporal_chunked_exact_with_full_prefix(self, vae_and_params):
+        """With context covering the whole causal prefix the chunked decode
+        is BIT-EXACT (strict causality + per-frame norms) — no overlap
+        blending needed, unlike the reference's tiled decoders."""
+        vae, params = vae_and_params
+        z = jax.random.normal(jax.random.key(5), (1, 7, 8, 8, 4))
+        full = vae.apply({"params": params}, z, method=vae.decode)
+        ch = vae.apply({"params": params}, z,
+                       method=vae.decode_temporal_chunked, chunk=3,
+                       context=100)
+        np.testing.assert_array_equal(np.asarray(ch), np.asarray(full))
+
+    def test_temporal_chunked_error_decreases_with_context(self,
+                                                           vae_and_params):
+        vae, params = vae_and_params
+        z = jax.random.normal(jax.random.key(6), (1, 9, 8, 8, 4))
+        full = vae.apply({"params": params}, z, method=vae.decode)
+        errs = []
+        for ctx in (1, 4):
+            ch = vae.apply({"params": params}, z,
+                           method=vae.decode_temporal_chunked, chunk=3,
+                           context=ctx)
+            assert ch.shape == full.shape
+            errs.append(float(jnp.abs(ch - full).max()))
+        assert errs[1] < errs[0], errs
+
     def test_seam_error_decreases_with_overlap(self, vae_and_params):
         vae, params = vae_and_params
         z = jax.random.normal(jax.random.key(3), (1, 2, 16, 16, 4))

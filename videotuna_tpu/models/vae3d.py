@@ -270,6 +270,37 @@ class CausalVAE3D(nn.Module):
                                    xi * sr:x1 * sr].add(wmap)
         return out / jnp.maximum(weight, 1e-8)
 
+    def decode_temporal_chunked(self, z: jnp.ndarray,
+                                chunk: int = 8,
+                                context: int = 6) -> jnp.ndarray:
+        """Temporally chunked decode: each latent chunk is decoded together
+        with its preceding ``context`` latent frames, and the context's
+        output region is dropped. Because every temporal op is causal and
+        normalization is per-frame, the result converges to the full decode
+        as ``context`` covers the decoder's temporal receptive field — no
+        overlap blending (the reference's tiled decoders blend because their
+        GroupNorm statistics span the clip). Peak memory is
+        O((chunk+context)/T) of the full decode."""
+        b, t = z.shape[:2]
+        if t <= chunk:
+            return self.decode(z)
+        outs = []
+        start = 0
+        while start < t:
+            end = min(start + chunk, t)
+            # ≥1 context frame so the chunk's own latents all sit in the
+            # "non-first" (4-pixel) region of the causal 4k+1 mapping
+            ctx = max(1, min(context, start)) if start > 0 else 0
+            piece = self.decode(z[:, start - ctx:end])
+            if start == 0:
+                outs.append(piece)          # includes the 4k+1 head frame
+            else:
+                # piece covers latents (start−ctx … end): pixel length
+                # 1+4·(ctx+cl−1); keep the trailing 4·cl for this chunk
+                outs.append(piece[:, piece.shape[1] - 4 * (end - start):])
+            start = end
+        return jnp.concatenate(outs, axis=1)
+
     def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
         moments = self.encode(video)
         mean = jnp.split(moments, 2, axis=-1)[0]
