@@ -214,10 +214,11 @@ class Trainer:
         start = int(jax.device_get(state.step))
         done = start
         t_last = time.perf_counter()
+        from videotuna_tpu.data.prefetch import DevicePrefetcher
         while done < max_steps:
-            for batch in loader:
-                batch = self.prepare_batch(batch)
-                batch = shard_batch(batch, self.mesh)
+            prefetched = DevicePrefetcher(loader, self.mesh,
+                                          prepare=self.prepare_batch)
+            for batch in prefetched:
                 state, metrics = step_fn(state, self.frozen, batch,
                                          self.keys("train_step"))
                 done += 1
