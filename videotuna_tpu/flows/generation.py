@@ -256,10 +256,15 @@ class GenerationFlow:
             z = self.sample(params, cond, uncond, shape, key, cfg_scale)
             return self.decode_latents(params, z)
 
+        vbench_format = bool(inf.get("vbench_format",
+                                     inf.get("standard_vbench", False)))
         results = []
+        per_prompt: Dict[str, float] = {}
+        vbench_videos: list = []
         t_start = time.perf_counter()
         for i in range(0, len(prompts), bs):
             chunk = prompts[i:i + bs]
+            t_p = time.perf_counter()
             cond = self.encode_text(params, chunk)
             neg = str(inf.get("negative_prompt", ""))
             uncond = self.encode_text(params, [neg] * len(chunk)) \
@@ -268,12 +273,27 @@ class GenerationFlow:
                 videos = sample_fn(cond, uncond, keys("sample"))
                 videos = np.asarray(jax.device_get(videos))
                 for j, prompt in enumerate(chunk):
-                    name = savename(prompt, i + j, s)
-                    path = save_video(videos[j], os.path.join(savedir, name),
-                                      fps=fps)
-                    results.append(path)
+                    if vbench_format:
+                        vbench_videos.append(((i + j, s), videos[j]))
+                    else:
+                        name = savename(prompt, i + j, s)
+                        path = save_video(
+                            videos[j], os.path.join(savedir, name), fps=fps)
+                        results.append(path)
+            for prompt in chunk:
+                per_prompt[prompt] = round(
+                    (time.perf_counter() - t_p) / len(chunk), 3)
+        if vbench_format:
+            # <prompt>-<n>.mp4 + info.json (reference save_videos_vbench,
+            # inference_base.py:131-161); reorder to prompt-major
+            from videotuna_tpu.evalkit.runner import save_videos_vbench
+            ordered = [v for _, v in sorted(vbench_videos,
+                                            key=lambda kv: kv[0])]
+            results = save_videos_vbench(ordered, prompts, savedir,
+                                         n_per_prompt=n_samples, fps=fps)
         metrics = {"time_sec": round(time.perf_counter() - t_start, 3),
-                   "num_videos": len(results)}
+                   "num_videos": len(results),
+                   "per_prompt_sec": per_prompt}
         save_metrics(metrics, savedir, config)
         return {"videos": results, "metrics": metrics}
 
