@@ -85,6 +85,29 @@ class WanVideoFlow(GenerationFlow):
                                    x, t, cond["y"],
                                    cond.get("image_features"))
 
+    def prepare_image_features(self, params: Params,
+                               image: jnp.ndarray) -> jnp.ndarray:
+        """I2V conditioning: CLIP-ViT patch tokens of the reference frame
+        feed the blocks' image cross-attention (reference WanI2V,
+        wan/image2video.py:373 — CLIP features + masked first-frame
+        latents). Requires cond_stage_2 = CLIPImageEmbedder."""
+        if self.cond_stage_2 is None:
+            raise ValueError("i2v needs cond_stage_2 (CLIP image encoder)")
+        return self.cond_stage_2.apply(
+            {"params": params["cond_stage_2"]}, image)
+
+    def prepare_first_frame_latents(self, params: Params,
+                                    image: jnp.ndarray,
+                                    num_latent_frames: int,
+                                    key) -> jnp.ndarray:
+        """Masked first-frame latent condition: encode the frame, zero-pad
+        the remaining latent time (concatenated on channels by i2v DiTs)."""
+        vid = image[:, None] if image.ndim == 4 else image
+        z0 = self.encode_video(params, vid, key)
+        pad = jnp.zeros((z0.shape[0], num_latent_frames - z0.shape[1],
+                         *z0.shape[2:]), z0.dtype)
+        return jnp.concatenate([z0, pad], axis=1)
+
     # --------------------------------------------------------------- training
     def training_loss(self, params: Params, batch: Dict[str, Any],
                       key: jax.Array) -> Tuple[jnp.ndarray, Dict[str, Any]]:

@@ -205,7 +205,8 @@ class Trainer:
             pass  # not main thread
 
     def fit(self, loader, state: Optional[TrainState] = None,
-            max_steps: Optional[int] = None) -> TrainState:
+            max_steps: Optional[int] = None,
+            val_loader=None, val_every: int = 0) -> TrainState:
         state = state if state is not None else self.init_state()
         state = self.maybe_resume(state)
         step_fn = self.compiled_step(state)
@@ -235,10 +236,33 @@ class Trainer:
                 if self._want_ckpt or done % self.cfg.ckpt_every == 0:
                     self.save(state, done)
                     self._want_ckpt = False
+                if val_loader is not None and val_every and \
+                        done % val_every == 0:
+                    vm = self.validate(state, val_loader)
+                    vm["step"] = done
+                    self.metrics_history.append(vm)
                 if done >= max_steps:
                     break
         self.save(state, done)
         return state
+
+    def validate(self, state: TrainState, val_loader,
+                 max_batches: int = 8) -> Dict[str, float]:
+        """Mean loss over the validation loader with the CURRENT weights —
+        the validation_step analogue (reference base/train_base.py stubs +
+        epoch-end aggregation); no gradients, no state mutation."""
+        loss_fn = jax.jit(self.flow.training_loss)
+        params = {**self.frozen, **state.params}
+        losses = []
+        for i, batch in enumerate(val_loader):
+            if i >= max_batches:
+                break
+            batch = self.prepare_batch(batch)
+            batch = shard_batch(batch, self.mesh)
+            loss, _ = loss_fn(params, batch, self.keys("val_step"))
+            losses.append(float(jax.device_get(loss)))
+        return {"val_loss": sum(losses) / max(len(losses), 1),
+                "val_batches": float(len(losses))}
 
     def prepare_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         """Host batch → model batch: tokenization + text encoding happen here
