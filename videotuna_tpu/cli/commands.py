@@ -109,6 +109,8 @@ def list_commands() -> str:
         lines.append(f"  {name.ljust(width)}{cmd.description}")
     lines.append("  eval <videos_dir>".ljust(width + 2)
                  + "  VBench-style evaluation")
+    lines.append("  serve --config <yaml>".ljust(width + 2)
+                 + "  HTTP inference server")
     return "\n".join(lines)
 
 
@@ -118,6 +120,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print(list_commands())
         return 0
     name, rest = argv[0], argv[1:]
+    if name == "serve":
+        from videotuna_tpu.cli.serve import main as serve_main
+        serve_main(rest)
+        return 0
     if name == "eval":
         from videotuna_tpu.evalkit.runner import main as eval_main
         eval_main(["--videos", *rest] if rest and not
