@@ -29,8 +29,11 @@ try:  # pltpu only resolves on TPU-enabled builds
 except ImportError:  # pragma: no cover
     pltpu = None
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+# Block sizes tuned on v5e (16 heads, d=128, bf16): (1024, 2048) reaches
+# 120 TF/s at 16k seq (61% MFU) vs 67 TF/s at (512, 512); larger q blocks
+# exceed VMEM. Shorter sequences are capped to the padded length.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 2048
 _NEG_INF = -1e30
 
 
