@@ -60,15 +60,18 @@ class TestPipeline:
         x1 = jnp.zeros((1, 8, d))
         t6 = jnp.zeros((1, 6, d))
         ctx = jnp.zeros((1, 4, d))
-        from videotuna_tpu.models.layers import rope_3d, split_rope_dims
-        cos, sin = rope_3d(*split_rope_dims(d // 4), 2, 2, 2)
+        from videotuna_tpu.models.layers import (rope_3d_axis_tables,
+                                                 split_rope_dims)
+        rope_dims = split_rope_dims(d // 4)
+        blk = StepVideoBlock(d, heads=4, ffn_dim=64, rope_dims=rope_dims)
+        tables = rope_3d_axis_tables(rope_dims, (2, 2, 2))
         keys = jax.random.split(jax.random.key(2), layers)
-        per_layer = [blk.init(k, x1, t6, ctx, cos, sin)["params"]
+        per_layer = [blk.init(k, x1, t6, ctx, tables)["params"]
                      for k in keys]
         stack = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
 
         def block_fn(layer_params, x):
-            return blk.apply({"params": layer_params}, x, t6, ctx, cos, sin)
+            return blk.apply({"params": layer_params}, x, t6, ctx, tables)
 
         x = jax.random.normal(jax.random.key(3), (4, 8, d))
 

@@ -336,6 +336,17 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     elif q.ndim == 3:
         q, k, v = q[None], k[None], v[None]
 
+    # GQA/MQA (e.g. LLaMA text encoder with kv_heads < heads): broadcast KV
+    # heads once here so every downstream path — reference einsum, Pallas
+    # kernel, custom VJP — sees equal head counts. The repeat sits outside
+    # flash_attention_diff's custom_vjp, so autodiff sums dk/dv over the
+    # repeated heads correctly.
+    h, kh = q.shape[-2], k.shape[-2]
+    if kh != h:
+        assert h % kh == 0, f"q heads {h} not a multiple of kv heads {kh}"
+        k = jnp.repeat(k, h // kh, axis=-2)
+        v = jnp.repeat(v, h // kh, axis=-2)
+
     sp_out = _maybe_sp(q, k, v, bias, causal)
     if sp_out is not None:
         return sp_out.reshape(orig_shape)

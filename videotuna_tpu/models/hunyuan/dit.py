@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from videotuna_tpu.core.registry import register
 from videotuna_tpu.kernels.attention import dot_product_attention
 from videotuna_tpu.models.layers import (RMSNorm, TimestepEmbedder,
+                                         HUNYUAN_ROPE_DIMS,
                                          apply_rope, rope_3d,
                                          split_rope_dims, unpatchify_3d)
 
@@ -155,35 +156,60 @@ class MMSingleStreamBlock(nn.Module):
 
 
 class TokenRefiner(nn.Module):
-    """2-layer self-attn refiner over LLaMA text states with timestep gating
-    (reference text_encoder/__init__.py:610 SingleTokenRefiner)."""
+    """SingleTokenRefiner (reference hyvideo_t2v/modules/token_refiner.py:164),
+    weight-faithful: input_embedder + its OWN TimestepEmbedder over raw t +
+    TextProjection c_embedder over the masked mean of the RAW text states,
+    then `layers`× IndividualTokenRefinerBlock (:16 — fused qkv in torch,
+    split q/k/v here via preprocess_split_fused_qkv; 2-gate adaLN; affine
+    LayerNorms; no qk_norm in the released config)."""
     dim: int
     heads: int = 8
     layers: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, txt, t_vec, mask=None):
-        x = nn.Dense(self.dim, dtype=self.dtype, name="in_proj")(txt)
-        c = t_vec + nn.Dense(self.dim, dtype=self.dtype, name="ctx_proj")(
-            jnp.mean(x, axis=1))
+    def __call__(self, txt, t, mask=None):
+        # c = t_embedder(t) + c_embedder(masked-mean of raw txt)
+        # (token_refiner.py:217-230)
+        temb = TimestepEmbedder(self.dim, dtype=self.dtype,
+                                name="t_embedder")(t)
+        if mask is None:
+            ctx = jnp.mean(txt, axis=1)
+        else:
+            mf = mask.astype(txt.dtype)[..., None]
+            ctx = (txt * mf).sum(axis=1) / jnp.maximum(mf.sum(axis=1), 1e-6)
+        c1 = nn.Dense(self.dim, dtype=self.dtype, name="c_embedder_1")(ctx)
+        c = temb + nn.Dense(self.dim, dtype=self.dtype,
+                            name="c_embedder_2")(nn.silu(c1))
+        x = nn.Dense(self.dim, dtype=self.dtype, name="input_embedder")(txt)
+
+        bias = None
+        if mask is not None:
+            # q AND k masked; column 0 forced valid so padded rows don't
+            # softmax over an all-masked set (token_refiner.py:142-155)
+            valid = jnp.logical_and(mask[:, None, :, None],
+                                    mask[:, None, None, :])
+            valid = valid.at[:, :, :, 0].set(True)
+            bias = jnp.where(valid, 0.0, -1e30)
         for i in range(self.layers):
-            g1, g2 = _modulation(c, 2, self.dim, self.dtype, f"mod_{i}")
-            h = nn.LayerNorm(dtype=self.dtype, name=f"ln1_{i}")(x)
+            g = nn.Dense(2 * self.dim, dtype=self.dtype,
+                         kernel_init=nn.initializers.zeros,
+                         name=f"mod_{i}")(nn.silu(c))
+            g1, g2 = jnp.split(g[:, None, :], 2, axis=-1)
+            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name=f"ln1_{i}")(x)
             q = nn.DenseGeneral((self.heads, self.dim // self.heads),
                                 dtype=self.dtype, name=f"q_{i}")(h)
             k = nn.DenseGeneral((self.heads, self.dim // self.heads),
                                 dtype=self.dtype, name=f"k_{i}")(h)
             v = nn.DenseGeneral((self.heads, self.dim // self.heads),
                                 dtype=self.dtype, name=f"v_{i}")(h)
-            bias = None
-            if mask is not None:
-                bias = jnp.where(mask[:, None, None, :], 0.0, -1e30)
             o = dot_product_attention(q, k, v, bias=bias)
             o = o.reshape(*o.shape[:-2], self.dim)
             x = x + g1 * nn.Dense(self.dim, dtype=self.dtype,
                                   name=f"attn_out_{i}")(o)
-            h = nn.LayerNorm(dtype=self.dtype, name=f"ln2_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name=f"ln2_{i}")(x)
             h = nn.Dense(self.dim * 4, dtype=self.dtype, name=f"fc1_{i}")(h)
             x = x + g2 * nn.Dense(self.dim, dtype=self.dtype,
                                   name=f"fc2_{i}")(nn.silu(h))
@@ -210,6 +236,9 @@ class HYVideoDiT(nn.Module):
     pooled_dim: int = 768
     guidance_embed: bool = False
     rope_theta: float = 256.0
+    # rope_dim_list (hyvideo_t2v/modules/models.py:461). None → the released
+    # [16,56,56] when head_dim is 128, else an even ~(1/4,3/8,3/8) split.
+    rope_dim_list: Optional[Tuple[int, int, int]] = None
     dtype: Dtype = jnp.float32
     scan_blocks: bool = False
     remat: bool = False
@@ -243,14 +272,22 @@ class HYVideoDiT(nn.Module):
                       strides=self.patch_size, padding="VALID",
                       dtype=self.dtype, name="img_in")(x.astype(self.dtype))
         img = img.reshape(b, tt * hh * ww, d)
-        txt = TokenRefiner(d, dtype=self.dtype, name="txt_in")(
-            text_states.astype(self.dtype), vec, text_mask)
+        # reference models.py:638 passes the RAW timestep (not the fused
+        # vec): the refiner owns its t_embedder; heads_num matches the DiT
+        txt = TokenRefiner(d, heads=self.heads, dtype=self.dtype,
+                           name="txt_in")(
+            text_states.astype(self.dtype), timestep, text_mask)
         lt = txt.shape[1]
 
         hd = d // self.heads
-        dt_r = hd // 4
-        dh_r = dw_r = (hd - dt_r) // 2
-        dt_r = hd - 2 * dh_r
+        if self.rope_dim_list is not None:
+            dt_r, dh_r, dw_r = self.rope_dim_list
+        elif hd == 128:
+            dt_r, dh_r, dw_r = HUNYUAN_ROPE_DIMS
+        else:
+            dt_r, dh_r, dw_r = split_rope_dims(hd)
+        assert dt_r + dh_r + dw_r == hd, \
+            f"rope dims {dt_r}+{dh_r}+{dw_r} != head_dim {hd}"
         cos, sin = rope_3d(dt_r, dh_r, dw_r, tt, hh, ww,
                            theta=self.rope_theta,
                            temporal_scale=temporal_rope_scale)

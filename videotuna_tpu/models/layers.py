@@ -104,7 +104,9 @@ def rope_frequencies(dim: int, positions: jnp.ndarray,
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray,
                sin: jnp.ndarray) -> jnp.ndarray:
-    """x: (..., N, H, D); cos/sin: (N, D/2). Interleaved-pair convention."""
+    """x: (..., N, H, D); cos/sin: (N, D/2). Interleaved-pair convention
+    (pairs are adjacent channels — Wan view_as_complex, Hunyuan/CogVideoX
+    repeat_interleave'd cos/sin)."""
     x1 = x[..., 0::2]
     x2 = x[..., 1::2]
     c = cos[:, None, :]
@@ -114,14 +116,67 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray,
     return jnp.stack([o1, o2], axis=-1).reshape(x.shape)
 
 
+def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray,
+                    sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate-half (non-interleaved) convention: pairs are (i, i+D/2).
+
+    StepVideo's RoPE1D (stepvideo/modules/model.py:347-356: cos/sin are
+    cat(freqs, freqs); rotate_half negates the second half). x: (..., N, H,
+    D); cos/sin: (N, D/2)."""
+    d2 = x.shape[-1] // 2
+    x1 = x[..., :d2]
+    x2 = x[..., d2:]
+    c = cos[:, None, :]
+    s = sin[:, None, :]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+def apply_rope_3d_grouped(x: jnp.ndarray,
+                          tables: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+                          dims: Sequence[int],
+                          interleaved: bool = False) -> jnp.ndarray:
+    """Apply per-axis RoPE to channel groups of x (StepVideo RoPE3D:
+    stepvideo/modules/model.py:410-440 splits channels by rope_ch_split and
+    rotates each group with its own axis positions).
+
+    x: (..., N, H, D) with D = sum(dims); tables[i]: (cos, sin) each
+    (N, dims[i]/2)."""
+    fn = apply_rope if interleaved else apply_rope_half
+    parts = []
+    off = 0
+    for (c, s), d in zip(tables, dims):
+        parts.append(fn(x[..., off:off + d], c, s))
+        off += d
+    return jnp.concatenate(parts, axis=-1)
+
+
 def split_rope_dims(head_dim: int) -> Tuple[int, int, int]:
     """Split head_dim into (t, h, w) rotary dims — all even, summing to
-    head_dim, ~(1/4, 3/8, 3/8) (the Hunyuan/Wan convention: 128 → 32/48/48).
-    """
+    head_dim, ~(1/4, 3/8, 3/8). This is the *CogVideoX* convention
+    (diffusers `get_3d_rotary_pos_embed`: 64 → 16/24/24). Other families
+    use different splits — see the per-family helpers below; using this
+    split for them breaks converted-checkpoint fidelity."""
     assert head_dim % 2 == 0, "head_dim must be even for RoPE"
     dh = (head_dim * 3 // 8) // 2 * 2
     dt = head_dim - 2 * dh
     return dt, dh, dh
+
+
+def wan_rope_dims(head_dim: int) -> Tuple[int, int, int]:
+    """Wan 2.1 split: (d − 4·⌊d/6⌋, 2·⌊d/6⌋, 2·⌊d/6⌋) — 128 → 44/42/42
+    (reference wan/modules/model.py:468-473), interleaved-pair convention
+    (torch.view_as_complex on consecutive pairs)."""
+    g = head_dim // 6
+    return head_dim - 4 * g, 2 * g, 2 * g
+
+
+HUNYUAN_ROPE_DIMS: Tuple[int, int, int] = (16, 56, 56)
+"""HunyuanVideo rope_dim_list default (hyvideo_t2v/modules/models.py:461),
+interleaved-pair convention (posemb_layers.rotate_half on (…,-1,2) pairs)."""
+
+STEPVIDEO_ROPE_DIMS: Tuple[int, int, int] = (64, 32, 32)
+"""StepVideo rope_ch_split (stepvideo/modules/blocks.py:39), rotate-HALF
+(non-interleaved) convention applied per channel group."""
 
 
 def rope_3d(dim_t: int, dim_h: int, dim_w: int,
@@ -157,6 +212,29 @@ def rope_3d(dim_t: int, dim_h: int, dim_w: int,
     cos = jnp.concatenate([ct, ch, cw], axis=-1).reshape(t * h * w, -1)
     sin = jnp.concatenate([st, sh, sw], axis=-1).reshape(t * h * w, -1)
     return cos, sin
+
+
+def rope_3d_axis_tables(dims: Sequence[int], grid: Tuple[int, int, int],
+                        theta: float = 10000.0,
+                        temporal_scale: Optional[jnp.ndarray] = None
+                        ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]:
+    """Per-axis cos/sin tables broadcast to the flattened (t·h·w) grid,
+    for grouped-RoPE families (StepVideo): returns ((cos_t, sin_t), (cos_h,
+    sin_h), (cos_w, sin_w)), each table (t·h·w, dims[i]/2)."""
+    t, h, w = grid
+    out = []
+    for axis, (dim, n) in enumerate(zip(dims, grid)):
+        inv = 1.0 / (theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+        if axis == 0 and temporal_scale is not None:
+            inv = inv * temporal_scale
+        freqs = jnp.arange(n, dtype=jnp.float32)[:, None] * inv[None]
+        c, s = jnp.cos(freqs), jnp.sin(freqs)
+        shape = [1, 1, 1, dim // 2]
+        shape[axis] = n
+        c = jnp.broadcast_to(c.reshape(shape), (t, h, w, dim // 2))
+        s = jnp.broadcast_to(s.reshape(shape), (t, h, w, dim // 2))
+        out.append((c.reshape(t * h * w, -1), s.reshape(t * h * w, -1)))
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------

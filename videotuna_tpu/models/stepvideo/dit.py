@@ -26,8 +26,10 @@ import jax.numpy as jnp
 
 from videotuna_tpu.core.registry import register
 from videotuna_tpu.kernels.attention import dot_product_attention
-from videotuna_tpu.models.layers import (RMSNorm, TimestepEmbedder,
-                                         apply_rope, rope_3d,
+from videotuna_tpu.models.layers import (STEPVIDEO_ROPE_DIMS, RMSNorm,
+                                         TimestepEmbedder,
+                                         apply_rope_3d_grouped,
+                                         rope_3d_axis_tables,
                                          split_rope_dims, unpatchify_3d)
 
 Dtype = Any
@@ -37,11 +39,12 @@ class StepVideoBlock(nn.Module):
     dim: int
     heads: int
     ffn_dim: int
+    rope_dims: Tuple[int, int, int] = STEPVIDEO_ROPE_DIMS
     dtype: Dtype = jnp.float32
     as_cell: bool = False
 
     @nn.compact
-    def __call__(self, x, t6, ctx, cos, sin):
+    def __call__(self, x, t6, ctx, rope_tables):
         d = self.dim
         hd = d // self.heads
         table = self.param("scale_shift_table",
@@ -62,8 +65,10 @@ class StepVideoBlock(nn.Module):
                             name="self_v")(h)
         q = RMSNorm(dtype=self.dtype, name="q_norm")(q)
         k = RMSNorm(dtype=self.dtype, name="k_norm")(k)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        # StepVideo RoPE3D: per-channel-group rotate-half (blocks.py:39,
+        # model.py:410) — NOT the interleaved convention of Wan/Hunyuan.
+        q = apply_rope_3d_grouped(q, rope_tables, self.rope_dims)
+        k = apply_rope_3d_grouped(k, rope_tables, self.rope_dims)
         att = dot_product_attention(q, k, v).reshape(x.shape[0], -1, d)
         x = x + g1 * nn.Dense(d, dtype=self.dtype, name="self_out")(att)
 
@@ -125,11 +130,12 @@ class StepVideoModel(nn.Module):
                        name="caption_proj")(context.astype(self.dtype))
 
         hd = d // self.heads
-        dt_r, dh_r, dw_r = split_rope_dims(hd)
-        cos, sin = rope_3d(dt_r, dh_r, dw_r, tt, hh, ww,
-                           theta=self.rope_theta)
-        cos = cos.astype(self.dtype)
-        sin = sin.astype(self.dtype)
+        rope_dims = (STEPVIDEO_ROPE_DIMS if hd == sum(STEPVIDEO_ROPE_DIMS)
+                     else split_rope_dims(hd))
+        tables = rope_3d_axis_tables(rope_dims, (tt, hh, ww),
+                                     theta=self.rope_theta)
+        tables = tuple((c.astype(self.dtype), s.astype(self.dtype))
+                       for c, s in tables)
 
         if self.scan_blocks:
             cell = nn.remat(StepVideoBlock, prevent_cse=False) \
@@ -137,16 +143,16 @@ class StepVideoModel(nn.Module):
             scan_cls = nn.scan(cell,
                                variable_axes={"params": 0},
                                split_rngs={"params": True},
-                               in_axes=(nn.broadcast,) * 4,
+                               in_axes=(nn.broadcast,) * 3,
                                length=self.num_layers)
-            tok, _ = scan_cls(d, self.heads, self.ffn_dim, dtype=self.dtype,
-                              as_cell=True, name="blocks")(
-                tok, t6, ctx, cos, sin)
+            tok, _ = scan_cls(d, self.heads, self.ffn_dim, rope_dims,
+                              dtype=self.dtype, as_cell=True, name="blocks")(
+                tok, t6, ctx, tables)
         else:
             for i in range(self.num_layers):
-                tok = StepVideoBlock(d, self.heads, self.ffn_dim,
+                tok = StepVideoBlock(d, self.heads, self.ffn_dim, rope_dims,
                                      dtype=self.dtype, name=f"block_{i}")(
-                    tok, t6, ctx, cos, sin)
+                    tok, t6, ctx, tables)
 
         fin = self.param("final_scale_shift_table",
                          nn.initializers.normal(d ** -0.5), (2, d))

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from videotuna_tpu.core.registry import register
 from videotuna_tpu.kernels.attention import dot_product_attention
 from videotuna_tpu.models.layers import (RMSNorm, apply_rope, rope_3d,
-                                         split_rope_dims,
+                                         wan_rope_dims,
                                          timestep_embedding, unpatchify_3d)
 
 Dtype = Any
@@ -160,7 +160,7 @@ class WanModel(nn.Module):
             ctx_img = nn.Dense(d, dtype=self.dtype, name="img_fc2")(ci)
 
         hd = d // self.heads
-        dt_r, dh_r, dw_r = split_rope_dims(hd)
+        dt_r, dh_r, dw_r = wan_rope_dims(hd)
         cos, sin = rope_3d(dt_r, dh_r, dw_r, tt, hh, ww,
                            theta=self.rope_theta)
         cos = cos.astype(self.dtype)

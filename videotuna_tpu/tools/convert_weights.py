@@ -447,6 +447,58 @@ def hunyuan_map(heads: int = 24) -> ConversionMap:
         (r"single_blocks\.(\d+)\.modulation\.linear\.bias",
          r"single_\1/mod/bias", None),
     ]
+    # txt_in token refiner (SingleTokenRefiner, token_refiner.py:164); the
+    # per-block self_attn_qkv is split by preprocess_split_fused_qkv first.
+    refiner = r"txt_in\.individual_token_refiner\.blocks"
+    rules += [
+        (r"txt_in\.input_embedder\.weight",
+         r"txt_in/input_embedder/kernel", t_linear),
+        (r"txt_in\.input_embedder\.bias",
+         r"txt_in/input_embedder/bias", None),
+        (r"txt_in\.t_embedder\.mlp\.0\.weight",
+         r"txt_in/t_embedder/fc1/kernel", t_linear),
+        (r"txt_in\.t_embedder\.mlp\.0\.bias",
+         r"txt_in/t_embedder/fc1/bias", None),
+        (r"txt_in\.t_embedder\.mlp\.2\.weight",
+         r"txt_in/t_embedder/fc2/kernel", t_linear),
+        (r"txt_in\.t_embedder\.mlp\.2\.bias",
+         r"txt_in/t_embedder/fc2/bias", None),
+        (r"txt_in\.c_embedder\.linear_1\.weight",
+         r"txt_in/c_embedder_1/kernel", t_linear),
+        (r"txt_in\.c_embedder\.linear_1\.bias",
+         r"txt_in/c_embedder_1/bias", None),
+        (r"txt_in\.c_embedder\.linear_2\.weight",
+         r"txt_in/c_embedder_2/kernel", t_linear),
+        (r"txt_in\.c_embedder\.linear_2\.bias",
+         r"txt_in/c_embedder_2/bias", None),
+        (refiner + r"\.(\d+)\.norm1\.weight", r"txt_in/ln1_\1/scale", None),
+        (refiner + r"\.(\d+)\.norm1\.bias", r"txt_in/ln1_\1/bias", None),
+        (refiner + r"\.(\d+)\.norm2\.weight", r"txt_in/ln2_\1/scale", None),
+        (refiner + r"\.(\d+)\.norm2\.bias", r"txt_in/ln2_\1/bias", None),
+        (refiner + r"\.(\d+)\.self_attn_proj\.weight",
+         r"txt_in/attn_out_\1/kernel", t_linear),
+        (refiner + r"\.(\d+)\.self_attn_proj\.bias",
+         r"txt_in/attn_out_\1/bias", None),
+        (refiner + r"\.(\d+)\.mlp\.fc1\.weight",
+         r"txt_in/fc1_\1/kernel", t_linear),
+        (refiner + r"\.(\d+)\.mlp\.fc1\.bias",
+         r"txt_in/fc1_\1/bias", None),
+        (refiner + r"\.(\d+)\.mlp\.fc2\.weight",
+         r"txt_in/fc2_\1/kernel", t_linear),
+        (refiner + r"\.(\d+)\.mlp\.fc2\.bias",
+         r"txt_in/fc2_\1/bias", None),
+        (refiner + r"\.(\d+)\.adaLN_modulation\.1\.weight",
+         r"txt_in/mod_\1/kernel", t_linear),
+        (refiner + r"\.(\d+)\.adaLN_modulation\.1\.bias",
+         r"txt_in/mod_\1/bias", None),
+    ]
+    for p in "qkv":
+        rules += [
+            (refiner + rf"\.(\d+)\.self_attn_{p}\.weight",
+             rf"txt_in/{p}_\1/kernel", dg),
+            (refiner + rf"\.(\d+)\.self_attn_{p}\.bias",
+             rf"txt_in/{p}_\1/bias", dgb),
+        ]
     return ConversionMap(rules)
 
 

@@ -114,8 +114,15 @@ def make_train_step(loss_fn: LossFn,
         new_ema = state.ema_params
         if ema_decay is not None and state.ema_params is not None:
             d = ema_decay
-            new_ema = jax.tree.map(lambda e, p: d * e + (1 - d) * p,
-                                   state.ema_params, new_train)
+            # With optax.MultiSteps (accumulate_grad_batches > 1) params only
+            # change when mini_step wraps to 0; updating EMA on every
+            # micro-step would make the effective decay `accumulate`× faster
+            # than the reference's per-optimizer-step LitEma (utils/ema.py:5).
+            applied = (new_opt.mini_step == 0) if hasattr(
+                new_opt, "mini_step") else jnp.array(True)
+            new_ema = jax.tree.map(
+                lambda e, p: jnp.where(applied, d * e + (1 - d) * p, e),
+                state.ema_params, new_train)
         gnorm = optax.global_norm(grads)
         metrics = {**aux, "loss": loss, "grad_norm": gnorm}
         return state.replace(step=state.step + 1, params=new_train,
@@ -217,6 +224,7 @@ class Trainer:
         t_last = time.perf_counter()
         from videotuna_tpu.data.prefetch import DevicePrefetcher
         while done < max_steps:
+            epoch_start = done
             prefetched = DevicePrefetcher(loader, self.mesh,
                                           prepare=self.prepare_batch)
             for batch in prefetched:
@@ -243,6 +251,14 @@ class Trainer:
                     self.metrics_history.append(vm)
                 if done >= max_steps:
                     break
+            if done == epoch_start:
+                # one-shot iterator exhausted (a generator passed as
+                # `loader` yields nothing on re-iteration) — spinning the
+                # epoch loop forever would hang silently.
+                raise RuntimeError(
+                    f"data loader yielded no batches at step {done}; pass a "
+                    "re-iterable dataset/loader (not an exhausted generator) "
+                    f"to reach max_steps={max_steps}")
         self.save(state, done)
         return state
 
