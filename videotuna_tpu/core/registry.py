@@ -112,6 +112,9 @@ def populate() -> None:
         "videotuna_tpu.models.opensora.stdit",
         "videotuna_tpu.models.vae2d",
         "videotuna_tpu.models.vae3d",
+        "videotuna_tpu.models.wan.vae",
+        "videotuna_tpu.models.hunyuan.vae",
+        "videotuna_tpu.models.cogvideo.vae",
         "videotuna_tpu.models.text_encoders",
         "videotuna_tpu.models.lvdm.unet3d",
         "videotuna_tpu.models.lvdm.image_cond",

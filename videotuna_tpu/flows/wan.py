@@ -85,6 +85,29 @@ class WanVideoFlow(GenerationFlow):
                                    x, t, cond["y"],
                                    cond.get("image_features"))
 
+    # ------------------------------------------------------------------ vae
+    # The weight-faithful WanVAE standardizes latents with per-channel
+    # mean/std and encodes to the deterministic mean (reference
+    # wan/modules/vae.py:518-567, WanVAE wrapper :600-610) — no global
+    # scale_factor, no sampling.  Fall back to the generic moments path for
+    # other first stages (e.g. the trainable CausalVAE3D).
+    def encode_video(self, params: Params, video, key):
+        from videotuna_tpu.models.wan.vae import WanVAE
+        if isinstance(self.first_stage, WanVAE):
+            return self.first_stage.apply(
+                {"params": params["first_stage"]}, video,
+                method=self.first_stage.encode)
+        return super().encode_video(params, video, key)
+
+    def decode_latents(self, params: Params, z):
+        from videotuna_tpu.models.wan.vae import WanVAE
+        if isinstance(self.first_stage, WanVAE):
+            out = self.first_stage.apply(
+                {"params": params["first_stage"]}, z,
+                method=self.first_stage.decode)
+            return jnp.clip(out, -1.0, 1.0)
+        return super().decode_latents(params, z)
+
     def prepare_image_features(self, params: Params,
                                image: jnp.ndarray) -> jnp.ndarray:
         """I2V conditioning: CLIP-ViT patch tokens of the reference frame

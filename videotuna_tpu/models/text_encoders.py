@@ -208,7 +208,10 @@ class LlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin):
-        from videotuna_tpu.models.layers import apply_rope
+        # rotate-half convention: HF LLaMA pairs channel i with i+D/2
+        # (Hunyuan's text encoder is an HF LLaVA-LLaMA — converted
+        # checkpoints would be wrong under the interleaved convention)
+        from videotuna_tpu.models.layers import apply_rope_half
         hd = self.dim // self.heads
         kvh = self.kv_heads or self.heads
         h = RMSNorm(eps=1e-5, dtype=self.dtype, name="attn_norm")(x)
@@ -218,8 +221,8 @@ class LlamaBlock(nn.Module):
                             dtype=self.dtype, name="k")(h)
         v = nn.DenseGeneral((kvh, hd), use_bias=False,
                             dtype=self.dtype, name="v")(h)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = apply_rope_half(q, cos, sin)
+        k = apply_rope_half(k, cos, sin)
         o = dot_product_attention(q, k, v, causal=True)
         o = o.reshape(*x.shape[:-1], self.dim)
         x = x + nn.Dense(self.dim, use_bias=False, dtype=self.dtype,

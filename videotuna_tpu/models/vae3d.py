@@ -181,13 +181,7 @@ class Decoder3D(nn.Module):
                             name="conv_out")(h)
 
 
-@register("videotuna_tpu.models.CausalVAE3D",
-          aliases=[
-              "diffusers.AutoencoderKLCogVideoX",
-              "videotuna.models.hunyuan.hyvideo_i2v.vae."
-              "autoencoder_kl_causal_3d.AutoencoderKLCausal3D",
-              "videotuna.models.wan.wan.modules.vae.WanVAE",
-          ])
+@register("videotuna_tpu.models.CausalVAE3D")
 class CausalVAE3D(nn.Module):
     """4k+1 frames ↔ k+1 latent frames; 8× spatial; z=16 (defaults match
     CogVideoX/Hunyuan-884/Wan)."""

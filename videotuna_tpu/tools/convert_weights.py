@@ -569,6 +569,358 @@ def cogvideox_map(heads: int = 30) -> ConversionMap:
     ])
 
 
+def _squeeze(a: np.ndarray) -> np.ndarray:
+    return a.reshape(-1)
+
+
+def _conv1x1_to_dense(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d 1×1 (out, in, 1, 1) → flax Dense kernel (in, out)."""
+    return np.ascontiguousarray(w.reshape(w.shape[0], w.shape[1]).T)
+
+
+def wan_vae_map() -> ConversionMap:
+    """Wan 2.1 VAE torch names (models/wan/wan/modules/vae.py WanVAE_
+    state_dict) → videotuna_tpu models/wan/vae.WanVAE tree.
+
+    torch Sequential indices map to named children: residual.{0,2,3,6} →
+    norm1/conv1/norm2/conv2; head.{0,2} → head_norm/head_conv;
+    resample.1 → resample_conv.  RMS_norm gammas (C,1,1[,1]) flatten to
+    (C,); AttentionBlock 1×1 Conv2d projections become Dense kernels.
+    Encoder time_convs (downsample3d) are plain convs; decoder time_convs
+    (upsample3d) are CausalConv3d and nest one level deeper.
+    """
+    rules: List[Tuple[str, str, Optional[Transform]]] = []
+    for coder, stages in (("encoder", "downsamples"),
+                          ("decoder", "upsamples")):
+        for group, path in ((rf"{stages}\.(\d+)", rf"{stages}_\1"),
+                            (r"middle\.(\d+)", r"middle_\1")):
+            rules += [
+                # ResidualBlock
+                (rf"{coder}\.{group}\.residual\.0\.gamma",
+                 rf"{coder}/{path}/norm1/gamma", _squeeze),
+                (rf"{coder}\.{group}\.residual\.2\.weight",
+                 rf"{coder}/{path}/conv1/conv/kernel", t_conv),
+                (rf"{coder}\.{group}\.residual\.2\.bias",
+                 rf"{coder}/{path}/conv1/conv/bias", None),
+                (rf"{coder}\.{group}\.residual\.3\.gamma",
+                 rf"{coder}/{path}/norm2/gamma", _squeeze),
+                (rf"{coder}\.{group}\.residual\.6\.weight",
+                 rf"{coder}/{path}/conv2/conv/kernel", t_conv),
+                (rf"{coder}\.{group}\.residual\.6\.bias",
+                 rf"{coder}/{path}/conv2/conv/bias", None),
+                (rf"{coder}\.{group}\.shortcut\.weight",
+                 rf"{coder}/{path}/shortcut/conv/kernel", t_conv),
+                (rf"{coder}\.{group}\.shortcut\.bias",
+                 rf"{coder}/{path}/shortcut/conv/bias", None),
+                # AttentionBlock
+                (rf"{coder}\.{group}\.norm\.gamma",
+                 rf"{coder}/{path}/norm/gamma", _squeeze),
+                (rf"{coder}\.{group}\.to_qkv\.weight",
+                 rf"{coder}/{path}/to_qkv/kernel", _conv1x1_to_dense),
+                (rf"{coder}\.{group}\.to_qkv\.bias",
+                 rf"{coder}/{path}/to_qkv/bias", None),
+                (rf"{coder}\.{group}\.proj\.weight",
+                 rf"{coder}/{path}/proj/kernel", _conv1x1_to_dense),
+                (rf"{coder}\.{group}\.proj\.bias",
+                 rf"{coder}/{path}/proj/bias", None),
+            ]
+        # Resample spatial conv (Sequential index 1 in both directions)
+        rules += [
+            (rf"{coder}\.{stages}\.(\d+)\.resample\.1\.weight",
+             rf"{coder}/{stages}_\1/resample_conv/kernel", t_conv),
+            (rf"{coder}\.{stages}\.(\d+)\.resample\.1\.bias",
+             rf"{coder}/{stages}_\1/resample_conv/bias", None),
+            # coder conv1 / head
+            (rf"{coder}\.conv1\.weight", rf"{coder}/conv1/conv/kernel",
+             t_conv),
+            (rf"{coder}\.conv1\.bias", rf"{coder}/conv1/conv/bias", None),
+            (rf"{coder}\.head\.0\.gamma", rf"{coder}/head_norm/gamma",
+             _squeeze),
+            (rf"{coder}\.head\.2\.weight", rf"{coder}/head_conv/conv/kernel",
+             t_conv),
+            (rf"{coder}\.head\.2\.bias", rf"{coder}/head_conv/conv/bias",
+             None),
+        ]
+    rules += [
+        # downsample3d time conv: plain nn.Conv in WanResample
+        (r"encoder\.downsamples\.(\d+)\.time_conv\.weight",
+         r"encoder/downsamples_\1/time_conv/kernel", t_conv),
+        (r"encoder\.downsamples\.(\d+)\.time_conv\.bias",
+         r"encoder/downsamples_\1/time_conv/bias", None),
+        # upsample3d time conv: WanCausalConv3d (nested /conv)
+        (r"decoder\.upsamples\.(\d+)\.time_conv\.weight",
+         r"decoder/upsamples_\1/time_conv/conv/kernel", t_conv),
+        (r"decoder\.upsamples\.(\d+)\.time_conv\.bias",
+         r"decoder/upsamples_\1/time_conv/conv/bias", None),
+        # top-level moment/latent 1×1×1 convs
+        (r"conv1\.weight", r"conv1/conv/kernel", t_conv),
+        (r"conv1\.bias", r"conv1/conv/bias", None),
+        (r"conv2\.weight", r"conv2/conv/kernel", t_conv),
+        (r"conv2\.bias", r"conv2/conv/bias", None),
+    ]
+    return ConversionMap(rules)
+
+
+def hunyuan_vae_map() -> ConversionMap:
+    """HunyuanVideo AutoencoderKLCausal3D torch checkpoint names →
+    videotuna_tpu models/hunyuan/vae.HunyuanVAE tree (reference naming:
+    hyvideo_i2v/vae/vae.py — e.g.
+    ``encoder.down_blocks.0.resnets.0.conv1.conv.weight``)."""
+    rules: List[Tuple[str, str, Optional[Transform]]] = []
+
+    def resnet(src: str, dst: str):
+        out = []
+        for norm in ("norm1", "norm2"):
+            out += [
+                (rf"{src}\.{norm}\.weight", rf"{dst}/{norm}/scale", None),
+                (rf"{src}\.{norm}\.bias", rf"{dst}/{norm}/bias", None),
+            ]
+        for conv in ("conv1", "conv2", "conv_shortcut"):
+            out += [
+                (rf"{src}\.{conv}\.conv\.weight",
+                 rf"{dst}/{conv}/conv/kernel", t_conv),
+                (rf"{src}\.{conv}\.conv\.bias",
+                 rf"{dst}/{conv}/conv/bias", None),
+            ]
+        return out
+
+    for coder, blocks, stage in (("encoder", "down_blocks", "down"),
+                                 ("decoder", "up_blocks", "up")):
+        rules += resnet(rf"{coder}\.{blocks}\.(\d+)\.resnets\.(\d+)",
+                        rf"{coder}/{stage}_\1_res_\2")
+        rules += resnet(rf"{coder}\.mid_block\.resnets\.(\d+)",
+                        rf"{coder}/mid/resnet_\1")
+        attn = rf"{coder}\.mid_block\.attentions\.0"
+        mid = rf"{coder}/mid"
+        rules += [
+            (rf"{attn}\.group_norm\.weight",
+             rf"{mid}/attention_0/group_norm/scale", None),
+            (rf"{attn}\.group_norm\.bias",
+             rf"{mid}/attention_0/group_norm/bias", None),
+            (rf"{attn}\.to_(q|k|v)\.weight",
+             rf"{mid}/attention_0/to_\1/kernel", t_linear),
+            (rf"{attn}\.to_(q|k|v)\.bias",
+             rf"{mid}/attention_0/to_\1/bias", None),
+            (rf"{attn}\.to_out\.0\.weight",
+             rf"{mid}/attention_0/to_out/kernel", t_linear),
+            (rf"{attn}\.to_out\.0\.bias",
+             rf"{mid}/attention_0/to_out/bias", None),
+        ]
+        rules += [
+            (rf"{coder}\.conv_in\.conv\.weight",
+             rf"{coder}/conv_in/conv/kernel", t_conv),
+            (rf"{coder}\.conv_in\.conv\.bias",
+             rf"{coder}/conv_in/conv/bias", None),
+            (rf"{coder}\.conv_norm_out\.weight",
+             rf"{coder}/norm_out/scale", None),
+            (rf"{coder}\.conv_norm_out\.bias",
+             rf"{coder}/norm_out/bias", None),
+            (rf"{coder}\.conv_out\.conv\.weight",
+             rf"{coder}/conv_out/conv/kernel", t_conv),
+            (rf"{coder}\.conv_out\.conv\.bias",
+             rf"{coder}/conv_out/conv/bias", None),
+        ]
+    rules += [
+        (r"encoder\.down_blocks\.(\d+)\.downsamplers\.0\.conv\.conv"
+         r"\.weight", r"encoder/down_\1_downsampler/conv/kernel", t_conv),
+        (r"encoder\.down_blocks\.(\d+)\.downsamplers\.0\.conv\.conv"
+         r"\.bias", r"encoder/down_\1_downsampler/conv/bias", None),
+        (r"decoder\.up_blocks\.(\d+)\.upsamplers\.0\.conv\.conv\.weight",
+         r"decoder/up_\1_upsampler/conv/conv/kernel", t_conv),
+        (r"decoder\.up_blocks\.(\d+)\.upsamplers\.0\.conv\.conv\.bias",
+         r"decoder/up_\1_upsampler/conv/conv/bias", None),
+        (r"quant_conv\.weight", r"quant_conv/kernel", t_conv),
+        (r"quant_conv\.bias", r"quant_conv/bias", None),
+        (r"post_quant_conv\.weight", r"post_quant_conv/kernel", t_conv),
+        (r"post_quant_conv\.bias", r"post_quant_conv/bias", None),
+    ]
+    return ConversionMap(rules)
+
+
+def cogvideox_vae_map() -> ConversionMap:
+    """CogVideoX SAT VAE torch names (cogvideo_sat/vae_modules/
+    cp_enc_dec.py state_dict, e.g. ``encoder.down.0.block.0.conv1.conv
+    .weight``) → videotuna_tpu models/cogvideo/vae.CogVideoXVAE tree."""
+    rules: List[Tuple[str, str, Optional[Transform]]] = []
+
+    def resnet(src: str, dst: str, spatial_norm: bool):
+        out = []
+        for norm in ("norm1", "norm2"):
+            if spatial_norm:
+                out += [
+                    (rf"{src}\.{norm}\.norm_layer\.weight",
+                     rf"{dst}/{norm}/norm_layer/scale", None),
+                    (rf"{src}\.{norm}\.norm_layer\.bias",
+                     rf"{dst}/{norm}/norm_layer/bias", None),
+                    (rf"{src}\.{norm}\.conv_(?P<yb>y|b)\.conv\.weight",
+                     rf"{dst}/{norm}/conv_\g<yb>/conv/kernel", t_conv),
+                    (rf"{src}\.{norm}\.conv_(?P<yb>y|b)\.conv\.bias",
+                     rf"{dst}/{norm}/conv_\g<yb>/conv/bias", None),
+                ]
+            else:
+                out += [
+                    (rf"{src}\.{norm}\.weight", rf"{dst}/{norm}/scale",
+                     None),
+                    (rf"{src}\.{norm}\.bias", rf"{dst}/{norm}/bias", None),
+                ]
+        out += [
+            (rf"{src}\.conv(?P<ci>1|2)\.conv\.weight",
+             rf"{dst}/conv\g<ci>/conv/kernel", t_conv),
+            (rf"{src}\.conv(?P<ci>1|2)\.conv\.bias",
+             rf"{dst}/conv\g<ci>/conv/bias", None),
+            (rf"{src}\.nin_shortcut\.weight", rf"{dst}/nin_shortcut/kernel",
+             t_conv),
+            (rf"{src}\.nin_shortcut\.bias", rf"{dst}/nin_shortcut/bias",
+             None),
+        ]
+        return out
+
+    # encoder (plain GroupNorm)
+    rules += resnet(r"encoder\.down\.(\d+)\.block\.(\d+)",
+                    r"encoder/down_\1_block_\2", False)
+    rules += resnet(r"encoder\.mid\.block_(\d+)", r"encoder/mid_block_\1",
+                    False)
+    rules += [
+        (r"encoder\.down\.(\d+)\.downsample\.conv\.weight",
+         r"encoder/down_\1_downsample/conv/kernel", t_conv),
+        (r"encoder\.down\.(\d+)\.downsample\.conv\.bias",
+         r"encoder/down_\1_downsample/conv/bias", None),
+        (r"encoder\.conv_in\.conv\.weight", r"encoder/conv_in/conv/kernel",
+         t_conv),
+        (r"encoder\.conv_in\.conv\.bias", r"encoder/conv_in/conv/bias",
+         None),
+        (r"encoder\.norm_out\.weight", r"encoder/norm_out/scale", None),
+        (r"encoder\.norm_out\.bias", r"encoder/norm_out/bias", None),
+        (r"encoder\.conv_out\.conv\.weight",
+         r"encoder/conv_out/conv/kernel", t_conv),
+        (r"encoder\.conv_out\.conv\.bias", r"encoder/conv_out/conv/bias",
+         None),
+    ]
+    # decoder (zq-conditioned SpatialNorm3D everywhere)
+    rules += resnet(r"decoder\.up\.(\d+)\.block\.(\d+)",
+                    r"decoder/up_\1_block_\2", True)
+    rules += resnet(r"decoder\.mid\.block_(\d+)", r"decoder/mid_block_\1",
+                    True)
+    rules += [
+        (r"decoder\.up\.(\d+)\.upsample\.conv\.weight",
+         r"decoder/up_\1_upsample/conv/kernel", t_conv),
+        (r"decoder\.up\.(\d+)\.upsample\.conv\.bias",
+         r"decoder/up_\1_upsample/conv/bias", None),
+        (r"decoder\.conv_in\.conv\.weight", r"decoder/conv_in/conv/kernel",
+         t_conv),
+        (r"decoder\.conv_in\.conv\.bias", r"decoder/conv_in/conv/bias",
+         None),
+        (r"decoder\.norm_out\.norm_layer\.weight",
+         r"decoder/norm_out/norm_layer/scale", None),
+        (r"decoder\.norm_out\.norm_layer\.bias",
+         r"decoder/norm_out/norm_layer/bias", None),
+        (r"decoder\.norm_out\.conv_(y|b)\.conv\.weight",
+         r"decoder/norm_out/conv_\1/conv/kernel", t_conv),
+        (r"decoder\.norm_out\.conv_(y|b)\.conv\.bias",
+         r"decoder/norm_out/conv_\1/conv/bias", None),
+        (r"decoder\.conv_out\.conv\.weight",
+         r"decoder/conv_out/conv/kernel", t_conv),
+        (r"decoder\.conv_out\.conv\.bias", r"decoder/conv_out/conv/bias",
+         None),
+    ]
+    return ConversionMap(rules)
+
+
+# ---------------------------------------------------------------------------
+# Text-encoder maps (HF transformers torch checkpoints → our flax encoders).
+# Numerically gated in tests/test_text_encoder_parity.py against the actual
+# transformers torch models (the reference loads these exact checkpoints:
+# opensora t5.py, wan modules/t5.py:456, hyvideo text_encoder/__init__.py:610,
+# lvdm condition.py FrozenOpenCLIPEmbedder).
+# ---------------------------------------------------------------------------
+
+def _identity(a: np.ndarray) -> np.ndarray:
+    return a
+
+
+def t5_map(heads: int) -> ConversionMap:
+    """HF T5EncoderModel state_dict → videotuna_tpu T5Encoder tree."""
+    dg = t_dense_general(heads)
+    blk = r"encoder\.block\.(\d+)\.layer"
+    return ConversionMap([
+        (r"shared\.weight", r"token_embed/embedding", _identity),
+        (r"encoder\.embed_tokens\.weight", r"token_embed/embedding",
+         _identity),
+        (r"encoder\.block\.0\.layer\.0\.SelfAttention"
+         r"\.relative_attention_bias\.weight", r"rel_bias", _identity),
+        (rf"{blk}\.0\.SelfAttention\.(q|k|v)\.weight",
+         r"block_\1/attn/\2/kernel", dg),
+        (rf"{blk}\.0\.SelfAttention\.o\.weight",
+         r"block_\1/attn/o/kernel", t_linear),
+        (rf"{blk}\.0\.layer_norm\.weight", r"block_\1/norm1/scale", None),
+        (rf"{blk}\.1\.DenseReluDense\.wi_0\.weight",
+         r"block_\1/wi_0/kernel", t_linear),
+        (rf"{blk}\.1\.DenseReluDense\.wi_1\.weight",
+         r"block_\1/wi_1/kernel", t_linear),
+        (rf"{blk}\.1\.DenseReluDense\.wo\.weight",
+         r"block_\1/wo/kernel", t_linear),
+        (rf"{blk}\.1\.layer_norm\.weight", r"block_\1/norm2/scale", None),
+        (r"encoder\.final_layer_norm\.weight", r"final_norm/scale", None),
+    ])
+
+
+def clip_text_map(heads: int) -> ConversionMap:
+    """HF CLIPTextModel state_dict (``text_model.`` prefix) →
+    videotuna_tpu CLIPTextEncoder tree."""
+    dg = t_dense_general(heads)
+    dgb = t_dense_general_bias(heads)
+    lyr = r"text_model\.encoder\.layers\.(\d+)"
+    return ConversionMap([
+        (r"text_model\.embeddings\.token_embedding\.weight",
+         r"token_embed/embedding", _identity),
+        (r"text_model\.embeddings\.position_embedding\.weight",
+         r"pos_embed", _identity),
+        (rf"{lyr}\.layer_norm1\.weight", r"block_\1/ln1/scale", None),
+        (rf"{lyr}\.layer_norm1\.bias", r"block_\1/ln1/bias", None),
+        (rf"{lyr}\.self_attn\.(q|k|v)_proj\.weight",
+         r"block_\1/\2/kernel", dg),
+        (rf"{lyr}\.self_attn\.(q|k|v)_proj\.bias",
+         r"block_\1/\2/bias", dgb),
+        (rf"{lyr}\.self_attn\.out_proj\.weight",
+         r"block_\1/attn_out/kernel", t_linear),
+        (rf"{lyr}\.self_attn\.out_proj\.bias",
+         r"block_\1/attn_out/bias", None),
+        (rf"{lyr}\.layer_norm2\.weight", r"block_\1/ln2/scale", None),
+        (rf"{lyr}\.layer_norm2\.bias", r"block_\1/ln2/bias", None),
+        (rf"{lyr}\.mlp\.fc(1|2)\.weight", r"block_\1/fc\2/kernel",
+         t_linear),
+        (rf"{lyr}\.mlp\.fc(1|2)\.bias", r"block_\1/fc\2/bias", None),
+        (r"text_model\.final_layer_norm\.weight", r"ln_final/scale", None),
+        (r"text_model\.final_layer_norm\.bias", r"ln_final/bias", None),
+    ])
+
+
+def llama_map(heads: int, kv_heads: Optional[int] = None) -> ConversionMap:
+    """HF LlamaModel state_dict → videotuna_tpu LlamaTextEncoder tree."""
+    dg = t_dense_general(heads)
+    dgkv = t_dense_general(kv_heads or heads)
+    lyr = r"(?:model\.)?layers\.(\d+)"
+    return ConversionMap([
+        (r"(?:model\.)?embed_tokens\.weight", r"token_embed/embedding",
+         _identity),
+        (rf"{lyr}\.input_layernorm\.weight", r"block_\1/attn_norm/scale",
+         None),
+        (rf"{lyr}\.self_attn\.q_proj\.weight", r"block_\1/q/kernel", dg),
+        (rf"{lyr}\.self_attn\.k_proj\.weight", r"block_\1/k/kernel", dgkv),
+        (rf"{lyr}\.self_attn\.v_proj\.weight", r"block_\1/v/kernel", dgkv),
+        (rf"{lyr}\.self_attn\.o_proj\.weight", r"block_\1/o/kernel",
+         t_linear),
+        (rf"{lyr}\.post_attention_layernorm\.weight",
+         r"block_\1/mlp_norm/scale", None),
+        (rf"{lyr}\.mlp\.gate_proj\.weight", r"block_\1/gate/kernel",
+         t_linear),
+        (rf"{lyr}\.mlp\.up_proj\.weight", r"block_\1/up/kernel", t_linear),
+        (rf"{lyr}\.mlp\.down_proj\.weight", r"block_\1/down/kernel",
+         t_linear),
+        (r"(?:model\.)?norm\.weight", r"final_norm/scale", None),
+    ])
+
+
 def stack_blocks_for_scan(tree: Dict[str, Any], prefix: str = "block_",
                           out_key: str = "blocks") -> Dict[str, Any]:
     """Convert per-block entries (block_0..block_N) into the stacked layout
