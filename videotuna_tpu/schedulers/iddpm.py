@@ -59,11 +59,48 @@ def space_timesteps(num_timesteps: int,
     return sorted(set(all_steps))
 
 
+def p_mean_variance(sched: DDPMSchedule, model_out: jnp.ndarray,
+                    x: jnp.ndarray, t: jnp.ndarray):
+    """Split eps/variance channels of a 2·C model output; interpolate the
+    log-variance between β̃ (posterior) and β (reference LEARNED_RANGE,
+    iddpm3d.py:LEARNED_RANGE branch)."""
+    c = x.shape[-1]
+    eps, var_v = jnp.split(model_out, [c], axis=-1)
+    nd = x.ndim
+    min_log = extract_into(sched.posterior_log_variance_clipped, t, nd)
+    max_log = jnp.log(extract_into(sched.betas, t, nd))
+    frac = (var_v + 1.0) / 2.0
+    log_var = frac * max_log + (1.0 - frac) * min_log
+
+    x0 = sched.predict_start_from_noise(x, t, eps)
+    x0 = jnp.clip(x0, -1.0, 1.0)
+    mean, _, _ = sched.q_posterior(x0, x, t)
+    return mean, log_var
+
+
+def vb_loss_term(sched: DDPMSchedule, model_out, x_start, x_t, t):
+    """KL(q(x_{t-1}|x_t,x_0) ‖ p(x_{t-1}|x_t)) in bits, per sample — the vb
+    term of IDDPM's hybrid loss with the mean frozen (stop-gradient on eps)
+    so only the learned variance trains through it (iddpm3d.py:1366-1379)."""
+    c = x_start.shape[-1]
+    eps, _ = jnp.split(model_out, [c], axis=-1)
+    mean, log_var = p_mean_variance(
+        sched, jnp.concatenate([jax.lax.stop_gradient(eps),
+                                model_out[..., c:]], axis=-1), x_t, t)
+    true_mean, _, true_log_var = sched.q_posterior(x_start, x_t, t)
+    kl = 0.5 * (-1.0 + log_var - true_log_var
+                + jnp.exp(true_log_var - log_var)
+                + (true_mean - mean) ** 2 * jnp.exp(-log_var))
+    axes = tuple(range(1, x_start.ndim))
+    return jnp.mean(kl, axis=axes) / np.log(2.0)
+
+
 @struct.dataclass
 class SpacedSchedule:
     """Respaced DDPM with learned-variance sampling."""
     base: DDPMSchedule                    # rebuilt over the spaced betas
     timestep_map: jnp.ndarray             # (S,) spaced → original t
+    full: DDPMSchedule = None             # the unrespaced training chain
 
     @classmethod
     def create(cls, timesteps: int = 1000,
@@ -85,7 +122,8 @@ class SpacedSchedule:
             given_betas=jnp.asarray(new_betas, jnp.float32),
             timesteps=len(new_betas), parameterization=parameterization)
         return cls(base=spaced,
-                   timestep_map=jnp.asarray(sorted(use), jnp.int32))
+                   timestep_map=jnp.asarray(sorted(use), jnp.int32),
+                   full=full)
 
     @property
     def num_steps(self) -> int:
@@ -93,21 +131,7 @@ class SpacedSchedule:
 
     def p_mean_variance(self, model_out: jnp.ndarray, x: jnp.ndarray,
                         t: jnp.ndarray):
-        """Split eps/variance channels; interpolate log-variance between
-        β̃ (posterior) and β (reference LEARNED_RANGE)."""
-        c = x.shape[-1]
-        eps, var_v = jnp.split(model_out, [c], axis=-1)
-        nd = x.ndim
-        min_log = extract_into(self.base.posterior_log_variance_clipped,
-                               t, nd)
-        max_log = jnp.log(extract_into(self.base.betas, t, nd))
-        frac = (var_v + 1.0) / 2.0
-        log_var = frac * max_log + (1.0 - frac) * min_log
-
-        x0 = self.base.predict_start_from_noise(x, t, eps)
-        x0 = jnp.clip(x0, -1.0, 1.0)
-        mean, _, _ = self.base.q_posterior(x0, x, t)
-        return mean, log_var
+        return p_mean_variance(self.base, model_out, x, t)
 
     def sample(self, denoise_fn: DenoiseFn, shape, key,
                x_T: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -138,19 +162,8 @@ class SpacedSchedule:
         return out
 
     def vb_loss_term(self, model_out, x_start, x_t, t, key=None):
-        """KL(q(x_{t-1}|x_t,x_0) ‖ p(x_{t-1}|x_t)) in bits — the vb term of
-        the hybrid loss (frozen mean, learned variance only)."""
-        c = x_start.shape[-1]
-        eps, _ = jnp.split(model_out, [c], axis=-1)
-        mean, log_var = self.p_mean_variance(
-            jnp.concatenate([jax.lax.stop_gradient(eps),
-                             model_out[..., c:]], axis=-1), x_t, t)
-        true_mean, _, true_log_var = self.base.q_posterior(x_start, x_t, t)
-        kl = 0.5 * (-1.0 + log_var - true_log_var
-                    + jnp.exp(true_log_var - log_var)
-                    + (true_mean - mean) ** 2 * jnp.exp(-log_var))
-        axes = tuple(range(1, x_start.ndim))
-        return jnp.mean(kl, axis=axes) / np.log(2.0)
+        """Hybrid-loss vb term against the respaced chain."""
+        return vb_loss_term(self.base, model_out, x_start, x_t, t)
 
 
 @register("videotuna_tpu.schedulers.SpacedSchedule",

@@ -106,24 +106,33 @@ def split_qkv(w: np.ndarray, n: int = 3) -> List[np.ndarray]:
     return list(np.split(w, n, axis=0))
 
 
+def preprocess_split_fused(sd: Dict[str, np.ndarray],
+                           pattern: str,
+                           token: str,
+                           names: Sequence[str]
+                           ) -> Dict[str, np.ndarray]:
+    """Rewrite fused projections into separate entries BEFORE rule mapping:
+    any key matching ``pattern`` (and containing ``token``) is split along
+    dim 0 into len(names) parts, each re-keyed with ``token`` → name.
+    Applies to both .weight and .bias."""
+    rx = re.compile(pattern)
+    out: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        if rx.search(key) and token in key:
+            parts = np.split(val, len(names), axis=0)
+            for name, part in zip(names, parts):
+                out[key.replace(token, name)] = part
+        else:
+            out[key] = val
+    return out
+
+
 def preprocess_split_fused_qkv(sd: Dict[str, np.ndarray],
                                pattern: str,
                                names: Sequence[str] = ("q", "k", "v")
                                ) -> Dict[str, np.ndarray]:
-    """Rewrite fused attention projections into separate entries BEFORE rule
-    mapping: any key matching ``pattern`` (must contain the literal ``qkv``)
-    is split along dim 0 into len(names) parts, each re-keyed with ``qkv`` →
-    name. Applies to both .weight and .bias."""
-    rx = re.compile(pattern)
-    out: Dict[str, np.ndarray] = {}
-    for key, val in sd.items():
-        if rx.search(key) and "qkv" in key:
-            parts = np.split(val, len(names), axis=0)
-            for name, part in zip(names, parts):
-                out[key.replace("qkv", name)] = part
-        else:
-            out[key] = val
-    return out
+    """Fused-qkv specialization of :func:`preprocess_split_fused`."""
+    return preprocess_split_fused(sd, pattern, "qkv", names)
 
 
 def inflate_conv2d_to_3d(w2d: np.ndarray, kt: int = 3,
@@ -283,6 +292,16 @@ def stdit_map(heads: int = 16) -> ConversionMap:
          r"block_\1/cross_attn/out/kernel", t_linear),
         (r"blocks\.(\d+)\.cross_attn\.proj\.bias",
          r"block_\1/cross_attn/out/bias", None),
+        # fused kv_linear pre-split via preprocess_split_fused(sd,
+        # r"cross_attn\.kv_linear", "kv_linear", ("k_linear", "v_linear"))
+        (r"blocks\.(\d+)\.cross_attn\.k_linear\.weight",
+         r"block_\1/cross_attn/k/kernel", dg),
+        (r"blocks\.(\d+)\.cross_attn\.k_linear\.bias",
+         r"block_\1/cross_attn/k/bias", dgb),
+        (r"blocks\.(\d+)\.cross_attn\.v_linear\.weight",
+         r"block_\1/cross_attn/v/kernel", dg),
+        (r"blocks\.(\d+)\.cross_attn\.v_linear\.bias",
+         r"block_\1/cross_attn/v/bias", dgb),
         # mlp
         (r"blocks\.(\d+)\.mlp\.fc1\.weight",
          r"block_\1/mlp/fc1/kernel", t_linear),
