@@ -125,6 +125,7 @@ def populate() -> None:
         "videotuna_tpu.models.wan.dit",
         "videotuna_tpu.models.stepvideo.dit",
         "videotuna_tpu.models.flux.dit",
+        "videotuna_tpu.models.mochi.dit",
         "videotuna_tpu.schedulers",
         "videotuna_tpu.flows",
         "videotuna_tpu.data.datasets",

@@ -588,6 +588,87 @@ def cogvideox_map(heads: int = 30) -> ConversionMap:
     ])
 
 
+def _patch_conv2d_to_dense(w: np.ndarray) -> np.ndarray:
+    """Patch-embed Conv2d (out, in, kh, kw) with stride == kernel → Dense
+    kernel over tokens flattened (kh, kw, in) → out."""
+    out = w.shape[0]
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0).reshape(-1, out))
+
+
+def mochi_map(heads: int = 24) -> ConversionMap:
+    """diffusers ``MochiTransformer3DModel`` names (genmo/mochi-1-preview,
+    the backbone behind the reference's MochiPipeline path —
+    /root/reference/scripts/inference_mochi.py:24-26) → videotuna_tpu
+    MochiDiT tree. The last transformer block has no
+    to_add_out/ff_context/norm1_context gates (update_y=False) — its
+    norm1_context.linear maps onto the scale-only ``mod_y``."""
+    dg = t_dense_general(heads)
+    blk = r"transformer_blocks\.(\d+)\."
+    return ConversionMap([
+        (r"patch_embed\.proj\.weight", r"patch_embed/kernel",
+         _patch_conv2d_to_dense),
+        (r"patch_embed\.proj\.bias", r"patch_embed/bias", None),
+        (r"time_embed\.timestep_embedder\.linear_1\.weight",
+         r"t_embedder/fc1/kernel", t_linear),
+        (r"time_embed\.timestep_embedder\.linear_1\.bias",
+         r"t_embedder/fc1/bias", None),
+        (r"time_embed\.timestep_embedder\.linear_2\.weight",
+         r"t_embedder/fc2/kernel", t_linear),
+        (r"time_embed\.timestep_embedder\.linear_2\.bias",
+         r"t_embedder/fc2/bias", None),
+        (r"time_embed\.pooler\.to_kv\.weight", r"t5_pool/to_kv/kernel",
+         t_linear),
+        (r"time_embed\.pooler\.to_kv\.bias", r"t5_pool/to_kv/bias", None),
+        (r"time_embed\.pooler\.to_q\.weight", r"t5_pool/to_q/kernel",
+         t_linear),
+        (r"time_embed\.pooler\.to_q\.bias", r"t5_pool/to_q/bias", None),
+        (r"time_embed\.pooler\.to_out\.weight", r"t5_pool/to_out/kernel",
+         t_linear),
+        (r"time_embed\.pooler\.to_out\.bias", r"t5_pool/to_out/bias", None),
+        (r"time_embed\.caption_proj\.weight", r"caption_proj/kernel",
+         t_linear),
+        (r"time_embed\.caption_proj\.bias", r"caption_proj/bias", None),
+        (r"pos_frequencies", r"pos_frequencies", _identity),
+        (blk + r"norm1\.linear\.weight", r"block_\1/mod_x/kernel",
+         t_linear),
+        (blk + r"norm1\.linear\.bias", r"block_\1/mod_x/bias", None),
+        (blk + r"norm1_context\.linear\.weight", r"block_\1/mod_y/kernel",
+         t_linear),
+        (blk + r"norm1_context\.linear\.bias", r"block_\1/mod_y/bias",
+         None),
+        (blk + r"attn1\.to_q\.weight", r"block_\1/q_x/kernel", dg),
+        (blk + r"attn1\.to_k\.weight", r"block_\1/k_x/kernel", dg),
+        (blk + r"attn1\.to_v\.weight", r"block_\1/v_x/kernel", dg),
+        (blk + r"attn1\.norm_q\.weight", r"block_\1/norm_q_x/scale", None),
+        (blk + r"attn1\.norm_k\.weight", r"block_\1/norm_k_x/scale", None),
+        (blk + r"attn1\.add_q_proj\.weight", r"block_\1/q_y/kernel", dg),
+        (blk + r"attn1\.add_k_proj\.weight", r"block_\1/k_y/kernel", dg),
+        (blk + r"attn1\.add_v_proj\.weight", r"block_\1/v_y/kernel", dg),
+        (blk + r"attn1\.norm_added_q\.weight", r"block_\1/norm_q_y/scale",
+         None),
+        (blk + r"attn1\.norm_added_k\.weight", r"block_\1/norm_k_y/scale",
+         None),
+        (blk + r"attn1\.to_out\.0\.weight", r"block_\1/proj_x/kernel",
+         t_linear),
+        (blk + r"attn1\.to_out\.0\.bias", r"block_\1/proj_x/bias", None),
+        (blk + r"attn1\.to_add_out\.weight", r"block_\1/proj_y/kernel",
+         t_linear),
+        (blk + r"attn1\.to_add_out\.bias", r"block_\1/proj_y/bias", None),
+        (blk + r"ff\.net\.0\.proj\.weight", r"block_\1/ff_x_in/kernel",
+         t_linear),
+        (blk + r"ff\.net\.2\.weight", r"block_\1/ff_x_out/kernel",
+         t_linear),
+        (blk + r"ff_context\.net\.0\.proj\.weight",
+         r"block_\1/ff_y_in/kernel", t_linear),
+        (blk + r"ff_context\.net\.2\.weight", r"block_\1/ff_y_out/kernel",
+         t_linear),
+        (r"norm_out\.linear\.weight", r"final_mod/kernel", t_linear),
+        (r"norm_out\.linear\.bias", r"final_mod/bias", None),
+        (r"proj_out\.weight", r"final_proj/kernel", t_linear),
+        (r"proj_out\.bias", r"final_proj/bias", None),
+    ])
+
+
 def _squeeze(a: np.ndarray) -> np.ndarray:
     return a.reshape(-1)
 
@@ -941,20 +1022,25 @@ def llama_map(heads: int, kv_heads: Optional[int] = None) -> ConversionMap:
 
 
 def stack_blocks_for_scan(tree: Dict[str, Any], prefix: str = "block_",
-                          out_key: str = "blocks") -> Dict[str, Any]:
+                          out_key: str = "blocks",
+                          exclude: Sequence[int] = ()) -> Dict[str, Any]:
     """Convert per-block entries (block_0..block_N) into the stacked layout
-    nn.scan expects."""
+    nn.scan expects. ``exclude`` keeps the named indices un-stacked (e.g.
+    Mochi's final update_y=False block, whose params differ in shape)."""
     import jax
     import jax.numpy as jnp
+    skip = set(exclude)
     idxs = sorted(int(k[len(prefix):]) for k in tree
-                  if k.startswith(prefix) and k[len(prefix):].isdigit())
+                  if k.startswith(prefix) and k[len(prefix):].isdigit()
+                  and int(k[len(prefix):]) not in skip)
     if not idxs:
         return tree
     blocks = [tree[f"{prefix}{i}"] for i in idxs]
     stacked = jax.tree.map(lambda *xs: jnp.stack(
         [jnp.asarray(x) for x in xs]), *blocks)
     out = {k: v for k, v in tree.items()
-           if not (k.startswith(prefix) and k[len(prefix):].isdigit())}
+           if not (k.startswith(prefix) and k[len(prefix):].isdigit()
+                   and int(k[len(prefix):]) not in skip)}
     out[out_key] = stacked
     return out
 
