@@ -44,14 +44,38 @@ def save_videos_vbench(videos: Sequence[np.ndarray],
     return paths
 
 
+def _load_info(vdir: Path) -> Dict[str, Dict]:
+    """info.json (save_videos_vbench format) → {video_name: {prompt,
+    auxiliary_info}}."""
+    info_path = vdir / "info.json"
+    if not info_path.exists():
+        return {}
+    with open(info_path) as f:
+        entries = json.load(f)
+    mapping: Dict[str, Dict] = {}
+    for e in entries:
+        for name in e.get("video_list", []):
+            mapping[name] = {"prompt": e.get("prompt_en", ""),
+                             "aux": e.get("auxiliary_info")}
+    return mapping
+
+
 def evaluate_directory(videos_dir: str,
                        dimensions: Optional[List[str]] = None,
                        output_path: Optional[str] = None,
-                       max_frames: int = 64) -> Dict:
-    """Score every video in a directory; write final_results.json."""
-    dims = dimensions or list(STANDARD_DIMENSIONS)
+                       max_frames: int = 64,
+                       scorer=None,
+                       aesthetic_params=None) -> Dict:
+    """Score every video in a directory; write final_results.json.
+
+    With ``scorer`` (a ``CLIPScorer``) and an ``info.json`` prompt map in
+    the directory, the semantic dimensions + real aesthetic_quality are
+    emitted too — all 16 VBench dimensions (proxies suffixed
+    ``_proxy``)."""
+    dims = dimensions
     results: Dict[str, Dict[str, float]] = {}
     vdir = Path(videos_dir)
+    info = _load_info(vdir) if scorer is not None else {}
     files = sorted([p for p in vdir.iterdir()
                     if p.suffix in (".mp4", ".avi", ".mkv", ".npy")])
     for p in files:
@@ -60,10 +84,15 @@ def evaluate_directory(videos_dir: str,
         except Exception as e:
             results[p.name] = {"error": str(e)}
             continue
-        results[p.name] = evaluate_video(video, dims)
+        meta = info.get(p.name, {})
+        results[p.name] = evaluate_video(
+            video, dims, scorer=scorer, prompt=meta.get("prompt"),
+            aux=meta.get("aux"), aesthetic_params=aesthetic_params)
 
+    all_dims = sorted({d for r in results.values() for d in r
+                       if d != "error"})
     summary = {}
-    for d in dims:
+    for d in all_dims:
         vals = [r[d] for r in results.values() if d in r]
         summary[d] = float(np.mean(vals)) if vals else None
     final = {"per_video": results, "summary": summary,
@@ -97,8 +126,29 @@ def main(argv=None):
     ap.add_argument("--videos", required=True)
     ap.add_argument("--dimensions", nargs="*", default=None)
     ap.add_argument("--output", default=None)
+    ap.add_argument("--clip_vision", default=None,
+                    help="HF CLIPVisionModelWithProjection ckpt "
+                         "(enables semantic dims + real aesthetic)")
+    ap.add_argument("--clip_text", default=None,
+                    help="HF CLIPTextModelWithProjection ckpt")
+    ap.add_argument("--aesthetic", default=None,
+                    help="LAION aesthetic-MLP ckpt")
+    ap.add_argument("--tokenizer", default=None)
     args = ap.parse_args(argv)
-    final = evaluate_directory(args.videos, args.dimensions, args.output)
+    scorer = None
+    aes = None
+    if args.clip_vision and args.clip_text:
+        from videotuna_tpu.evalkit.semantic import CLIPScorer
+        scorer = CLIPScorer.from_pretrained(args.clip_vision,
+                                            args.clip_text,
+                                            tokenizer=args.tokenizer)
+        if args.aesthetic:
+            from videotuna_tpu.tools.convert_weights import (
+                aesthetic_map, load_torch_state_dict)
+            aes = aesthetic_map().convert(
+                load_torch_state_dict(args.aesthetic))
+    final = evaluate_directory(args.videos, args.dimensions, args.output,
+                               scorer=scorer, aesthetic_params=aes)
     print(tabular_score(final))
     return final
 

@@ -995,6 +995,58 @@ def clip_text_map(heads: int) -> ConversionMap:
     ])
 
 
+def clip_vision_map(heads: int) -> ConversionMap:
+    """HF ``CLIPVisionModelWithProjection`` state_dict → videotuna_tpu
+    CLIPVisionEncoder tree (perception backbone for VBench semantics,
+    aesthetic predictor, RLHF rewards)."""
+    dg = t_dense_general(heads)
+    dgb = t_dense_general_bias(heads)
+    lyr = r"vision_model\.encoder\.layers\.(\d+)"
+    return ConversionMap([
+        (r"vision_model\.embeddings\.class_embedding",
+         r"class_embedding", _identity),
+        (r"vision_model\.embeddings\.patch_embedding\.weight",
+         r"patch_embed/kernel", t_conv),
+        (r"vision_model\.embeddings\.position_embedding\.weight",
+         r"pos_embed", _identity),
+        # HF ships this layer with the historical typo "pre_layrnorm"
+        (r"vision_model\.pre_layr?norm\.weight", r"pre_ln/scale", None),
+        (r"vision_model\.pre_layr?norm\.bias", r"pre_ln/bias", None),
+        (rf"{lyr}\.layer_norm1\.weight", r"block_\1/ln1/scale", None),
+        (rf"{lyr}\.layer_norm1\.bias", r"block_\1/ln1/bias", None),
+        (rf"{lyr}\.self_attn\.(q|k|v)_proj\.weight",
+         r"block_\1/\2/kernel", dg),
+        (rf"{lyr}\.self_attn\.(q|k|v)_proj\.bias",
+         r"block_\1/\2/bias", dgb),
+        (rf"{lyr}\.self_attn\.out_proj\.weight",
+         r"block_\1/attn_out/kernel", t_linear),
+        (rf"{lyr}\.self_attn\.out_proj\.bias",
+         r"block_\1/attn_out/bias", None),
+        (rf"{lyr}\.layer_norm2\.weight", r"block_\1/ln2/scale", None),
+        (rf"{lyr}\.layer_norm2\.bias", r"block_\1/ln2/bias", None),
+        (rf"{lyr}\.mlp\.fc(1|2)\.weight", r"block_\1/fc\2/kernel",
+         t_linear),
+        (rf"{lyr}\.mlp\.fc(1|2)\.bias", r"block_\1/fc\2/bias", None),
+        (r"vision_model\.post_layernorm\.weight", r"post_ln/scale", None),
+        (r"vision_model\.post_layernorm\.bias", r"post_ln/bias", None),
+        (r"visual_projection\.weight", r"proj/kernel", t_linear),
+    ])
+
+
+def aesthetic_map() -> ConversionMap:
+    """LAION ``sac+logos+ava1`` aesthetic-MLP state dict (``layers.N.*``
+    Sequential: Linear 768→1024→128→64→16→1 with dropouts at odd indices)
+    → videotuna_tpu AestheticPredictor tree."""
+    idx_to_name = {0: "fc0", 2: "fc1", 4: "fc2", 6: "fc3", 7: "out"}
+    rules = []
+    for i, name in idx_to_name.items():
+        rules += [
+            (rf"layers\.{i}\.weight", rf"{name}/kernel", t_linear),
+            (rf"layers\.{i}\.bias", rf"{name}/bias", None),
+        ]
+    return ConversionMap(rules)
+
+
 def llama_map(heads: int, kv_heads: Optional[int] = None) -> ConversionMap:
     """HF LlamaModel state_dict → videotuna_tpu LlamaTextEncoder tree."""
     dg = t_dense_general(heads)

@@ -31,10 +31,10 @@ RewardFn = Callable[[jnp.ndarray], jnp.ndarray]   # frames (B,T,H,W,3)→(B,)
 # Differentiable rewards (reference reward_fn.py aesthetic/HPS analogues)
 # ---------------------------------------------------------------------------
 
-def aesthetic_reward(frames: jnp.ndarray) -> jnp.ndarray:
-    """Differentiable aesthetic proxy: rewards contrast + saturation and
-    penalizes clipping. Swap for a learned predictor (LAION-aesthetic head)
-    via ``model_reward`` for leaderboard-grade RLHF."""
+def aesthetic_proxy_reward(frames: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable aesthetic PROXY (contrast + saturation − clipping) —
+    weight-free stand-in; the real reward is
+    ``make_clip_aesthetic_reward`` below."""
     contrast = jnp.std(frames, axis=(2, 3))          # (B, T, C)
     sat = jnp.std(frames, axis=-1)                   # (B, T, H, W)
     clip_pen = jnp.mean(jnp.maximum(jnp.abs(frames) - 0.95, 0.0),
@@ -42,6 +42,10 @@ def aesthetic_reward(frames: jnp.ndarray) -> jnp.ndarray:
     return (jnp.mean(contrast, axis=(1, 2))
             + 0.5 * jnp.mean(sat, axis=(1, 2, 3))
             - 5.0 * clip_pen)
+
+
+# backwards-compatible alias (pre-r2 name)
+aesthetic_reward = aesthetic_proxy_reward
 
 
 def brightness_reward(frames: jnp.ndarray) -> jnp.ndarray:
@@ -61,9 +65,50 @@ def model_reward(apply_fn: Callable, params: Any,
     return fn
 
 
+def make_clip_aesthetic_reward(vision_params: Any, aesthetic_params: Any,
+                               vision=None,
+                               frame_stride: int = 4) -> RewardFn:
+    """The reference's actual aesthetic reward (reward_fn.py:793 —
+    LAION MLP over CLIP ViT-L/14 embeddings), fully differentiable
+    through the JAX CLIP tower. Params come from
+    ``tools/convert_weights.clip_vision_map`` / ``aesthetic_map``."""
+    from videotuna_tpu.models.clip_vision import (AestheticPredictor,
+                                                  CLIPVisionEncoder,
+                                                  preprocess_frames)
+    vision = vision or CLIPVisionEncoder()
+    pred = AestheticPredictor()
+
+    def score_images(_, images):
+        x = preprocess_frames(images, vision.image_size)
+        emb = vision.apply({"params": vision_params}, x)
+        return pred.apply({"params": aesthetic_params}, emb)
+
+    return model_reward(score_images, None, frame_stride)
+
+
+def make_hps_reward(vision_params: Any, text_embed: jnp.ndarray,
+                    vision=None, frame_stride: int = 4) -> RewardFn:
+    """HPS-style reward: CLIP image↔prompt alignment (HPSv2 is a
+    fine-tuned CLIP — load its vision tower through the same conversion
+    map). ``text_embed``: (D,) L2-normalized prompt embedding."""
+    from videotuna_tpu.models.clip_vision import (CLIPVisionEncoder,
+                                                  preprocess_frames)
+    vision = vision or CLIPVisionEncoder()
+
+    def score_images(_, images):
+        x = preprocess_frames(images, vision.image_size)
+        emb = vision.apply({"params": vision_params}, x)
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+        return emb @ text_embed
+
+    return model_reward(score_images, None, frame_stride)
+
+
 REWARD_REGISTRY: Dict[str, RewardFn] = {
-    "aesthetic": aesthetic_reward,
-    "brightness": brightness_reward,
+    "aesthetic_proxy": aesthetic_proxy_reward,
+    "aesthetic": aesthetic_proxy_reward,   # swapped for the CLIP reward
+    "brightness": brightness_reward,       # when weights are provided
 }
 
 
