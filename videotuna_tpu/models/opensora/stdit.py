@@ -177,37 +177,73 @@ class STDiT(nn.Module):
         return self.in_channels * 2 if self.pred_sigma else self.in_channels
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, timestep: jnp.ndarray,
-                 y: jnp.ndarray,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: Optional[jnp.ndarray] = None,
+                 timestep: Optional[jnp.ndarray] = None,
+                 y: Optional[jnp.ndarray] = None,
+                 mask: Optional[jnp.ndarray] = None,
+                 stage: str = "all",
+                 tok: Optional[jnp.ndarray] = None,
+                 t6: Optional[jnp.ndarray] = None,
+                 t_emb: Optional[jnp.ndarray] = None,
+                 use_tpe: bool = True) -> Any:
         """x: (B, T, H, W, C) latents; timestep: (B,); y: (B, L, C_cap) text
-        states; mask: (B, L) bool. Returns (B, T, H, W, C_out)."""
-        b, t_in, h_in, w_in, _ = x.shape
+        states; mask: (B, L) bool. Returns (B, T, H, W, C_out).
+
+        ``stage`` partitions the SAME forward into separately-jittable
+        pieces (bench.py's remote-compile workaround runs embed → 7×4-layer
+        block chunks → head as chained programs — every stage executes THIS
+        class's code, so the bench cannot drift from the model):
+        - "all" (default): full forward;
+        - "embed": → (tok, t6, y_emb, t_emb);
+        - "blocks": runs this instance's ``depth`` blocks on ``tok`` given
+          (y_emb, t6); for a sub-stack, instantiate with depth=K and feed a
+          K-layer slice of the scanned block params; ``use_tpe`` gates the
+          temporal pos-embed (first chunk only);
+        - "head": T2I final layer on ``tok`` given ``t_emb``.
+        """
+        b = x.shape[0] if stage in ("all", "embed") else tok.shape[0]
         pt, ph, pw = self.patch_size
+        if stage in ("all", "embed"):
+            t_in, h_in, w_in = x.shape[1:4]
+        else:
+            t_in, h_in, w_in = self.input_size
         tt, hh, ww = t_in // pt, h_in // ph, w_in // pw
         ss = hh * ww
 
-        x = x.astype(self.dtype)
-        tok = PatchEmbed3D(self.hidden_size, self.patch_size,
-                           dtype=self.dtype, flatten=False, name="x_embedder")(x)
-        tok = tok.reshape(b, tt, ss, self.hidden_size)
-
-        pos = sincos_pos_embed_2d(self.hidden_size, hh, ww, self.space_scale)
-        tok = tok + pos[None, None].astype(self.dtype)
         tpe = sincos_pos_embed_1d(self.hidden_size, tt, self.time_scale)
 
-        t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype,
-                                 name="t_embedder")(timestep)
-        t6 = nn.Dense(6 * self.hidden_size, dtype=self.dtype,
-                      name="t_block")(nn.silu(t_emb))
-        t6 = t6.reshape(b, 6, self.hidden_size)
+        if stage in ("all", "embed"):
+            x = x.astype(self.dtype)
+            tok = PatchEmbed3D(self.hidden_size, self.patch_size,
+                               dtype=self.dtype, flatten=False,
+                               name="x_embedder")(x)
+            tok = tok.reshape(b, tt, ss, self.hidden_size)
+            pos = sincos_pos_embed_2d(self.hidden_size, hh, ww,
+                                      self.space_scale)
+            tok = tok + pos[None, None].astype(self.dtype)
 
-        y = nn.Dense(self.hidden_size, dtype=self.dtype,
-                     name="y_proj1")(y.astype(self.dtype))
-        y = nn.gelu(y, approximate=True)
-        y = nn.Dense(self.hidden_size, dtype=self.dtype, name="y_proj2")(y)
+            t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype,
+                                     name="t_embedder")(timestep)
+            t6 = nn.Dense(6 * self.hidden_size, dtype=self.dtype,
+                          name="t_block")(nn.silu(t_emb))
+            t6 = t6.reshape(b, 6, self.hidden_size)
 
-        if self.scan_blocks:
+            y = nn.Dense(self.hidden_size, dtype=self.dtype,
+                         name="y_proj1")(y.astype(self.dtype))
+            y = nn.gelu(y, approximate=True)
+            y = nn.Dense(self.hidden_size, dtype=self.dtype,
+                         name="y_proj2")(y)
+            if stage == "embed":
+                return tok, t6, y, t_emb
+        elif stage == "blocks":
+            if not use_tpe:
+                tpe = None
+        elif stage != "head":
+            raise ValueError(f"unknown stage {stage}")
+
+        if stage == "head":
+            pass
+        elif self.scan_blocks:
             cell_cls = STDiTBlock
             if self.remat:
                 cell_cls = nn.remat(STDiTBlock, prevent_cse=False)
@@ -236,6 +272,9 @@ class STDiT(nn.Module):
                                 temporal_rope=self.temporal_rope,
                                 name=f"block_{i}")(
                     tok, y, t6, y_mask=mask, tpe=tpe if i == 0 else None)
+
+        if stage == "blocks":
+            return tok
 
         # T2I final layer (reference T2IFinalLayer)
         final_table = self.param(
