@@ -114,25 +114,182 @@ def _bench_full():
     return N_STEPS / elapsed, "single-jit fwd"
 
 
+# ---------------------------------------------------------------------------
+# North-star suite: CogVideoX-5B-class / Hunyuan-13B-class denoise + MFU,
+# end-to-end videos/min incl. VAE decode (BASELINE.md README.md:171-177)
+# ---------------------------------------------------------------------------
+
+V5E_PEAK_BF16 = 1.97e14                # TPU v5e peak bf16 FLOP/s per chip
+
+
+def _dit_flops(seq: int, dim: int, depth: int, batch: int,
+               mlp_ratio: float = 4.0) -> float:
+    """Analytic forward FLOPs of a standard DiT stack: per layer
+    qkv+out (8·s·d²) + MLP (4r·s·d²) + attention (4·s²·d)."""
+    per_layer = (8 + 4 * mlp_ratio) * seq * dim * dim + 4 * seq * seq * dim
+    return float(batch * depth * per_layer)
+
+
+def _chain_and_time(step, x0, n_steps: int):
+    _sync(step(x0))                    # compile + warm + sync
+    t0 = time.perf_counter()
+    cur = x0
+    for _ in range(n_steps):
+        cur = step(cur)
+    _sync(cur)
+    return n_steps / (time.perf_counter() - t0)
+
+
+def _bench_cogvideox5b(depth: int = 42, n_steps: int = 8,
+                       frames: int = 13, hh: int = 60, ww: int = 90,
+                       dim: int = 3072, heads: int = 48):
+    """CogVideoX-5B class (dim 3072, 48 heads) at the north-star 49f
+    480×720 geometry: latents 13×60×90 → 17 550 video tokens + 226 text,
+    CFG-doubled. H800 baseline: 2 min/video ⇒ ≥0.42 denoise steps/s
+    (BASELINE.md README.md:175)."""
+    from videotuna_tpu.models.cogvideo.mmdit import CogVideoXTransformer
+    model = CogVideoXTransformer(dim=dim, num_layers=depth, heads=heads,
+                                 dtype=jnp.bfloat16, scan_blocks=True)
+    b = 2
+    x = jnp.zeros((b, frames, hh, ww, 16))
+    t = jnp.zeros((b,), jnp.int32)
+    y = jnp.zeros((b, 226, 4096))
+    params = jax.jit(model.init)(jax.random.key(0), x, t, y)["params"]
+
+    @jax.jit
+    def step(x):
+        return model.apply({"params": params}, x, t, y)[..., :16] \
+            .astype(x.dtype)
+
+    sps = _chain_and_time(step, x, n_steps)
+    seq = frames * (hh // 2) * (ww // 2) + 226
+    mfu = _dit_flops(seq, dim, depth, b) * sps / V5E_PEAK_BF16
+    return {"metric": "cogvideox5b_denoise_steps_per_sec_per_chip",
+            "value": round(sps, 3),
+            "unit": f"steps/s (CFG-doubled, 13x60x90 latents, depth "
+                    f"{depth}, bf16)",
+            "mfu": round(mfu, 3),
+            "vs_baseline": round(sps / (50.0 / 120.0), 3)}
+
+
+def _bench_hunyuan13b(double: int = 5, single: int = 10, n_steps: int = 4,
+                      frames: int = 17, hh: int = 60, ww: int = 80,
+                      dim: int = 3072, heads: int = 24):
+    """Hunyuan-13B class (dim 3072, 24 heads, full 3D attention) scaled to
+    1/4 depth so bf16 params fit one v5e chip; step time extrapolates
+    linearly in depth (blocks dominate). Geometry: 65f 480×640 → 20 400
+    video tokens + 256 text."""
+    from videotuna_tpu.models.hunyuan.dit import HYVideoDiT
+    model = HYVideoDiT(dim=dim, heads=heads, double_blocks=double,
+                       single_blocks=single, dtype=jnp.bfloat16,
+                       scan_blocks=True)
+    b = 1                              # CFG-distilled: single forward
+    x = jnp.zeros((b, frames, hh, ww, 16))
+    t = jnp.zeros((b,))
+    y = jnp.zeros((b, 256, 4096))
+    pooled = jnp.zeros((b, 768))
+    mask = jnp.ones((b, 256), bool)
+    params = jax.jit(model.init)(jax.random.key(0), x, t, y, pooled,
+                                 mask)["params"]
+
+    @jax.jit
+    def step(x):
+        return model.apply({"params": params}, x, t, y, pooled,
+                           mask)[..., :16].astype(x.dtype)
+
+    sps = _chain_and_time(step, x, n_steps)
+    # single-stream blocks cost ≈ half a double block; extrapolate steps/s
+    # linearly in equivalent depth (blocks dominate the step)
+    full_sps = sps * (double + single / 2) / (20 + 40 / 2)
+    seq = frames * (hh // 2) * (ww // 2) + 256
+    mfu = _dit_flops(seq, dim, double + single // 2, b) * sps \
+        / V5E_PEAK_BF16
+    return {"metric": "hunyuan13b_class_denoise_steps_per_sec_per_chip",
+            "value": round(sps, 3),
+            "unit": f"steps/s ({double}dbl+{single}sgl blocks, 17x60x80 "
+                    f"latents, bf16; full-depth extrapolation "
+                    f"{round(full_sps, 3)} steps/s)",
+            "mfu": round(mfu, 3),
+            "full_depth_steps_per_sec": round(full_sps, 4)}
+
+
+def _bench_vae_decode(frames: int = 13, hh: int = 60, ww: int = 90,
+                      n_reps: int = 3):
+    """Causal-3D VAE decode at the 49f 480×720 north-star geometry
+    (13×60×90×16 latents → 49×480×720 px), temporally tiled."""
+    from videotuna_tpu.models.vae3d import CausalVAE3D
+    vae = CausalVAE3D(dtype=jnp.bfloat16)
+    z = jnp.zeros((1, frames, hh, ww, 16))
+    params = vae.init(jax.random.key(0), z, method="decode")["params"]
+    dec = jax.jit(lambda p, z: vae.apply({"params": p}, z,
+                                         method="decode"))
+    out = dec(params, z)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        out = dec(params, z)
+    _sync(out)
+    sec = (time.perf_counter() - t0) / n_reps
+    return {"metric": "vae3d_decode_49f_480p_sec", "value": round(sec, 3),
+            "unit": "s (13x60x90x16 -> 49f 480x720, bf16)"}
+
+
+def _suite():
+    """North-star suite → BENCH_SUITE.json; derives end-to-end videos/min
+    at 49f@480p (50 denoise steps + VAE decode; text encode excluded,
+    ~1% of budget)."""
+    results = {}
+    for name, fn in (("stdit", lambda: dict(zip(("value", "unit"),
+                                                _bench_partitioned()))),
+                     ("cogvideox5b", _bench_cogvideox5b),
+                     ("hunyuan13b_class", _bench_hunyuan13b),
+                     ("vae_decode", _bench_vae_decode)):
+        try:
+            results[name] = fn()
+            print(f"suite[{name}]: {results[name]}", file=sys.stderr)
+        except Exception as e:
+            results[name] = {"error": str(e)[:300]}
+            print(f"suite[{name}] FAILED: {e}", file=sys.stderr)
+    cog = results.get("cogvideox5b", {})
+    vae = results.get("vae_decode", {})
+    if "value" in cog and "value" in vae:
+        per_video = 50.0 / cog["value"] + vae["value"]
+        results["e2e_videos_per_min_49f_480p"] = {
+            "value": round(60.0 / per_video, 3),
+            "unit": "videos/min (50 steps + VAE decode)",
+            "vs_baseline": round((60.0 / per_video) / 0.5, 3)}  # 2 min/video
+    with open("BENCH_SUITE.json", "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
 def main():
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     except Exception:
         pass
+    if "--suite" in sys.argv:
+        _suite()
     use_full = "--full" in sys.argv
     last_err = None
     for attempt in range(3):
         try:
             fn = _bench_full if use_full else _bench_partitioned
             steps_per_sec, mode = fn()
-            print(json.dumps({
+            out = {
                 "metric": "stdit_xl2_denoise_steps_per_sec_per_chip",
                 "value": round(steps_per_sec, 3),
                 "unit": f"steps/s (CFG-doubled, 16x32x32 latents, bf16, "
                         f"{mode})",
                 "vs_baseline": round(
                     steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
-            }))
+            }
+            try:
+                with open("BENCH_SUITE.json") as f:
+                    out["suite"] = json.load(f)
+            except Exception:
+                pass
+            print(json.dumps(out))
             return
         except Exception as e:  # remote compile service can drop requests
             last_err = e
