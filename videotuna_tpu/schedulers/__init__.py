@@ -38,3 +38,8 @@ try:
     __all__ += ["SpacedSchedule"]
 except ImportError:
     pass
+try:
+    from videotuna_tpu.schedulers.edm import EDMSamplerFamily  # noqa: F401
+    __all__ += ["EDMSamplerFamily"]
+except ImportError:
+    pass
