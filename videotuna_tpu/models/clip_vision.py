@@ -62,6 +62,7 @@ class CLIPVisionEncoder(nn.Module):
     patch: int = 14
     image_size: int = 224
     proj_dim: int = 768
+    feature_layer: Optional[int] = None   # e.g. -2 for LLaVA patch feats
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -82,15 +83,20 @@ class CLIPVisionEncoder(nn.Module):
                          (n + 1, self.dim))
         x = x + pos[None].astype(self.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_ln")(x)
+        feat = None
+        fl = self.feature_layer if self.feature_layer is None \
+            else self.feature_layer % self.num_layers
         for i in range(self.num_layers):
             x = CLIPVisionBlock(self.dim, self.heads, dtype=self.dtype,
                                 name=f"block_{i}")(x)
+            if fl is not None and i == fl:
+                feat = x
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                               name="post_ln")(x[:, 0])
         proj = nn.Dense(self.proj_dim, use_bias=False, dtype=self.dtype,
                         name="proj")(pooled)
         if return_states:
-            return proj, x
+            return proj, (feat if feat is not None else x)
         return proj
 
 

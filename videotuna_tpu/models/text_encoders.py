@@ -241,7 +241,12 @@ class LlamaBlock(nn.Module):
               "videotuna.models.hunyuan.hyvideo_i2v.text_encoder.TextEncoder",
           ])
 class LlamaTextEncoder(nn.Module):
-    """Causal LLaMA returning final hidden states (+ last-token pooled)."""
+    """Causal LLaMA returning final hidden states (+ last-token pooled).
+
+    ``input_embeds`` bypasses the token embedding (multimodal prefixes —
+    the LLaVA captioner prepends projected CLIP patch features);
+    ``lm_head=True`` adds the vocabulary projection and returns logits
+    (HF ``lm_head.weight``)."""
     vocab_size: int = 32000
     dim: int = 4096
     heads: int = 32
@@ -249,24 +254,37 @@ class LlamaTextEncoder(nn.Module):
     ff_dim: Optional[int] = None
     num_layers: int = 32
     rope_theta: float = 10000.0
+    lm_head: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, input_ids: Optional[jnp.ndarray] = None,
+                 mask: Optional[jnp.ndarray] = None,
+                 input_embeds: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         from videotuna_tpu.models.layers import rope_frequencies
-        x = nn.Embed(self.vocab_size, self.dim, dtype=self.dtype,
-                     name="token_embed")(input_ids)
+        if input_embeds is not None:
+            x = input_embeds.astype(self.dtype)
+        else:
+            x = nn.Embed(self.vocab_size, self.dim, dtype=self.dtype,
+                         name="token_embed")(input_ids)
         hd = self.dim // self.heads
-        cos, sin = rope_frequencies(hd, jnp.arange(input_ids.shape[-1]),
+        cos, sin = rope_frequencies(hd, jnp.arange(x.shape[-2]),
                                     self.rope_theta)
         for i in range(self.num_layers):
             x = LlamaBlock(self.dim, self.heads, self.kv_heads, self.ff_dim,
                            dtype=self.dtype, name=f"block_{i}")(x, cos, sin)
         x = RMSNorm(eps=1e-5, dtype=self.dtype, name="final_norm")(x)
+        if self.lm_head:
+            x = nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype,
+                         name="lm_head")(x)
         if mask is not None:
             x = x * mask[..., None].astype(x.dtype)
         return x
+
+    def embed_tokens(self, params, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """Token embedding lookup outside apply (for prefix assembly)."""
+        emb = params["token_embed"]["embedding"]
+        return jnp.asarray(emb)[input_ids]
 
 
 # ---------------------------------------------------------------------------

@@ -1070,6 +1070,20 @@ def llama_map(heads: int, kv_heads: Optional[int] = None) -> ConversionMap:
         (rf"{lyr}\.mlp\.down_proj\.weight", r"block_\1/down/kernel",
          t_linear),
         (r"(?:model\.)?norm\.weight", r"final_norm/scale", None),
+        (r"lm_head\.weight", r"lm_head/kernel", t_linear),
+    ])
+
+
+def llava_projector_map() -> ConversionMap:
+    """HF LLaVA ``multi_modal_projector`` (linear_1 → GELU → linear_2) →
+    videotuna_tpu LlavaProjector tree."""
+    return ConversionMap([
+        (r"multi_modal_projector\.linear_1\.weight", r"fc1/kernel",
+         t_linear),
+        (r"multi_modal_projector\.linear_1\.bias", r"fc1/bias", None),
+        (r"multi_modal_projector\.linear_2\.weight", r"fc2/kernel",
+         t_linear),
+        (r"multi_modal_projector\.linear_2\.bias", r"fc2/bias", None),
     ])
 
 
