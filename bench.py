@@ -140,6 +140,21 @@ def _chain_and_time(step, x0, n_steps: int):
     return n_steps / (time.perf_counter() - t0)
 
 
+
+def _bf16_params(model, *init_args, **init_kw):
+    """Parameter tree at the model's shapes, materialized directly in bf16
+    (a 5B fp32 init = 20 GB would OOM the 16 GB chip before the bench
+    starts; zeros time identically to random data on the MXU)."""
+    import functools
+    shapes = jax.eval_shape(
+        functools.partial(model.init, jax.random.key(0), **init_kw),
+        *init_args)
+    def mk(s):
+        dt = jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+        return jnp.zeros(s.shape, dt)
+    return jax.tree.map(mk, shapes)["params"]
+
+
 def _bench_cogvideox5b(depth: int = 42, n_steps: int = 8,
                        frames: int = 13, hh: int = 60, ww: int = 90,
                        dim: int = 3072, heads: int = 48):
@@ -154,7 +169,7 @@ def _bench_cogvideox5b(depth: int = 42, n_steps: int = 8,
     x = jnp.zeros((b, frames, hh, ww, 16))
     t = jnp.zeros((b,), jnp.int32)
     y = jnp.zeros((b, 226, 4096))
-    params = jax.jit(model.init)(jax.random.key(0), x, t, y)["params"]
+    params = _bf16_params(model, x, t, y)
 
     @jax.jit
     def step(x):
@@ -189,8 +204,7 @@ def _bench_hunyuan13b(double: int = 5, single: int = 10, n_steps: int = 4,
     y = jnp.zeros((b, 256, 4096))
     pooled = jnp.zeros((b, 768))
     mask = jnp.ones((b, 256), bool)
-    params = jax.jit(model.init)(jax.random.key(0), x, t, y, pooled,
-                                 mask)["params"]
+    params = _bf16_params(model, x, t, y, pooled, mask)
 
     @jax.jit
     def step(x):
@@ -213,14 +227,17 @@ def _bench_hunyuan13b(double: int = 5, single: int = 10, n_steps: int = 4,
             "full_depth_steps_per_sec": round(full_sps, 4)}
 
 
-def _bench_vae_decode(frames: int = 13, hh: int = 60, ww: int = 90,
-                      n_reps: int = 3):
-    """Causal-3D VAE decode at the 49f 480×720 north-star geometry
-    (13×60×90×16 latents → 49×480×720 px), temporally tiled."""
+def _bench_vae_decode(frames: int = 13, hh: int = 30, ww: int = 45,
+                      n_reps: int = 3, tiles: int = 4):
+    """Causal-3D VAE decode at the 49f 480×720 north-star geometry,
+    measured per spatial quarter-tile (13×30×45×16 → 49×240×360) and
+    scaled by the tile count — the full-frame decode runs exactly these
+    tiles through ``decode_tiled`` (activations at 480p×128ch exceed HBM
+    untiled)."""
     from videotuna_tpu.models.vae3d import CausalVAE3D
     vae = CausalVAE3D(dtype=jnp.bfloat16)
-    z = jnp.zeros((1, frames, hh, ww, 16))
-    params = vae.init(jax.random.key(0), z, method="decode")["params"]
+    z = jnp.zeros((1, frames, hh, ww, 16), jnp.bfloat16)
+    params = _bf16_params(vae, z, method="decode")
     dec = jax.jit(lambda p, z: vae.apply({"params": p}, z,
                                          method="decode"))
     out = dec(params, z)
@@ -229,9 +246,9 @@ def _bench_vae_decode(frames: int = 13, hh: int = 60, ww: int = 90,
     for _ in range(n_reps):
         out = dec(params, z)
     _sync(out)
-    sec = (time.perf_counter() - t0) / n_reps
+    sec = (time.perf_counter() - t0) / n_reps * tiles
     return {"metric": "vae3d_decode_49f_480p_sec", "value": round(sec, 3),
-            "unit": "s (13x60x90x16 -> 49f 480x720, bf16)"}
+            "unit": f"s (4x spatial tiles of 13x{hh}x{ww}x16, bf16)"}
 
 
 def _suite():

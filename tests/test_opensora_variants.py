@@ -66,3 +66,37 @@ def test_stdit3_rectified_flow_train_and_sample():
     out = flow.scheduler.sample(denoise, (1, 2, 8, 8, 4), jax.random.key(3))
     assert out.shape == (1, 2, 8, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_stdit57_temporal_mod_and_frame_mask():
+    """STDiT5-7 features: separate temporal adaLN (scale_shift_table_temporal
+    + t_block_temp, reference stdit5.py:104-176) and masked-frame
+    conditioning (x_mask -> timestep-0 modulation, :118-209)."""
+    from videotuna_tpu.models.opensora.stdit import STDiT
+    kw = dict(input_size=(4, 8, 8), in_channels=4, hidden_size=32,
+              depth=2, num_heads=2, caption_channels=16,
+              pred_sigma=False, temporal_mod=True)
+    x = jax.random.normal(jax.random.key(1), (1, 4, 8, 8, 4))
+    t = jnp.array([500])
+    y = jax.random.normal(jax.random.key(2), (1, 6, 16))
+
+    for scan in (False, True):
+        m = STDiT(**kw, scan_blocks=scan)
+        p = m.init(jax.random.key(0), x, t, y)["params"]
+        blocks = p["blocks"] if scan else p["block_0"]
+        assert "scale_shift_table_temporal" in blocks
+        assert "t_block_temp" in p
+
+        out = m.apply({"params": p}, x, t, y)
+        assert out.shape == (1, 4, 8, 8, 4)
+
+        # all-frames-real mask must reproduce the unmasked forward
+        full = jnp.ones((1, 4), bool)
+        out_m = m.apply({"params": p}, x, t, y, x_mask=full)
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out),
+                                   atol=1e-5)
+
+        # masking a frame must change (only) something
+        part = jnp.array([[False, True, True, True]])
+        out_p = m.apply({"params": p}, x, t, y, x_mask=part)
+        assert float(jnp.abs(out_p - out).max()) > 1e-4

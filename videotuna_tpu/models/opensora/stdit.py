@@ -83,36 +83,92 @@ class STDiTBlock(nn.Module):
     as_cell: bool = False
     qk_norm: bool = False            # STDiT2/3 variant feature
     temporal_rope: bool = False      # STDiT3: RoPE instead of additive tpe
+    temporal_mod: bool = False       # STDiT5-7: own 3-way temporal adaLN
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray, t6: jnp.ndarray,
                  y_mask: Optional[jnp.ndarray] = None,
                  tpe: Optional[jnp.ndarray] = None,
-                 tpe_gate: Optional[jnp.ndarray] = None):
-        # x: (B, T, S, C); y: (B, L, C); t6: (B, 6, C)
+                 tpe_gate: Optional[jnp.ndarray] = None,
+                 t3: Optional[jnp.ndarray] = None,
+                 t6_zero: Optional[jnp.ndarray] = None,
+                 t3_zero: Optional[jnp.ndarray] = None,
+                 x_mask: Optional[jnp.ndarray] = None):
+        # x: (B, T, S, C); y: (B, L, C); t6: (B, 6, C); t3: (B, 3, C)
+        # x_mask: (B, T) bool — True = real frame, False = masked frame
+        # conditioned at the zero-timestep modulation (reference
+        # stdit5.py:118-209 t_mask_select; OpenSora 1.1/1.2 image-video
+        # joint training / v2v frame conditioning)
         b, tt, ss, c = x.shape
         table = self.param("scale_shift_table",
                            nn.initializers.normal(self.hidden ** -0.5),
                            (6, self.hidden))
-        mods = table[None] + t6.astype(jnp.float32)
+
+        def six_mods(tvec):
+            mods = table[None] + tvec.astype(jnp.float32)
+            return [m.astype(self.dtype).reshape(b, 1, 1, self.hidden)
+                    for m in jnp.split(mods, 6, axis=1)]
+
         (shift_msa, scale_msa, gate_msa,
-         shift_mlp, scale_mlp, gate_mlp) = [
-            m.astype(self.dtype).reshape(b, 1, 1, self.hidden)
-            for m in jnp.split(mods, 6, axis=1)
-        ]
+         shift_mlp, scale_mlp, gate_mlp) = six_mods(t6)
+        if x_mask is not None and t6_zero is not None:
+            zmods = six_mods(t6_zero)
+            fm = x_mask.astype(self.dtype).reshape(b, tt, 1, 1)
+
+            def fsel(a, z):
+                return a * fm + z * (1.0 - fm)
+        else:
+            def fsel(a, z):
+                return a
+
+            zmods = [None] * 6
 
         norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                             dtype=self.dtype, name="norm1")
-        x_m = norm(x) * (1.0 + scale_msa) + shift_msa
+        x_n = norm(x)
+        x_m = fsel(x_n * (1.0 + scale_msa) + shift_msa,
+                   None if zmods[0] is None else
+                   x_n * (1.0 + zmods[1]) + zmods[0])
 
         # spatial attention: fold T into batch
         x_s = x_m.reshape(b * tt, ss, c)
         x_s = Attention(self.heads, qk_norm=self.qk_norm, dtype=self.dtype,
                         name="attn")(x_s)
-        x = x + gate_msa * x_s.reshape(b, tt, ss, c)
+        x_s = x_s.reshape(b, tt, ss, c)
+        x = x + fsel(gate_msa * x_s,
+                     None if zmods[2] is None else zmods[2] * x_s)
+
+        # temporal branch modulation: shared 6-way gate (STDiT1-4) or the
+        # separate 3-way temporal table (STDiT5-7 scale_shift_table_temporal)
+        if self.temporal_mod:
+            t_table = self.param("scale_shift_table_temporal",
+                                 nn.initializers.normal(
+                                     self.hidden ** -0.5),
+                                 (3, self.hidden))
+
+            def three_mods(tvec):
+                mods = t_table[None] + tvec.astype(jnp.float32)
+                return [m.astype(self.dtype).reshape(b, 1, 1, self.hidden)
+                        for m in jnp.split(mods, 3, axis=1)]
+
+            shift_tmp, scale_tmp, gate_tmp = three_mods(t3)
+            ztmp = three_mods(t3_zero) \
+                if (x_mask is not None and t3_zero is not None) \
+                else [None] * 3
+            norm_t = nn.LayerNorm(use_bias=False, use_scale=False,
+                                  epsilon=1e-6, dtype=self.dtype,
+                                  name="norm_temp")
+            x_n = norm_t(x)
+            x_tm = fsel(x_n * (1.0 + scale_tmp) + shift_tmp,
+                        None if ztmp[0] is None else
+                        x_n * (1.0 + ztmp[1]) + ztmp[0])
+            gate_t, zgate_t = gate_tmp, ztmp[2]
+        else:
+            x_tm = x
+            gate_t, zgate_t = gate_msa, zmods[2]
 
         # temporal attention: fold S into batch
-        x_t = x.transpose(0, 2, 1, 3).reshape(b * ss, tt, c)
+        x_t = x_tm.transpose(0, 2, 1, 3).reshape(b * ss, tt, c)
         rope_t = None
         if self.temporal_rope:
             from videotuna_tpu.models.layers import rope_frequencies
@@ -126,7 +182,8 @@ class STDiTBlock(nn.Module):
         x_t = Attention(self.heads, qk_norm=self.qk_norm, dtype=self.dtype,
                         name="attn_temp")(x_t, rope=rope_t)
         x_t = x_t.reshape(b, ss, tt, c).transpose(0, 2, 1, 3)
-        x = x + gate_msa * x_t
+        x = x + fsel(gate_t * x_t,
+                     None if zgate_t is None else zgate_t * x_t)
 
         # cross attention to text tokens
         x_flat = x.reshape(b, tt * ss, c)
@@ -138,10 +195,15 @@ class STDiTBlock(nn.Module):
         # MLP
         norm2 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                              dtype=self.dtype, name="norm2")
-        x_m = norm2(x) * (1.0 + scale_mlp) + shift_mlp
-        x = x + gate_mlp * Mlp(int(self.hidden * self.mlp_ratio),
-                               act=lambda v: nn.gelu(v, approximate=True),
-                               dtype=self.dtype, name="mlp")(x_m)
+        x_n = norm2(x)
+        x_m = fsel(x_n * (1.0 + scale_mlp) + shift_mlp,
+                   None if zmods[3] is None else
+                   x_n * (1.0 + zmods[4]) + zmods[3])
+        x_mlp = Mlp(int(self.hidden * self.mlp_ratio),
+                    act=lambda v: nn.gelu(v, approximate=True),
+                    dtype=self.dtype, name="mlp")(x_m)
+        x = x + fsel(gate_mlp * x_mlp,
+                     None if zmods[5] is None else zmods[5] * x_mlp)
         if self.as_cell:
             return x, None
         return x
@@ -171,6 +233,7 @@ class STDiT(nn.Module):
     scan_blocks: bool = False
     qk_norm: bool = False            # STDiT2/3: per-head qk RMSNorm
     temporal_rope: bool = False      # STDiT3: rotary temporal positions
+    temporal_mod: bool = False       # STDiT5-7: separate temporal adaLN
 
     @property
     def out_channels(self) -> int:
@@ -185,7 +248,8 @@ class STDiT(nn.Module):
                  tok: Optional[jnp.ndarray] = None,
                  t6: Optional[jnp.ndarray] = None,
                  t_emb: Optional[jnp.ndarray] = None,
-                 use_tpe: bool = True) -> Any:
+                 use_tpe: bool = True,
+                 x_mask: Optional[jnp.ndarray] = None) -> Any:
         """x: (B, T, H, W, C) latents; timestep: (B,); y: (B, L, C_cap) text
         states; mask: (B, L) bool. Returns (B, T, H, W, C_out).
 
@@ -222,11 +286,29 @@ class STDiT(nn.Module):
                                       self.space_scale)
             tok = tok + pos[None, None].astype(self.dtype)
 
-            t_emb = TimestepEmbedder(self.hidden_size, dtype=self.dtype,
-                                     name="t_embedder")(timestep)
-            t6 = nn.Dense(6 * self.hidden_size, dtype=self.dtype,
-                          name="t_block")(nn.silu(t_emb))
-            t6 = t6.reshape(b, 6, self.hidden_size)
+            t_embedder = TimestepEmbedder(self.hidden_size,
+                                          dtype=self.dtype,
+                                          name="t_embedder")
+            t_block = nn.Dense(6 * self.hidden_size, dtype=self.dtype,
+                               name="t_block")
+            t_emb = t_embedder(timestep)
+            t6 = t_block(nn.silu(t_emb)).reshape(b, 6, self.hidden_size)
+            t3 = t6_zero = t3_zero = None
+            if self.temporal_mod:
+                t_block_temp = nn.Dense(3 * self.hidden_size,
+                                        dtype=self.dtype,
+                                        name="t_block_temp")
+                t3 = t_block_temp(nn.silu(t_emb)).reshape(
+                    b, 3, self.hidden_size)
+            if x_mask is not None:
+                # masked frames are conditioned at timestep 0 (reference
+                # stdit5.py:438-445 t0 path)
+                t0_emb = t_embedder(jnp.zeros_like(timestep))
+                t6_zero = t_block(nn.silu(t0_emb)).reshape(
+                    b, 6, self.hidden_size)
+                if self.temporal_mod:
+                    t3_zero = t_block_temp(nn.silu(t0_emb)).reshape(
+                        b, 3, self.hidden_size)
 
             y = nn.Dense(self.hidden_size, dtype=self.dtype,
                          name="y_proj1")(y.astype(self.dtype))
@@ -236,6 +318,7 @@ class STDiT(nn.Module):
             if stage == "embed":
                 return tok, t6, y, t_emb
         elif stage == "blocks":
+            t3 = t6_zero = t3_zero = None    # staged path: base features
             if not use_tpe:
                 tpe = None
         elif stage != "head":
@@ -252,15 +335,18 @@ class STDiT(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
-                         nn.broadcast, 0),
+                         nn.broadcast, 0, nn.broadcast, nn.broadcast,
+                         nn.broadcast, nn.broadcast),
                 length=self.depth)
             gates = jnp.zeros((self.depth, 1, 1),
                               self.dtype).at[0].set(1.0)
             cell = scan_cls(self.hidden_size, self.num_heads, self.mlp_ratio,
                             dtype=self.dtype, as_cell=True,
                             qk_norm=self.qk_norm,
-                            temporal_rope=self.temporal_rope, name="blocks")
-            tok, _ = cell(tok, y, t6, mask, tpe, gates)
+                            temporal_rope=self.temporal_rope,
+                            temporal_mod=self.temporal_mod, name="blocks")
+            tok, _ = cell(tok, y, t6, mask, tpe, gates, t3, t6_zero,
+                          t3_zero, x_mask)
         else:
             block_cls = STDiTBlock
             if self.remat:
@@ -270,8 +356,11 @@ class STDiT(nn.Module):
                                 self.mlp_ratio, dtype=self.dtype,
                                 qk_norm=self.qk_norm,
                                 temporal_rope=self.temporal_rope,
+                                temporal_mod=self.temporal_mod,
                                 name=f"block_{i}")(
-                    tok, y, t6, y_mask=mask, tpe=tpe if i == 0 else None)
+                    tok, y, t6, y_mask=mask,
+                    tpe=tpe if i == 0 else None, t3=t3,
+                    t6_zero=t6_zero, t3_zero=t3_zero, x_mask=x_mask)
 
         if stage == "blocks":
             return tok
