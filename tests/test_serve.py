@@ -63,3 +63,74 @@ class TestServe:
         assert "error" in body
         code, _ = _get(server + "/healthz")
         assert code == 200
+
+
+class TestBatchingService:
+    """Micro-batching: same-geometry concurrent requests coalesce into one
+    sampler call; mixed geometry splits into separate batches."""
+
+    def _make(self, calls, max_batch=4, max_wait_ms=120.0):
+        from videotuna_tpu.cli.serve import BatchingInferenceService
+
+        class Stub(BatchingInferenceService):
+            def __init__(self):
+                # skip model construction entirely
+                import threading as _t
+                self.config = {"inference": {"savedir": "/tmp/x"}}
+                self.lock = _t.Lock()
+                self.requests_served = 0
+                import collections
+                self.max_batch = max_batch
+                self.max_wait = max_wait_ms / 1000.0
+                self._queue = collections.deque()
+                self._cv = _t.Condition()
+                self._running = True
+                self._worker = _t.Thread(target=self._loop, daemon=True)
+                self._worker.start()
+
+            def _infer(self, cfg):
+                prompts = cfg["inference"]["prompts_list"]
+                calls.append(list(prompts))
+                return {"videos": [f"v-{p}.mp4" for p in prompts]}
+
+        return Stub()
+
+    def test_same_geometry_coalesces(self):
+        calls = []
+        svc = self._make(calls)
+        results = {}
+
+        def worker(i):
+            results[i] = svc.generate({"prompt": f"p{i}", "height": 64})
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=10)
+        svc.shutdown()
+        assert len(calls) <= 2                       # coalesced (≥2 per)
+        assert sum(len(c) for c in calls) == 3
+        for i in range(3):
+            assert results[i]["videos"] == [f"v-p{i}.mp4"]
+            assert results[i]["batched_with"] >= 1
+
+    def test_mixed_geometry_splits(self):
+        calls = []
+        svc = self._make(calls, max_wait_ms=60.0)
+        results = {}
+
+        def worker(i, h):
+            results[i] = svc.generate({"prompt": f"p{i}", "height": h})
+
+        ts = [threading.Thread(target=worker, args=(0, 64)),
+              threading.Thread(target=worker, args=(1, 128))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=10)
+        svc.shutdown()
+        # different geometries must never share a batch
+        for c in calls:
+            assert len(c) == 1
+        assert sorted(sum(calls, [])) == ["p0", "p1"]

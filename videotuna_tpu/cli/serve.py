@@ -62,6 +62,118 @@ class InferenceService:
                 "time_sec": round(time.perf_counter() - t0, 3)}
 
 
+class BatchingInferenceService(InferenceService):
+    """Micro-batching: concurrent requests with the SAME generation
+    geometry (height/width/frames/cfg/negative-prompt) that arrive within
+    ``max_wait_ms`` coalesce into one batched sampler call — the denoise
+    loop is batch-parallel on the MXU, so N coalesced prompts cost far
+    less than N serial runs. Per-request seeds collapse to the leader's
+    (one PRNG stream per batched run)."""
+
+    def __init__(self, config: Dict[str, Any], max_batch: int = 4,
+                 max_wait_ms: float = 50.0):
+        super().__init__(config)
+        import collections
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._queue: Any = collections.deque()
+        self._cv = threading.Condition()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._running = True
+        self._worker.start()
+
+    @staticmethod
+    def _geom_key(req: Dict[str, Any]) -> tuple:
+        return tuple(req.get(k) for k in (
+            "height", "width", "frames", "unconditional_guidance_scale",
+            "negative_prompt"))
+
+    def generate(self, request: Dict[str, Any]) -> Dict[str, Any]:
+        item = {"req": request, "event": threading.Event(),
+                "result": None, "error": None}
+        with self._cv:
+            self._queue.append(item)
+            self._cv.notify()
+        item["event"].wait()
+        if item["error"] is not None:
+            raise RuntimeError(item["error"])
+        return item["result"]
+
+    def shutdown(self):
+        with self._cv:
+            self._running = False
+            self._cv.notify_all()
+        self._worker.join(timeout=5)
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while self._running and not self._queue:
+                    self._cv.wait()
+                if not self._running and not self._queue:
+                    return
+                leader = self._queue.popleft()
+            # collect same-geometry followers inside the wait window
+            key = self._geom_key(leader["req"])
+            batch = [leader]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                with self._cv:
+                    remaining = deadline - time.monotonic()
+                    if not self._queue and remaining > 0:
+                        self._cv.wait(timeout=remaining)
+                    matched = None
+                    for it in list(self._queue):
+                        if self._geom_key(it["req"]) == key:
+                            matched = it
+                            self._queue.remove(it)
+                            break
+                    if matched is None and time.monotonic() >= deadline:
+                        break
+                if matched is not None:
+                    batch.append(matched)
+                elif time.monotonic() >= deadline:
+                    break
+            self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        t0 = time.perf_counter()
+        prompts = [str(it["req"].get("prompt", "")) for it in batch]
+        merged = dict(batch[0]["req"])
+        merged.pop("prompt", None)
+        merged["prompts_list"] = prompts
+        merged["bs"] = len(prompts)
+        try:
+            cfg = {"inference": dict(self.config.get("inference", {}))}
+            inf = cfg["inference"]
+            for k in ("seed", "height", "width", "frames",
+                      "unconditional_guidance_scale", "negative_prompt",
+                      "fps", "prompts_list", "bs"):
+                if k in merged and merged[k] is not None:
+                    inf[k] = merged[k]
+            inf.setdefault("savedir", "results/serve")
+            inf["n_samples_prompt"] = 1
+            with self.lock:
+                result = self._infer(cfg)
+            dt = round(time.perf_counter() - t0, 3)
+            vids = result["videos"]
+            for i, it in enumerate(batch):
+                it["result"] = {"videos": [vids[i]] if i < len(vids)
+                                else vids,
+                                "batched_with": len(batch),
+                                "time_sec": dt}
+                self.requests_served += 1
+        except Exception as e:  # noqa: BLE001 — fail the whole batch
+            for it in batch:
+                it["error"] = str(e)
+        finally:
+            for it in batch:
+                it["event"].set()
+
+    def _infer(self, cfg):
+        return self.flow.inference(cfg)
+
+
 def make_handler(service: InferenceService):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):   # quiet
@@ -100,8 +212,13 @@ def make_handler(service: InferenceService):
 
 
 def serve(config: Dict[str, Any], port: int = 8000,
-          host: str = "127.0.0.1") -> ThreadingHTTPServer:
-    service = InferenceService(config)
+          host: str = "127.0.0.1", max_batch: int = 1,
+          max_wait_ms: float = 50.0) -> ThreadingHTTPServer:
+    if max_batch > 1:
+        service: InferenceService = BatchingInferenceService(
+            config, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    else:
+        service = InferenceService(config)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     server.service = service
     return server
@@ -112,11 +229,15 @@ def main(argv=None):
     ap.add_argument("--config", "-b", action="append", required=True)
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--max_batch", type=int, default=1,
+                    help=">1 enables same-geometry micro-batching")
+    ap.add_argument("--max_wait_ms", type=float, default=50.0)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
     config = apply_inference_mapping(load_configs(args.config,
                                                   args.overrides))
-    server = serve(config, args.port, args.host)
+    server = serve(config, args.port, args.host, args.max_batch,
+                   args.max_wait_ms)
     print(f"[videotuna-tpu] serving {config['flow']['target']} "
           f"on {args.host}:{args.port}")
     server.serve_forever()
