@@ -72,3 +72,23 @@ class TestTiledDecode:
                               overlap=ov)
             errs.append(float(jnp.abs(tiled - full).mean()))
         assert errs[1] < errs[0], errs
+
+
+def test_streaming_decode_exact():
+    """Conv-state-carry streaming decode must be bit-comparable to the
+    full decode (per-frame norms make temporal chunking exact)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from videotuna_tpu.models.vae3d import CausalVAE3D, streaming_decode
+
+    vae = CausalVAE3D(ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                      z_channels=4, embed_dim=4)
+    z = jax.random.normal(jax.random.key(0), (1, 5, 8, 8, 4))
+    params = vae.init(jax.random.key(1), z, method="decode")["params"]
+    full = vae.apply({"params": params}, z, method="decode")
+    for chunk in (1, 2, 3):
+        out = streaming_decode(vae, params, z, chunk=chunk)
+        assert out.shape == full.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                                   atol=1e-5)

@@ -66,22 +66,42 @@ class FrameGroupNorm(nn.Module):
 
 class CausalConv3D(nn.Module):
     """3D conv, causal in time: front-pad (k_t−1) frames by edge replication,
-    symmetric spatial SAME padding, then VALID conv."""
+    symmetric spatial SAME padding, then VALID conv.
+
+    ``streaming=True`` enables exact O(T) chunked processing: the front pad
+    comes from a ``cache`` variable holding the previous chunk's last
+    (k_t−1) input frames (``first_chunk=True`` edge-replicates instead and
+    primes the cache) — the state-carry equivalent of the reference Wan
+    VAE's ``feat_cache`` streaming decode (wan/modules/vae.py)."""
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
     strides: Tuple[int, int, int] = (1, 1, 1)
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False,
+                 first_chunk: bool = True) -> jnp.ndarray:
         kt, kh, kw = self.kernel
         st, sh, sw = self.strides
         pt = kt - 1
         ph = ((kh - 1) // 2, kh // 2)
         pw = ((kw - 1) // 2, kw // 2)
         if pt > 0:
-            front = jnp.repeat(x[:, :1], pt, axis=1)
-            x = jnp.concatenate([front, x], axis=1)
+            if streaming:
+                cache = self.variable(
+                    "cache", "front",
+                    lambda: jnp.zeros(
+                        (x.shape[0], pt) + x.shape[2:], x.dtype))
+                front = jnp.repeat(x[:, :1], pt, axis=1) if first_chunk \
+                    else cache.value.astype(x.dtype)
+                x = jnp.concatenate([front, x], axis=1)
+                # next chunk's context = last pt frames of the padded
+                # stream (handles chunks shorter than pt, e.g. the 1-frame
+                # first chunk)
+                cache.value = x[:, -pt:]
+            else:
+                front = jnp.repeat(x[:, :1], pt, axis=1)
+                x = jnp.concatenate([front, x], axis=1)
         x = jnp.pad(x, ((0, 0), (0, 0), ph, pw, (0, 0)))
         return nn.Conv(self.features, self.kernel,
                        strides=(st, sh, sw), padding="VALID",
@@ -93,14 +113,18 @@ class ResBlock3D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False,
+                 first_chunk: bool = True) -> jnp.ndarray:
         c = x.shape[-1]
+        skw = dict(streaming=streaming, first_chunk=first_chunk)
         h = FrameGroupNorm(_groups(c), name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
-        h = CausalConv3D(self.out_ch, dtype=self.dtype, name="conv1")(h)
+        h = CausalConv3D(self.out_ch, dtype=self.dtype, name="conv1")(
+            h, **skw)
         h = FrameGroupNorm(_groups(self.out_ch), name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
-        h = CausalConv3D(self.out_ch, dtype=self.dtype, name="conv2")(h)
+        h = CausalConv3D(self.out_ch, dtype=self.dtype, name="conv2")(
+            h, **skw)
         if c != self.out_ch:
             x = nn.Conv(self.out_ch, (1, 1, 1), dtype=self.dtype,
                         name="shortcut")(x)
@@ -153,32 +177,41 @@ class Decoder3D(nn.Module):
         return (n - 2, n - 1)
 
     @nn.compact
-    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, z: jnp.ndarray, streaming: bool = False,
+                 first_chunk: bool = True) -> jnp.ndarray:
+        skw = dict(streaming=streaming, first_chunk=first_chunk)
         h = CausalConv3D(self.ch * self.ch_mult[-1], dtype=self.dtype,
-                         name="conv_in")(z)
-        h = ResBlock3D(h.shape[-1], dtype=self.dtype, name="mid_block_1")(h)
-        h = ResBlock3D(h.shape[-1], dtype=self.dtype, name="mid_block_2")(h)
+                         name="conv_in")(z, **skw)
+        h = ResBlock3D(h.shape[-1], dtype=self.dtype,
+                       name="mid_block_1")(h, **skw)
+        h = ResBlock3D(h.shape[-1], dtype=self.dtype,
+                       name="mid_block_2")(h, **skw)
         for i, mult in reversed(list(enumerate(self.ch_mult))):
             for j in range(self.num_res_blocks + 1):
                 h = ResBlock3D(self.ch * mult, dtype=self.dtype,
-                               name=f"up_{i}_block_{j}")(h)
+                               name=f"up_{i}_block_{j}")(h, **skw)
             if i != 0:
                 b, t, hh, ww, c = h.shape
                 tu = 2 if i in self._t_up else 1
                 # spatial NN-upsample; temporal causal upsample duplicates
-                # each frame except the first stays single (4k+1 ↔ k+1 map)
+                # each frame except the GLOBAL first frame stays single
+                # (4k+1 ↔ k+1 map) — in streaming mode only the first
+                # chunk contains that frame
                 h = jax.image.resize(h, (b, t, hh * 2, ww * 2, c),
                                      "nearest")
                 if tu == 2:
-                    first = h[:, :1]
-                    rest = jnp.repeat(h[:, 1:], 2, axis=1)
-                    h = jnp.concatenate([first, rest], axis=1)
+                    if not streaming or first_chunk:
+                        first = h[:, :1]
+                        rest = jnp.repeat(h[:, 1:], 2, axis=1)
+                        h = jnp.concatenate([first, rest], axis=1)
+                    else:
+                        h = jnp.repeat(h, 2, axis=1)
                 h = CausalConv3D(c, dtype=self.dtype,
-                                 name=f"up_{i}_upsample")(h)
+                                 name=f"up_{i}_upsample")(h, **skw)
         h = FrameGroupNorm(_groups(h.shape[-1]), name="norm_out")(h)
         h = nn.silu(h).astype(self.dtype)
         return CausalConv3D(self.out_ch, dtype=self.dtype,
-                            name="conv_out")(h)
+                            name="conv_out")(h, **skw)
 
 
 @register("videotuna_tpu.models.CausalVAE3D")
@@ -202,7 +235,11 @@ class CausalVAE3D(nn.Module):
 
     @property
     def temporal_ratio(self) -> int:
-        return 4
+        # one 2× temporal upsample per default _t_up level that actually
+        # upsamples (level 0 never does) — 4× for the standard 4-level
+        # config, config-derived otherwise
+        n = len(self.ch_mult)
+        return 2 ** len([i for i in (n - 2, n - 1) if i != 0])
 
     @property
     def spatial_ratio(self) -> int:
@@ -215,6 +252,12 @@ class CausalVAE3D(nn.Module):
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
         """(B, k+1, h, w, z) → (B, 4k+1, H, W, 3)."""
         return self.decoder(z)
+
+    def decode_chunk(self, z: jnp.ndarray,
+                     first_chunk: bool = True) -> jnp.ndarray:
+        """One streaming chunk (run under ``apply(..., mutable=['cache'])``;
+        see ``streaming_decode`` for the driver)."""
+        return self.decoder(z, streaming=True, first_chunk=first_chunk)
 
     def decode_tiled(self, z: jnp.ndarray,
                      spatial_tile: int = 32,
@@ -299,3 +342,42 @@ class CausalVAE3D(nn.Module):
         moments = self.encode(video)
         mean = jnp.split(moments, 2, axis=-1)[0]
         return self.decode(mean)
+
+
+def streaming_decode(vae: CausalVAE3D, params, z: jnp.ndarray,
+                     chunk: int = 2) -> jnp.ndarray:
+    """Exact O(T) streaming decode: latent frame 0 decodes alone (it maps
+    to the single un-duplicated pixel frame), then uniform ``chunk``-sized
+    latent chunks, with every causal conv's temporal context carried in the
+    ``cache`` collection — identical output to ``vae.decode`` with peak
+    activation memory O(chunk) instead of O(T).
+
+    Two compiled programs total (first + steady-state), reused across
+    chunks and across calls. Replaces the reference's overlap-blended
+    temporal tiling (hyvideo autoencoder_kl_causal_3d.py tiled decode) with
+    an exact recurrence (Wan feat_cache semantics, wan/modules/vae.py)."""
+    import functools
+
+    first_fn = jax.jit(functools.partial(
+        vae.apply, method="decode_chunk", first_chunk=True,
+        mutable=["cache"]))
+    rest_fn = jax.jit(functools.partial(
+        vae.apply, method="decode_chunk", first_chunk=False,
+        mutable=["cache"]))
+
+    out0, state = first_fn({"params": params}, z[:, :1])
+    outs = [out0]
+    t = z.shape[1]
+    i = 1
+    while i < t:
+        j = min(i + chunk, t)
+        if j - i < chunk:                  # pad tail chunk for one program
+            zc = jnp.pad(z[:, i:j], ((0, 0), (0, chunk - (j - i)),
+                                     (0, 0), (0, 0), (0, 0)))
+        else:
+            zc = z[:, i:j]
+        out, state = rest_fn({"params": params, **state}, zc)
+        keep = (j - i) * vae.temporal_ratio
+        outs.append(out[:, :keep])
+        i = j
+    return jnp.concatenate(outs, axis=1)
