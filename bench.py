@@ -251,18 +251,35 @@ def _bench_vae_decode(frames: int = 13, hh: int = 30, ww: int = 45,
             "unit": f"s (4x spatial tiles of 13x{hh}x{ww}x16, bf16)"}
 
 
+SUITE_BENCHES = {
+    "stdit": lambda: dict(zip(("value", "unit"), _bench_partitioned())),
+    "cogvideox5b": lambda: _bench_cogvideox5b(),
+    "hunyuan13b_class": lambda: _bench_hunyuan13b(),
+    "vae_decode": lambda: _bench_vae_decode(),
+}
+
+
 def _suite():
     """North-star suite → BENCH_SUITE.json; derives end-to-end videos/min
     at 49f@480p (50 denoise steps + VAE decode; text encode excluded,
-    ~1% of budget)."""
+    ~1% of budget). Each bench runs in its OWN subprocess so one model's
+    resident params/jit buffers never eat the next one's HBM (the 5B
+    config needs nearly the whole 16 GB chip)."""
+    import os
+    import subprocess
     results = {}
-    for name, fn in (("stdit", lambda: dict(zip(("value", "unit"),
-                                                _bench_partitioned()))),
-                     ("cogvideox5b", _bench_cogvideox5b),
-                     ("hunyuan13b_class", _bench_hunyuan13b),
-                     ("vae_decode", _bench_vae_decode)):
+    for name in SUITE_BENCHES:
         try:
-            results[name] = fn()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True, timeout=3600, text=True)
+            line = proc.stdout.strip().splitlines()[-1] if \
+                proc.stdout.strip() else ""
+            if proc.returncode == 0 and line.startswith("{"):
+                results[name] = json.loads(line)
+            else:
+                results[name] = {"error":
+                                 (proc.stderr or proc.stdout)[-300:]}
             print(f"suite[{name}]: {results[name]}", file=sys.stderr)
         except Exception as e:
             results[name] = {"error": str(e)[:300]}
@@ -285,6 +302,10 @@ def main():
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     except Exception:
         pass
+    if "--one" in sys.argv:
+        name = sys.argv[sys.argv.index("--one") + 1]
+        print(json.dumps(SUITE_BENCHES[name]()))
+        return
     if "--suite" in sys.argv:
         _suite()
     use_full = "--full" in sys.argv

@@ -288,6 +288,77 @@ class LlamaTextEncoder(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# StepLLM — StepVideo's 6144-dim multi-query-attention text encoder
+# (reference models/stepvideo/stepvideo/text_encoder/stepllm.py:37-276:
+# Step1Model = word embeddings (NO positional encoding) + pre-RMSNorm
+# blocks of causal MQA (fused wqkv: hidden + 2·groups·head_dim) and
+# SwiGLU FFN (fused w1 → silu(first)·second, hidden rounded to 256), no
+# final norm)
+# ---------------------------------------------------------------------------
+
+class StepLLMBlock(nn.Module):
+    dim: int
+    heads: int
+    groups: int                      # kv groups (MQA/GQA)
+    ff_hidden: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        hd = self.dim // self.heads
+        h = RMSNorm(eps=self.eps, dtype=self.dtype, name="attn_norm")(x)
+        qkv = nn.Dense(self.dim + 2 * self.groups * hd, use_bias=False,
+                       dtype=self.dtype, name="wqkv")(h)
+        q, kv = jnp.split(qkv, [self.dim], axis=-1)
+        q = q.reshape(*x.shape[:-1], self.heads, hd)
+        kv = kv.reshape(*x.shape[:-1], self.groups, 2 * hd)
+        k, v = jnp.split(kv, 2, axis=-1)
+        o = dot_product_attention(q, k, v, causal=True)
+        o = o.reshape(*x.shape[:-1], self.dim)
+        x = x + nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                         name="wo")(o)
+        h = RMSNorm(eps=self.eps, dtype=self.dtype, name="ffn_norm")(x)
+        w1 = nn.Dense(2 * self.ff_hidden, use_bias=False, dtype=self.dtype,
+                      name="w1")(h)
+        a, bgate = jnp.split(w1, 2, axis=-1)
+        h = nn.silu(a) * bgate
+        return x + nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                            name="w2")(h)
+
+
+@register("videotuna_tpu.models.StepLLMEncoder",
+          aliases=["videotuna.models.stepvideo.stepvideo.text_encoder."
+                   "stepllm.STEP1TextEncoder"])
+class StepLLMEncoder(nn.Module):
+    """Step-1 text encoder; 30B config: dim 6144, 48 heads, 48 layers."""
+    vocab_size: int = 65536
+    dim: int = 6144
+    heads: int = 48
+    groups: int = 8
+    ff_hidden: Optional[int] = None    # rounded to multiple of 256
+    num_layers: int = 48
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        ffh = self.ff_hidden
+        if ffh is None:
+            ffh = 256 * ((int(self.dim * 8 / 3) + 255) // 256)
+        x = nn.Embed(self.vocab_size, self.dim, dtype=self.dtype,
+                     name="tok_embeddings")(input_ids)
+        for i in range(self.num_layers):
+            x = StepLLMBlock(self.dim, self.heads, self.groups, ffh,
+                             eps=self.eps, dtype=self.dtype,
+                             name=f"block_{i}")(x)
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
+        return x
+
+
+# ---------------------------------------------------------------------------
 # Host-side tokenization helpers (lazy transformers import)
 # ---------------------------------------------------------------------------
 

@@ -1074,6 +1074,28 @@ def llama_map(heads: int, kv_heads: Optional[int] = None) -> ConversionMap:
     ])
 
 
+def stepllm_map() -> ConversionMap:
+    """StepVideo Step1Model state_dict (stepllm.py: tok_embeddings +
+    transformer.layers.N.{attention.wqkv/wo, feed_forward.w1/w2,
+    attention_norm, ffn_norm}) → videotuna_tpu StepLLMEncoder tree."""
+    lyr = r"transformer\.layers\.(\d+)"
+    return ConversionMap([
+        (r"tok_embeddings\.word_embeddings\.weight",
+         r"tok_embeddings/embedding", _identity),
+        (rf"{lyr}\.attention\.wqkv\.weight", r"block_\1/wqkv/kernel",
+         t_linear),
+        (rf"{lyr}\.attention\.wo\.weight", r"block_\1/wo/kernel",
+         t_linear),
+        (rf"{lyr}\.attention_norm\.weight", r"block_\1/attn_norm/scale",
+         None),
+        (rf"{lyr}\.ffn_norm\.weight", r"block_\1/ffn_norm/scale", None),
+        (rf"{lyr}\.feed_forward\.w1\.weight", r"block_\1/w1/kernel",
+         t_linear),
+        (rf"{lyr}\.feed_forward\.w2\.weight", r"block_\1/w2/kernel",
+         t_linear),
+    ])
+
+
 def llava_projector_map() -> ConversionMap:
     """HF LLaVA ``multi_modal_projector`` (linear_1 → GELU → linear_2) →
     videotuna_tpu LlavaProjector tree."""
