@@ -29,6 +29,20 @@ from videotuna_tpu.models.layers import TimestepEmbedder, rope_3d
 Dtype = Any
 
 
+class MLPEmbedder(nn.Module):
+    """BFL MLPEmbedder (in_layer → silu → out_layer); param names match
+    TimestepEmbedder's fc1/fc2 so one conversion rule serves both."""
+    hidden: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(
+            x.astype(self.dtype))
+        return nn.Dense(self.hidden, dtype=self.dtype,
+                        name="fc2")(nn.silu(x))
+
+
 @register("videotuna_tpu.models.flux.FluxModel",
           aliases=["videotuna.models.flux.model.Flux",
                    "diffusers.FluxTransformer2DModel"])
@@ -45,6 +59,11 @@ class FluxModel(nn.Module):
     pooled_dim: int = 768
     guidance_embed: bool = True           # dev; schnell sets False
     rope_theta: float = 10000.0
+    # BFL axes_dim [16, 56, 56]: the 16-dim axis rotates over the (all-
+    # zero) token-index id — identity for image patches, so rope_3d with a
+    # length-1 time axis reproduces it exactly while keeping the weight
+    # layout of real checkpoints
+    rope_dims: Optional[Tuple[int, int, int]] = None   # default by head_dim
     dtype: Dtype = jnp.float32
     scan_blocks: bool = False
 
@@ -61,8 +80,10 @@ class FluxModel(nn.Module):
         vec = TimestepEmbedder(d, dtype=self.dtype,
                                name="time_in")(timestep * 1000.0)
         if pooled_text is not None:
-            vec = vec + nn.Dense(d, dtype=self.dtype, name="vector_in")(
-                pooled_text.astype(self.dtype))
+            # BFL vector_in is a two-layer MLPEmbedder (model.py), not a
+            # single Linear — weight-faithful to real checkpoints
+            vec = vec + MLPEmbedder(d, dtype=self.dtype,
+                                    name="vector_in")(pooled_text)
         if self.guidance_embed and guidance is not None:
             vec = vec + TimestepEmbedder(d, dtype=self.dtype,
                                          name="guidance_in")(
@@ -75,9 +96,18 @@ class FluxModel(nn.Module):
         lt = txt.shape[1]
 
         hd = d // self.heads
-        dh_r = dw_r = hd // 2
-        # 2D rope == 3D rope with a singleton time axis of dim 0 split:
-        cos, sin = rope_3d(0, dh_r, dw_r, 1, hh, ww, theta=self.rope_theta)
+        if self.rope_dims is not None:
+            dt_r, dh_r, dw_r = self.rope_dims
+        elif hd == 128:
+            dt_r, dh_r, dw_r = 16, 56, 56      # released flux axes_dim
+        else:
+            dt_r = hd // 8
+            while dt_r > 0 and (dt_r % 2 or (hd - dt_r) % 4):
+                dt_r -= 1
+            dh_r = dw_r = (hd - dt_r) // 2
+        assert dt_r + dh_r + dw_r == hd, ((dt_r, dh_r, dw_r), hd)
+        cos, sin = rope_3d(dt_r, dh_r, dw_r, 1, hh, ww,
+                           theta=self.rope_theta)
         cos = cos.astype(self.dtype)
         sin = sin.astype(self.dtype)
         cos_full = jnp.concatenate(
