@@ -111,3 +111,21 @@ class TestLoader:
         e1 = next(iter(loader))["path"]
         e2 = next(iter(loader))["path"]
         assert e1 != e2  # different epoch seed → different order
+
+
+def test_llm_prompt_expander_wiring():
+    """LLM-backed prompt extension: deterministic greedy decode through
+    the shared LLaMA decoder."""
+    import jax
+    from videotuna_tpu.data.prompt_extend import make_llm_expander
+    from videotuna_tpu.models.text_encoders import LlamaTextEncoder
+    import jax.numpy as jnp
+
+    lm = LlamaTextEncoder(vocab_size=64, dim=32, heads=4, num_layers=1,
+                          lm_head=True)
+    p = lm.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32))["params"]
+    exp = make_llm_expander(lm, p, prompt_template_ids=[5, 6],
+                            max_new_tokens=4)
+    a = exp("a red panda")
+    b = exp("a red panda")
+    assert a == b and a.startswith("a red panda")

@@ -71,3 +71,60 @@ def extend_prompts(prompts: Sequence[str],
                    expander="template") -> list[str]:
     fn = get_expander(expander)
     return [fn(p) for p in prompts]
+
+
+def make_llm_expander(lm, lm_params, prompt_template_ids,
+                      max_new_tokens: int = 48,
+                      eos_token_id: int = 2,
+                      tokenize_fn=None, detokenize_fn=None
+                      ) -> PromptExpander:
+    """Real LLM-backed extension on the repo's own LLaMA decoder
+    (``models/text_encoders.LlamaTextEncoder(lm_head=True)``, convertible
+    from a local Qwen/LLaMA checkpoint via ``tools/convert_weights.
+    llama_map``) — the TPU-native equivalent of the reference's local
+    Qwen-VL expander (wan/utils/prompt_extend.py:543). Greedy fixed-shape
+    decode shared with ``tools/captioner``.
+
+    ``prompt_template_ids``: system/instruction prefix token ids;
+    ``tokenize_fn``/``detokenize_fn``: str↔ids (defaults to the hash
+    tokenizer, which makes the output a deterministic-but-meaningless
+    extension — supply real tokenizer fns with real weights)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videotuna_tpu.tools.captioner import LlavaCaptioner
+
+    cap = LlavaCaptioner.__new__(LlavaCaptioner)
+    cap.lm = lm
+    cap.lm_params = lm_params
+    cap.eos_token_id = eos_token_id
+    cap._decode_jit = jax.jit(cap._decode, static_argnames=("max_new",))
+
+    if tokenize_fn is None:
+        from videotuna_tpu.models.text_encoders import tokenize
+
+        def tokenize_fn(text):
+            ids, mask = tokenize([text], max_length=64)
+            n = int(np.sum(mask[0]))
+            vocab = getattr(lm, "vocab_size", None)
+            out = np.asarray(ids[0][:n])
+            return out % vocab if vocab else out
+
+    if detokenize_fn is None:
+        def detokenize_fn(ids):
+            return " ".join(str(int(i)) for i in ids)
+
+    def expand(prompt: str) -> str:
+        ids = np.concatenate([np.asarray(prompt_template_ids, np.int32),
+                              np.asarray(tokenize_fn(prompt), np.int32)])
+        prefix = jnp.zeros((0, lm.dim), jnp.float32)
+        out = cap._decode_jit(prefix, jnp.asarray(ids),
+                              max_new=max_new_tokens)
+        out = np.asarray(out)
+        eos = np.where(out == eos_token_id)[0]
+        gen = out[: eos[0]] if eos.size else out
+        ext = detokenize_fn(gen)
+        return f"{prompt.strip()}, {ext}" if ext else prompt
+
+    return expand
