@@ -25,8 +25,35 @@ import numpy as np
 from videotuna_tpu.core import checkpoint as ckpt_lib
 from videotuna_tpu.tools import convert_weights as cw
 
+# family → (map builder, state-dict preprocessor). Preprocessors split the
+# torch checkpoints' fused projections before rule mapping.
 FAMILIES = {
-    "stdit": lambda args: cw.stdit_map(heads=args.heads),
+    "stdit": (lambda a: cw.stdit_map(heads=a.heads),
+              lambda sd: cw.preprocess_split_fused(
+                  cw.preprocess_split_fused_qkv(
+                      sd, r"attn\.qkv|attn_temp\.qkv"),
+                  r"cross_attn\.kv_linear", "kv_linear",
+                  ("k_linear", "v_linear"))),
+    "wan": (lambda a: cw.wan_map(heads=a.heads), None),
+    "hunyuan": (lambda a: cw.hunyuan_map(heads=a.heads),
+                lambda sd: cw.preprocess_split_fused_qkv(
+                    sd, r"attn_qkv")),
+    "cogvideox": (lambda a: cw.cogvideox_map(heads=a.heads), None),
+    "mochi": (lambda a: cw.mochi_map(heads=a.heads), None),
+    "flux": (lambda a: cw.flux_map(heads=a.heads),
+             lambda sd: cw.preprocess_split_fused_qkv(
+                 sd, r"(img|txt)_attn\.qkv")),
+    "wan_vae": (lambda a: cw.wan_vae_map(), None),
+    "hunyuan_vae": (lambda a: cw.hunyuan_vae_map(), None),
+    "cogvideox_vae": (lambda a: cw.cogvideox_vae_map(), None),
+    "t5": (lambda a: cw.t5_map(heads=a.heads), None),
+    "clip_text": (lambda a: cw.clip_text_map(heads=a.heads), None),
+    "clip_vision": (lambda a: cw.clip_vision_map(heads=a.heads), None),
+    "llama": (lambda a: cw.llama_map(heads=a.heads,
+                                     kv_heads=a.kv_heads), None),
+    "stepllm": (lambda a: cw.stepllm_map(), None),
+    "aesthetic": (lambda a: cw.aesthetic_map(), None),
+    "llava_projector": (lambda a: cw.llava_projector_map(), None),
 }
 
 
@@ -36,7 +63,10 @@ def cmd_convert(args) -> None:
     if args.family not in FAMILIES:
         raise SystemExit(f"unknown family {args.family!r}; "
                          f"available: {sorted(FAMILIES)}")
-    cmap = FAMILIES[args.family](args)
+    builder, preprocess = FAMILIES[args.family]
+    if preprocess is not None:
+        sd = preprocess(sd)
+    cmap = builder(args)
     tree = cmap.convert(sd, strict=args.strict)
     if args.scan_layout:
         tree = cw.stack_blocks_for_scan(tree)
@@ -85,6 +115,7 @@ def main(argv=None) -> None:
     c.add_argument("--out", required=True)
     c.add_argument("--component", default="denoiser")
     c.add_argument("--heads", type=int, default=16)
+    c.add_argument("--kv_heads", type=int, default=None)
     c.add_argument("--strict", action="store_true")
     c.add_argument("--scan-layout", action="store_true")
     i = sub.add_parser("inspect")
