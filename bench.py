@@ -171,11 +171,14 @@ def _bench_cogvideox5b(depth: int = 42, n_steps: int = 8,
     y = jnp.zeros((b, 226, 4096))
     params = _bf16_params(model, x, t, y)
 
+    # params must be an ARGUMENT: jit embeds closed-over arrays as HLO
+    # constants (host round-trip + device copy — instant OOM at 10 GB)
     @jax.jit
-    def step(x):
-        return model.apply({"params": params}, x, t, y)[..., :16] \
+    def step_p(p, x):
+        return model.apply({"params": p}, x, t, y)[..., :16] \
             .astype(x.dtype)
 
+    step = lambda x: step_p(params, x)
     sps = _chain_and_time(step, x, n_steps)
     seq = frames * (hh // 2) * (ww // 2) + 226
     mfu = _dit_flops(seq, dim, depth, b) * sps / V5E_PEAK_BF16
@@ -207,10 +210,11 @@ def _bench_hunyuan13b(double: int = 5, single: int = 10, n_steps: int = 4,
     params = _bf16_params(model, x, t, y, pooled, mask)
 
     @jax.jit
-    def step(x):
-        return model.apply({"params": params}, x, t, y, pooled,
+    def step_p(p, x):
+        return model.apply({"params": p}, x, t, y, pooled,
                            mask)[..., :16].astype(x.dtype)
 
+    step = lambda x: step_p(params, x)
     sps = _chain_and_time(step, x, n_steps)
     # single-stream blocks cost ≈ half a double block; extrapolate steps/s
     # linearly in equivalent depth (blocks dominate the step)
