@@ -121,6 +121,7 @@ class CogVideoXTransformer(nn.Module):
     max_text_len: int = 226
     patch_size: Tuple[int, int, int] = (1, 2, 2)
     mlp_ratio: float = 4.0
+    time_embed_dim: int = 512       # reference configs/005 time_embed_dim
     use_rope: bool = True           # v1.5; v1.0 uses learned pos embeds
     dtype: Dtype = jnp.float32
     scan_blocks: bool = False
@@ -135,7 +136,7 @@ class CogVideoXTransformer(nn.Module):
         tt, hh, ww = t_in // pt, h_in // ph, w_in // pw
         lt = text_states.shape[1]
 
-        temb = TimestepEmbedder(self.dim, dtype=self.dtype,
+        temb = TimestepEmbedder(self.time_embed_dim, dtype=self.dtype,
                                 name="t_embedder")(timestep)
 
         # patchify video; project text

@@ -48,39 +48,71 @@ def _default_attn_fn():
 # Ulysses: sequence-sharded → head-sharded resharding around attention
 # ---------------------------------------------------------------------------
 
+def _a2a_seq_to_heads(x, axis, n):
+    # (B, S/n, H, D) → (B, S, H/n, D)
+    b, s_l, h, d = x.shape
+    x = x.reshape(b, s_l, n, h // n, d)
+    x = jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1,
+                           tiled=False)
+    # all_to_all with split_axis=2 (the n dim) concatenated on axis 1
+    return x.reshape(b, s_l * n, h // n, d)
+
+
+def _a2a_heads_to_seq(x, axis, n):
+    # (B, S, H/n, D) → (B, S/n, H, D). The received rank dim must land
+    # BEFORE the local-head dim (head index = src_rank·h_l + local) to
+    # invert _a2a_seq_to_heads' split — wrong order permutes heads
+    # whenever h_l > 1.
+    b, s, h_l, d = x.shape
+    x = x.reshape(b, n, s // n, h_l, d)
+    x = jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2,
+                           tiled=False)
+    return x.reshape(b, s // n, n * h_l, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ulysses_core(q, k, v, axis, attn_fn):
+    n = jax.lax.psum(1, axis)
+    qg = _a2a_seq_to_heads(q, axis, n)
+    kg = _a2a_seq_to_heads(k, axis, n)
+    vg = _a2a_seq_to_heads(v, axis, n)
+    return _a2a_heads_to_seq(attn_fn(qg, kg, vg), axis, n)
+
+
+def _ulysses_fwd(q, k, v, axis, attn_fn):
+    n = jax.lax.psum(1, axis)
+    qg = _a2a_seq_to_heads(q, axis, n)
+    kg = _a2a_seq_to_heads(k, axis, n)
+    vg = _a2a_seq_to_heads(v, axis, n)
+    out = _a2a_heads_to_seq(attn_fn(qg, kg, vg), axis, n)
+    return out, (qg, kg, vg)
+
+
+def _ulysses_bwd(axis, attn_fn, res, g):
+    # the cotangent reshards exactly like the primal (all_to_all is its
+    # own adjoint up to the split/concat swap); the inner attention VJP is
+    # re-linearized from the saved head-sharded tensors. This hand-written
+    # backward also sidesteps jax's all_to_all transpose lowering, which
+    # miscompiles the untiled split/concat swap inside shard_map.
+    qg, kg, vg = res
+    n = jax.lax.psum(1, axis)
+    g_g = _a2a_seq_to_heads(g, axis, n)
+    _, vjp = jax.vjp(attn_fn, qg, kg, vg)
+    dqg, dkg, dvg = vjp(g_g)
+    return tuple(_a2a_heads_to_seq(d, axis, n) for d in (dqg, dkg, dvg))
+
+
+_ulysses_core.defvjp(_ulysses_fwd, _ulysses_bwd)
+
+
 def ulysses_attention_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             axis: str,
                             attn_fn=None) -> jnp.ndarray:
     """Inside shard_map: q,k,v are (B, S/n, H, D) shards. All-to-all to
-    (B, S, H/n, D), run full attention on the local heads, reshard back."""
+    (B, S, H/n, D), run full attention on the local heads, reshard back.
+    Differentiable via a hand-written resharding VJP."""
     attn_fn = attn_fn or _default_attn_fn()
-    n = jax.lax.psum(1, axis)
-
-    def a2a_seq_to_heads(x):
-        # (B, S/n, H, D) → (B, S, H/n, D)
-        b, s_l, h, d = x.shape
-        x = x.reshape(b, s_l, n, h // n, d)
-        x = jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1,
-                               tiled=False)
-        # all_to_all with split_axis=2 (the n dim) concatenated on axis 1
-        return x.reshape(b, s_l * n, h // n, d)
-
-    def a2a_heads_to_seq(x):
-        # (B, S, H/n, D) → (B, S/n, H, D). The received rank dim must land
-        # BEFORE the local-head dim (head index = src_rank·h_l + local) to
-        # invert a2a_seq_to_heads' split — wrong order permutes heads
-        # whenever h_l > 1.
-        b, s, h_l, d = x.shape
-        x = x.reshape(b, n, s // n, h_l, d)
-        x = jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2,
-                               tiled=False)
-        return x.reshape(b, s // n, n * h_l, d)
-
-    qg = a2a_seq_to_heads(q)
-    kg = a2a_seq_to_heads(k)
-    vg = a2a_seq_to_heads(v)
-    out = attn_fn(qg, kg, vg)
-    return a2a_heads_to_seq(out)
+    return _ulysses_core(q, k, v, axis, attn_fn)
 
 
 # ---------------------------------------------------------------------------
