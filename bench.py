@@ -187,7 +187,12 @@ def _bench_cogvideox5b(depth: int = 42, n_steps: int = 8,
             "unit": f"steps/s (CFG-doubled, 13x60x90 latents, depth "
                     f"{depth}, bf16)",
             "mfu": round(mfu, 3),
-            "vs_baseline": round(sps / (50.0 / 120.0), 3)}
+            "vs_baseline": round(sps / (50.0 / 120.0), 3),
+            # v5e peak is 197 TF/s bf16 vs H800's ~990: per-chip steps/s
+            # cannot reach a compute-bound H800 on a dense 5B model; the
+            # peak-normalized ratio is the utilization comparison
+            "vs_baseline_peak_normalized": round(
+                (sps / (50.0 / 120.0)) * (989e12 / V5E_PEAK_BF16), 3)}
 
 
 def _bench_hunyuan13b(double: int = 5, single: int = 10, n_steps: int = 4,

@@ -68,3 +68,29 @@ class TestCausalVAE3D:
         m1 = vae.apply({"params": params}, v1, method=vae.encode)
         m2 = vae.apply({"params": params}, v2, method=vae.encode)
         np.testing.assert_allclose(m1[:, 0], m2[:, 0], atol=1e-4)
+
+
+def test_mochi_geometry_6x_temporal():
+    """temporal_factors (2,3): 6k+1 frames <-> k+1 latents, streaming
+    decode stays exact with a factor-3 upsample stage."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from videotuna_tpu.models.vae3d import CausalVAE3D, streaming_decode
+
+    vae = CausalVAE3D(ch=16, ch_mult=(1, 1, 2), num_res_blocks=1,
+                      z_channels=4, embed_dim=4, temporal_factors=(2, 3))
+    assert vae.temporal_ratio == 6
+    x = jax.random.normal(jax.random.key(0), (1, 13, 16, 16, 3))
+    pe = vae.init(jax.random.key(1), x, method="encode")["params"]
+    moments = vae.apply({"params": pe}, x, method="encode")
+    assert moments.shape[1] == 3                     # (13-1)/6+1
+
+    z = jax.random.normal(jax.random.key(2), (1, 3, 4, 4, 4))
+    pd = vae.init(jax.random.key(3), z, method="decode")["params"]
+    out = vae.apply({"params": pd}, z, method="decode")
+    assert out.shape[1] == 13                        # 6*(3-1)+1
+
+    stream = streaming_decode(vae, pd, z, chunk=1)
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(out),
+                               atol=1e-5)

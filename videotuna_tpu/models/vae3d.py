@@ -139,17 +139,21 @@ class Encoder3D(nn.Module):
     num_res_blocks: int = 2
     z_channels: int = 16
     temporal_down_levels: Sequence[int] = (0, 1)   # 2 levels → 4× temporal
+    temporal_down_factors: Optional[Sequence[int]] = None  # e.g. (2, 3)=6×
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = CausalConv3D(self.ch, dtype=self.dtype, name="conv_in")(x)
+        factors = dict(zip(self.temporal_down_levels,
+                           self.temporal_down_factors
+                           or (2,) * len(self.temporal_down_levels)))
         for i, mult in enumerate(self.ch_mult):
             for j in range(self.num_res_blocks):
                 h = ResBlock3D(self.ch * mult, dtype=self.dtype,
                                name=f"down_{i}_block_{j}")(h)
             if i != len(self.ch_mult) - 1:
-                ts = 2 if i in self.temporal_down_levels else 1
+                ts = factors.get(i, 1)
                 h = CausalConv3D(h.shape[-1], strides=(ts, 2, 2),
                                  dtype=self.dtype,
                                  name=f"down_{i}_downsample")(h)
@@ -167,6 +171,7 @@ class Decoder3D(nn.Module):
     num_res_blocks: int = 2
     out_ch: int = 3
     temporal_up_levels: Optional[Sequence[int]] = None  # default: top 2
+    temporal_up_factors: Optional[Sequence[int]] = None  # e.g. (2, 3)=6×
     dtype: Dtype = jnp.float32
 
     @property
@@ -175,6 +180,11 @@ class Decoder3D(nn.Module):
             return tuple(self.temporal_up_levels)
         n = len(self.ch_mult)
         return (n - 2, n - 1)
+
+    @property
+    def _t_up_factors(self) -> dict:
+        return dict(zip(self._t_up, self.temporal_up_factors
+                        or (2,) * len(self._t_up)))
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, streaming: bool = False,
@@ -192,20 +202,20 @@ class Decoder3D(nn.Module):
                                name=f"up_{i}_block_{j}")(h, **skw)
             if i != 0:
                 b, t, hh, ww, c = h.shape
-                tu = 2 if i in self._t_up else 1
+                tu = self._t_up_factors.get(i, 1)
                 # spatial NN-upsample; temporal causal upsample duplicates
-                # each frame except the GLOBAL first frame stays single
-                # (4k+1 ↔ k+1 map) — in streaming mode only the first
-                # chunk contains that frame
+                # each frame ``tu``× except the GLOBAL first frame stays
+                # single (tu·k+1 ↔ k+1 map; Mochi's 6× = 2×3 factors) —
+                # in streaming mode only the first chunk contains it
                 h = jax.image.resize(h, (b, t, hh * 2, ww * 2, c),
                                      "nearest")
-                if tu == 2:
+                if tu > 1:
                     if not streaming or first_chunk:
                         first = h[:, :1]
-                        rest = jnp.repeat(h[:, 1:], 2, axis=1)
+                        rest = jnp.repeat(h[:, 1:], tu, axis=1)
                         h = jnp.concatenate([first, rest], axis=1)
                     else:
-                        h = jnp.repeat(h, 2, axis=1)
+                        h = jnp.repeat(h, tu, axis=1)
                 h = CausalConv3D(c, dtype=self.dtype,
                                  name=f"up_{i}_upsample")(h, **skw)
         h = FrameGroupNorm(_groups(h.shape[-1]), name="norm_out")(h)
@@ -225,16 +235,34 @@ class CausalVAE3D(nn.Module):
     embed_dim: int = 16
     scale_factor: float = 1.0       # Cog 1.15258426/0.7 etc set via config
     temporal_tile_latent: Optional[int] = None  # latent-frame tile size
+    temporal_factors: Optional[Sequence[int]] = None  # (2,3) → 6× (Mochi)
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        n = len(self.ch_mult)
+        dn_lv = tuple(range(len(self.temporal_factors))) \
+            if self.temporal_factors else (0, 1)
         self.encoder = Encoder3D(self.ch, self.ch_mult, self.num_res_blocks,
-                                 self.z_channels, dtype=self.dtype)
+                                 self.z_channels,
+                                 temporal_down_levels=dn_lv,
+                                 temporal_down_factors=self.temporal_factors,
+                                 dtype=self.dtype)
+        up_lv = tuple(range(n - len(dn_lv), n)) \
+            if self.temporal_factors else None
+        up_f = tuple(reversed(self.temporal_factors)) \
+            if self.temporal_factors else None
         self.decoder = Decoder3D(self.ch, self.ch_mult, self.num_res_blocks,
+                                 temporal_up_levels=up_lv,
+                                 temporal_up_factors=up_f,
                                  dtype=self.dtype)
 
     @property
     def temporal_ratio(self) -> int:
+        if self.temporal_factors:
+            r = 1
+            for f in self.temporal_factors:
+                r *= f
+            return r
         # one 2× temporal upsample per default _t_up level that actually
         # upsamples (level 0 never does) — 4× for the standard 4-level
         # config, config-derived otherwise
