@@ -30,3 +30,21 @@ class TestFlops:
     def test_mfu_bounds(self):
         # 100 TFLOP step in 1s on a 197 TFLOP/s chip → ~0.51 MFU
         assert abs(mfu(100e12, 1.0) - 0.5076) < 1e-3
+
+
+def test_measure_mfu_and_compiled_flops():
+    import jax.numpy as jnp
+    from videotuna_tpu.core.profiling import compiled_flops, measure_mfu
+
+    def f(a, b):
+        return a @ b
+
+    a = jnp.ones((128, 256))
+    b = jnp.ones((256, 64))
+    fl = compiled_flops(f, a, b)
+    if fl is not None:                   # CPU backend provides a cost model
+        assert fl >= 2 * 128 * 256 * 64 * 0.5
+    res = measure_mfu(f, (a, b), n_steps=3, flops_per_step=fl)
+    assert res["steps_per_sec"] > 0
+    if fl is not None:
+        assert 0 < res["mfu"] < 1e6

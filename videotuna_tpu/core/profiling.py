@@ -78,3 +78,44 @@ def mfu(flops_per_step: float, step_time_s: float,
         peak_flops: float = 197e12) -> float:
     """Model FLOPs utilization vs chip peak (default: v5e bf16 197 TFLOPs)."""
     return flops_per_step / (step_time_s * peak_flops)
+
+
+def compiled_flops(fn, *args, **kwargs) -> Optional[float]:
+    """XLA's own FLOP count for ``jax.jit(fn)`` at these shapes (via
+    ``compiled.cost_analysis()``) — the measured-MFU companion to the
+    analytic ``flops_estimate_dit``. Returns None when the backend
+    provides no cost model."""
+    import jax
+    try:
+        compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):              # some backends: per-device
+            cost = cost[0] if cost else {}
+        f = cost.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:
+        return None
+
+
+def measure_mfu(fn, args, n_steps: int = 10,
+                peak_flops: float = 197e12,
+                flops_per_step: Optional[float] = None) -> Dict[str, float]:
+    """Time a jitted step and report measured MFU: XLA-counted (or given)
+    FLOPs / elapsed / peak."""
+    import time as _time
+
+    import jax
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    jax.block_until_ready(out)
+    t0 = _time.perf_counter()
+    for _ in range(n_steps):
+        out = jfn(*args)
+    jax.block_until_ready(out)
+    dt = (_time.perf_counter() - t0) / n_steps
+    fl = flops_per_step or compiled_flops(fn, *args)
+    res = {"step_time_s": dt, "steps_per_sec": 1.0 / dt}
+    if fl:
+        res["flops_per_step"] = fl
+        res["mfu"] = mfu(fl, dt, peak_flops)
+    return res
