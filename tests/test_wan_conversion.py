@@ -75,3 +75,58 @@ class TestWanConversion:
         sd["blocks.0.unknown_thing.weight"] = np.zeros((4, 4), np.float32)
         with pytest.raises(KeyError, match="unknown_thing"):
             wan_map(heads=4).convert(sd, strict=True)
+
+
+def test_wan_whole_model_parity():
+    """WHOLE-MODEL parity: random-init reference WanModel (imported from
+    /root/reference, flash attention stubbed to SDPA) -> wan_map -> our
+    WanModel reproduces the t2v forward end to end."""
+    import sys
+    import numpy as np
+    import torch
+    sys.path.insert(0, ".")
+    from tests.test_dit_block_parity import ref_wan as _fixture  # noqa
+    import tests.test_dit_block_parity as P
+    P._stub_diffusers()
+    P._make_pkg("refwan", P.WAN_DIR)
+    P._load("refwan.attention", f"{P.WAN_DIR}/attention.py")
+    mod = P._load("refwan.model", f"{P.WAN_DIR}/model.py")
+    mod.flash_attention = P._sdpa_flash
+
+    import jax
+    import jax.numpy as jnp
+    from videotuna_tpu.models.wan.dit import WanModel
+    from videotuna_tpu.tools.convert_weights import (wan_map,
+                                                     verify_tree_shapes)
+
+    torch.manual_seed(0)
+    dim, heads, ffn, layers, tdim = 32, 4, 64, 2, 16
+    ref = mod.WanModel(model_type="t2v", patch_size=(1, 2, 2), text_len=6,
+                       in_dim=4, dim=dim, ffn_dim=ffn, freq_dim=32,
+                       text_dim=tdim, out_dim=4, num_heads=heads,
+                       num_layers=layers, qk_norm=True,
+                       cross_attn_norm=True, eps=1e-6).eval()
+    f, h, w = 3, 8, 8
+    x = torch.randn(4, f, h, w)
+    ctx = torch.randn(6, tdim)
+    t = torch.tensor([500.0])
+    L = f * (h // 2) * (w // 2)
+    with torch.no_grad():
+        out_ref = ref([x], t, [ctx], seq_len=L)[0].numpy()
+
+    ours = WanModel(in_channels=4, out_channels=4, dim=dim, ffn_dim=ffn,
+                    num_layers=layers, heads=heads, text_dim=tdim,
+                    freq_dim=32)
+    xj = jnp.asarray(x.numpy().transpose(1, 2, 3, 0))[None]
+    args = (xj, jnp.asarray([500.0]), jnp.asarray(ctx.numpy())[None])
+    init = ours.init(jax.random.key(0), *args)["params"]
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    tree = wan_map(heads=heads).convert(sd, strict=True)
+    assert not verify_tree_shapes(tree, init), \
+        verify_tree_shapes(tree, init)[:10]
+
+    out = ours.apply({"params": tree}, *args)
+    # ours: (B, F, H, W, C) -> reference (C, F, H, W)
+    out_np = np.asarray(out)[0].transpose(3, 0, 1, 2)
+    np.testing.assert_allclose(out_np, out_ref, atol=5e-4, rtol=2e-3)
