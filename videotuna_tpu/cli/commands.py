@@ -93,6 +93,16 @@ COMMANDS: Dict[str, Command] = {c.name: c for c in [
     # StepVideo
     _c("inference-stepvideo-t2v-544x992", "inference",
        "009_stepvideo/stepvideo_t2v.yaml", "StepVideo T2V 544x992"),
+    # Mochi (reference: scripts/inference_mochi.py)
+    _c("inference-mochi", "inference", "010_mochi/mochi_t2v.yaml",
+       "Mochi-1 T2V 480x848"),
+    # VideoCrafter1 (reference configs/000_videocrafter)
+    _c("inference-vc1-t2v-576-1024", "inference",
+       "000_videocrafter/vc1_t2v_576x1024.yaml",
+       "VideoCrafter1 T2V 576x1024"),
+    _c("inference-vc1-i2v-320-512", "inference",
+       "000_videocrafter/vc1_i2v_320x512.yaml",
+       "VideoCrafter1 I2V 320x512"),
     # Flux
     _c("inference-flux-dev", "inference", "006_flux/flux_dev.yaml",
        "Flux-dev T2I"),
