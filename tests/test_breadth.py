@@ -66,11 +66,10 @@ class TestMochi:
     def test_flow_composes_and_samples(self):
         f = MochiFlow(
             denoiser_config={
-                "target": "videotuna_tpu.models.hunyuan.HYVideoDiT",
-                "params": dict(in_channels=12, out_channels=12, dim=32,
-                               heads=2, double_blocks=1, single_blocks=1,
-                               text_dim=24, pooled_dim=12,
-                               guidance_embed=False),
+                "target": "videotuna_tpu.models.MochiDiT",
+                "params": dict(in_channels=12, dim=32, dim_y=16, depth=2,
+                               heads=2, caption_channels=24,
+                               scan_blocks=False),
             },
             scheduler_config={
                 "target": "videotuna_tpu.schedulers.FlowMatchSchedule",
