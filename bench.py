@@ -260,8 +260,51 @@ def _bench_vae_decode(frames: int = 13, hh: int = 30, ww: int = 45,
             "unit": f"s (4x spatial tiles of 13x{hh}x{ww}x16, bf16)"}
 
 
+def _bench_train_stdit(n_steps: int = 8):
+    """Flagship TRAINING step (fwd + bwd + adamw update, bf16 params,
+    fp32 master in optimizer): the fine-tune hot loop (BASELINE.md
+    fine-tune rows; exercises the fused flash backward in-model)."""
+    import optax
+    from videotuna_tpu.models.opensora.stdit import STDiT
+    model = STDiT(input_size=(16, 32, 32), in_channels=4,
+                  hidden_size=HIDDEN, depth=DEPTH, num_heads=HEADS,
+                  caption_channels=CAP, pred_sigma=False,
+                  dtype=jnp.bfloat16, scan_blocks=True, remat=True)
+    b = 1
+    x = jnp.zeros((b, 16, 32, 32, 4))
+    t = jnp.zeros((b,), jnp.int32)
+    y = jnp.zeros((b, 120, CAP))
+    params = _bf16_params(model, x, t, y)
+    tx = optax.adamw(1e-5)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, x):
+        out = model.apply({"params": p}, x, t, y)
+        return jnp.mean((out - x) ** 2)
+
+    @jax.jit
+    def train_step(p, o, x):
+        loss, g = jax.value_and_grad(loss_fn)(p, x)
+        upd, o = tx.update(g, o, p)
+        p = optax.apply_updates(p, upd)
+        return p, o, loss
+
+    params, opt_state, loss = train_step(params, opt_state, x)
+    _sync(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        params, opt_state, loss = train_step(params, opt_state, x)
+    _sync(loss)
+    sps = n_steps / (time.perf_counter() - t0)
+    return {"metric": "stdit_xl2_train_steps_per_sec_per_chip",
+            "value": round(sps, 3),
+            "unit": "train steps/s (b=1, 16x32x32 latents, bf16+remat, "
+                    "adamw)"}
+
+
 SUITE_BENCHES = {
     "stdit": lambda: dict(zip(("value", "unit"), _bench_partitioned())),
+    "stdit_train": lambda: _bench_train_stdit(),
     "cogvideox5b": lambda: _bench_cogvideox5b(),
     "hunyuan13b_class": lambda: _bench_hunyuan13b(),
     "vae_decode": lambda: _bench_vae_decode(),
