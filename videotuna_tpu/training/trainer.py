@@ -216,6 +216,19 @@ class Trainer:
             val_loader=None, val_every: int = 0) -> TrainState:
         state = state if state is not None else self.init_state()
         state = self.maybe_resume(state)
+        import contextlib
+        sp_ctx = contextlib.nullcontext()
+        if self.mesh.shape.get("sp", 1) > 1:
+            # route long self-attention through ulysses/ring SP during the
+            # step trace (fused flash fwd+bwd inside shard_map) — training
+            # is exactly where the sequence-parallel memory story matters
+            from videotuna_tpu.kernels.attention import sequence_parallel
+            sp_ctx = sequence_parallel(self.mesh)
+        with sp_ctx:
+            return self._fit_inner(state, loader, max_steps, val_loader,
+                                   val_every)
+
+    def _fit_inner(self, state, loader, max_steps, val_loader, val_every):
         step_fn = self.compiled_step(state)
         self.install_signal_checkpoint()
         max_steps = max_steps or self.cfg.max_steps
