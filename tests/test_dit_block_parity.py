@@ -12,6 +12,7 @@ import sys
 import types
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -127,11 +128,12 @@ def _stub_opensora_deps():
         class Mlp(tnn.Module):
             # faithful to timm: fc1 → act → fc2 (drop=0 in the VAE/DiT use)
             def __init__(self, in_features, hidden_features, act_layer,
-                         drop=0.0):
+                         out_features=None, drop=0.0):
                 super().__init__()
                 self.fc1 = tnn.Linear(in_features, hidden_features)
                 self.act = act_layer()
-                self.fc2 = tnn.Linear(hidden_features, in_features)
+                self.fc2 = tnn.Linear(hidden_features,
+                                      out_features or in_features)
 
             def forward(self, x):
                 return self.fc2(self.act(self.fc1(x)))
@@ -157,6 +159,16 @@ def _stub_opensora_deps():
             return o.transpose(1, 2)
 
         ops.memory_efficient_attention = memory_efficient_attention
+
+        class _FMHA:
+            class BlockDiagonalMask:
+                @staticmethod
+                def from_seqlens(q_lens, kv_lens=None):
+                    # single-sequence block-diagonal == plain attention
+                    assert len(q_lens) == 1, "stub supports B=1 only"
+                    return None
+
+        ops.fmha = _FMHA
         xf.ops = ops
         sys.modules.update({"xformers": xf, "xformers.ops": ops})
 
@@ -422,3 +434,47 @@ def test_wan_block_parity(ref_wan, cross_type):
     out = ours.apply({"params": tree}, *args)
     np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
                                atol=3e-4, rtol=1e-3)
+
+
+def test_stdit_whole_model_parity(ref_stdit):
+    """WHOLE-MODEL STDiT parity: random-init reference (imported from
+    /root/reference with timm/xformers stubs) -> stdit_map -> our STDiT
+    reproduces the full forward (pos embeds, t_embedder, caption MLP,
+    blocks, T2I final layer)."""
+    from videotuna_tpu.models.opensora.stdit import STDiT
+    from videotuna_tpu.tools.convert_weights import (
+        preprocess_split_fused, preprocess_split_fused_qkv, stdit_map,
+        verify_tree_shapes)
+
+    torch.manual_seed(0)
+    tt, hh, ww = 4, 8, 8
+    kw = dict(input_size=(tt, hh, ww), in_channels=4,
+              patch_size=(1, 2, 2), hidden_size=32, depth=2, num_heads=4,
+              caption_channels=16, model_max_length=6, pred_sigma=True)
+    ref = ref_stdit.STDiT(**kw, dtype=torch.float32).eval()
+
+    x = torch.randn(1, 4, tt, hh, ww)
+    t = torch.tensor([500.0])
+    y = torch.randn(1, 1, 6, 16)
+    with torch.no_grad():
+        out_ref = ref(x, t, y, mask=None).numpy()
+
+    ours = STDiT(**{k: v for k, v in kw.items()
+                    if k != "model_max_length"})
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))
+    args = (xj, jnp.asarray([500.0]), jnp.asarray(y[:, 0].numpy()))
+    init = ours.init(jax.random.key(0), *args)["params"]
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    sd = preprocess_split_fused_qkv(sd, r"attn\.qkv|attn_temp\.qkv")
+    sd = preprocess_split_fused(sd, r"cross_attn\.kv_linear", "kv_linear",
+                                ("k_linear", "v_linear"))
+    tree = stdit_map(heads=4).convert(sd, strict=False)
+    missing = verify_tree_shapes(tree, init)
+    # pos_embed buffers are recomputed on device, not converted
+    missing = [m for m in missing if "pos_embed" not in m]
+    assert not missing, missing[:10]
+
+    out = ours.apply({"params": tree}, *args)
+    out_np = np.asarray(out).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(out_np, out_ref, atol=5e-4, rtol=2e-3)
