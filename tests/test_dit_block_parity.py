@@ -300,6 +300,18 @@ def ref_hy():
         _load(f"refhy.modules.{m}", f"{HY_DIR}/modules/{m}.py")
     mod = _load("refhy.modules.models", f"{HY_DIR}/modules/models.py")
     mod.attention = _fake_hy_attention
+
+    def _cpu_cu_seqlens(text_mask, img_len):
+        bsz = text_mask.shape[0]
+        text_len = text_mask.sum(dim=1)
+        max_len = text_mask.shape[1] + img_len
+        cu = torch.zeros([2 * bsz + 1], dtype=torch.int32)
+        for i in range(bsz):
+            cu[2 * i + 1] = i * max_len + text_len[i] + img_len
+            cu[2 * i + 2] = (i + 1) * max_len
+        return cu
+
+    mod.get_cu_seqlens = _cpu_cu_seqlens
     return mod
 
 
@@ -474,6 +486,66 @@ def test_stdit_whole_model_parity(ref_stdit):
     # pos_embed buffers are recomputed on device, not converted
     missing = [m for m in missing if "pos_embed" not in m]
     assert not missing, missing[:10]
+
+    out = ours.apply({"params": tree}, *args)
+    out_np = np.asarray(out).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(out_np, out_ref, atol=5e-4, rtol=2e-3)
+
+
+def test_hunyuan_whole_model_parity(ref_hy):
+    """WHOLE-MODEL HYVideoDiT parity: patch embed, token-refiner text-in,
+    time/vector/guidance embedders, double+single blocks, final layer —
+    random-init reference → hunyuan_map → identical forward
+    (latent_concat mode; token_replace i2v conditioning not implemented)."""
+    from videotuna_tpu.models.hunyuan.dit import HYVideoDiT
+    from videotuna_tpu.tools.convert_weights import (
+        hunyuan_map, preprocess_split_fused_qkv, verify_tree_shapes)
+
+    torch.manual_seed(0)
+    dim, heads = 32, 4
+    ref = ref_hy.HYVideoDiffusionTransformer(
+        in_channels=4, out_channels=4, patch_size=[1, 2, 2],
+        hidden_size=dim, heads_num=heads, mlp_width_ratio=4.0,
+        mm_double_blocks_depth=1, mm_single_blocks_depth=1,
+        rope_dim_list=[2, 4, 2], qkv_bias=True, guidance_embed=True,
+        text_states_dim=16, text_states_dim_2=12,
+        i2v_condition_type="latent_concat",
+        dtype=torch.float32).eval()
+
+    f, h, w = 2, 8, 8
+    x = torch.randn(1, 4, f, h, w)
+    t = torch.tensor([500.0])
+    txt = torch.randn(1, 6, 16)
+    mask = torch.ones(1, 6, dtype=torch.int64)
+    pooled = torch.randn(1, 12)
+    g = torch.tensor([6000.0])
+    pe = sys.modules["refhy.modules.posemb_layers"]
+    freqs_cos, freqs_sin = pe.get_nd_rotary_pos_embed(
+        [2, 4, 2], [f, h // 2, w // 2], use_real=True)
+    with torch.no_grad():
+        out_ref = ref(x, t, txt, mask, pooled, freqs_cos, freqs_sin,
+                      guidance=g, return_dict=False)
+    if isinstance(out_ref, (tuple, list)):
+        out_ref = out_ref[0]
+    out_ref = out_ref.numpy()
+
+    ours = HYVideoDiT(in_channels=4, out_channels=4, dim=dim, heads=heads,
+                      double_blocks=1, single_blocks=1, text_dim=16,
+                      pooled_dim=12, guidance_embed=True,
+                      rope_dim_list=(2, 4, 2))
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))
+    args = (xj, jnp.asarray([500.0]), jnp.asarray(txt.numpy()),
+            jnp.asarray(pooled.numpy()),
+            jnp.asarray(mask.numpy()).astype(bool),
+            jnp.asarray([6000.0]))
+    init = ours.init(jax.random.key(0), *args)["params"]
+
+    sd = preprocess_split_fused_qkv(
+        {k: v.numpy() for k, v in ref.state_dict().items()},
+        r"attn_qkv|linear1_qkv|self_attn_qkv")
+    tree = hunyuan_map(heads=heads).convert(sd, strict=True)
+    assert not verify_tree_shapes(tree, init), \
+        verify_tree_shapes(tree, init)[:10]
 
     out = ours.apply({"params": tree}, *args)
     out_np = np.asarray(out).transpose(0, 4, 1, 2, 3)
