@@ -448,6 +448,17 @@ def test_wan_block_parity(ref_wan, cross_type):
                                atol=3e-4, rtol=1e-3)
 
 
+
+def _perturb_(ref_module, scale=0.03, seed=123):
+    """Add noise to EVERY reference parameter: DiT-style zero-init of
+    adaLN/final layers otherwise makes whole-model outputs identically
+    zero and the parity assertion vacuous."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p_ in ref_module.parameters():
+            p_.add_(torch.randn(p_.shape, generator=g) * scale)
+
+
 def test_stdit_whole_model_parity(ref_stdit):
     """WHOLE-MODEL STDiT parity: random-init reference (imported from
     /root/reference with timm/xformers stubs) -> stdit_map -> our STDiT
@@ -464,6 +475,7 @@ def test_stdit_whole_model_parity(ref_stdit):
               patch_size=(1, 2, 2), hidden_size=32, depth=2, num_heads=4,
               caption_channels=16, model_max_length=6, pred_sigma=True)
     ref = ref_stdit.STDiT(**kw, dtype=torch.float32).eval()
+    _perturb_(ref)
 
     x = torch.randn(1, 4, tt, hh, ww)
     t = torch.tensor([500.0])
@@ -489,6 +501,7 @@ def test_stdit_whole_model_parity(ref_stdit):
 
     out = ours.apply({"params": tree}, *args)
     out_np = np.asarray(out).transpose(0, 4, 1, 2, 3)
+    assert float(np.std(out_ref)) > 1e-3      # non-vacuous
     np.testing.assert_allclose(out_np, out_ref, atol=5e-4, rtol=2e-3)
 
 
@@ -511,6 +524,7 @@ def test_hunyuan_whole_model_parity(ref_hy):
         text_states_dim=16, text_states_dim_2=12,
         i2v_condition_type="latent_concat",
         dtype=torch.float32).eval()
+    _perturb_(ref)
 
     f, h, w = 2, 8, 8
     x = torch.randn(1, 4, f, h, w)
@@ -543,10 +557,91 @@ def test_hunyuan_whole_model_parity(ref_hy):
     sd = preprocess_split_fused_qkv(
         {k: v.numpy() for k, v in ref.state_dict().items()},
         r"attn_qkv|linear1_qkv|self_attn_qkv")
-    tree = hunyuan_map(heads=heads).convert(sd, strict=True)
+    tree = hunyuan_map(heads=heads, out_ch=4).convert(sd, strict=True)
     assert not verify_tree_shapes(tree, init), \
         verify_tree_shapes(tree, init)[:10]
 
     out = ours.apply({"params": tree}, *args)
     out_np = np.asarray(out).transpose(0, 4, 1, 2, 3)
+    assert float(np.std(out_ref)) > 1e-3      # non-vacuous
     np.testing.assert_allclose(out_np, out_ref, atol=5e-4, rtol=2e-3)
+
+
+def test_hunyuan_token_replace_parity(ref_hy):
+    """token_replace i2v conditioning (the released HunyuanVideo-I2V
+    default): first-latent-frame tokens modulated at timestep 0 — whole
+    model vs the reference in token_replace mode."""
+    from videotuna_tpu.models.hunyuan.dit import HYVideoDiT
+    from videotuna_tpu.tools.convert_weights import (
+        hunyuan_map, preprocess_split_fused_qkv, verify_tree_shapes)
+
+    torch.manual_seed(3)
+    dim, heads = 32, 4
+    ref = ref_hy.HYVideoDiffusionTransformer(
+        in_channels=4, out_channels=4, patch_size=[1, 2, 2],
+        hidden_size=dim, heads_num=heads, mlp_width_ratio=4.0,
+        mm_double_blocks_depth=1, mm_single_blocks_depth=1,
+        rope_dim_list=[2, 4, 2], qkv_bias=True, guidance_embed=False,
+        text_states_dim=16, text_states_dim_2=12,
+        i2v_condition_type="token_replace",
+        dtype=torch.float32).eval()
+
+    f, h, w = 2, 8, 8
+    x = torch.randn(1, 4, f, h, w)
+    t = torch.tensor([500.0])
+    txt = torch.randn(1, 6, 16)
+    mask = torch.ones(1, 6, dtype=torch.int64)
+    pooled = torch.randn(1, 12)
+    pe = sys.modules["refhy.modules.posemb_layers"]
+    freqs_cos, freqs_sin = pe.get_nd_rotary_pos_embed(
+        [2, 4, 2], [f, h // 2, w // 2], use_real=True)
+    with torch.no_grad():
+        out_ref = ref(x, t, txt, mask, pooled, freqs_cos, freqs_sin,
+                      return_dict=False)
+    if isinstance(out_ref, (tuple, list)):
+        out_ref = out_ref[0]
+
+    ours = HYVideoDiT(in_channels=4, out_channels=4, dim=dim, heads=heads,
+                      double_blocks=1, single_blocks=1, text_dim=16,
+                      pooled_dim=12, guidance_embed=False,
+                      rope_dim_list=(2, 4, 2),
+                      i2v_condition_type="token_replace")
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))
+    args = (xj, jnp.asarray([500.0]), jnp.asarray(txt.numpy()),
+            jnp.asarray(pooled.numpy()),
+            jnp.asarray(mask.numpy()).astype(bool))
+    init = ours.init(jax.random.key(0), *args)["params"]
+
+    sd = preprocess_split_fused_qkv(
+        {k: v.numpy() for k, v in ref.state_dict().items()},
+        r"attn_qkv|linear1_qkv|self_attn_qkv")
+    tree = hunyuan_map(heads=heads, out_ch=4).convert(sd, strict=True)
+    assert not verify_tree_shapes(tree, init), \
+        verify_tree_shapes(tree, init)[:10]
+
+    # the reference zero-inits adaLN/final layers, which makes the whole
+    # forward identically zero at random init — perturb everything
+    _perturb_(ref)
+    with torch.no_grad():
+        out_ref = ref(x, t, txt, mask, pooled, freqs_cos, freqs_sin,
+                      return_dict=False)
+    if isinstance(out_ref, (tuple, list)):
+        out_ref = out_ref[0]
+    sd = preprocess_split_fused_qkv(
+        {k: v.numpy() for k, v in ref.state_dict().items()},
+        r"attn_qkv|linear1_qkv|self_attn_qkv")
+    tree = hunyuan_map(heads=heads, out_ch=4).convert(sd, strict=True)
+
+    out = ours.apply({"params": tree}, *args)
+    out_np = np.asarray(out).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(out_np, out_ref.numpy(), atol=5e-4,
+                               rtol=2e-3)
+
+    # sanity: token_replace must actually change the output now
+    base = HYVideoDiT(in_channels=4, out_channels=4, dim=dim, heads=heads,
+                      double_blocks=1, single_blocks=1, text_dim=16,
+                      pooled_dim=12, guidance_embed=False,
+                      rope_dim_list=(2, 4, 2))
+    assert float(np.std(out_ref.numpy())) > 1e-3
+    out_base = base.apply({"params": tree}, *args)
+    assert float(jnp.abs(out_base - out).max()) > 1e-5

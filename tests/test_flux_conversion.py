@@ -69,8 +69,13 @@ def test_flux_whole_model_parity(ref_flux):
     img_ids[..., 1] = torch.arange(hh).repeat_interleave(ww)
     img_ids[..., 2] = torch.arange(ww).repeat(hh)
     txt_ids = torch.zeros(1, 6, 3)
+    gen = torch.Generator().manual_seed(123)
+    with torch.no_grad():
+        for p_ in ref.parameters():
+            p_.add_(torch.randn(p_.shape, generator=gen) * 0.02)
     with torch.no_grad():
         out_ref = ref(img, img_ids, txt, txt_ids, t, y, g).numpy()
+    assert float(np.std(out_ref)) > 1e-3
 
     ours = FluxModel(in_channels=8, dim=64, heads=4, double_blocks=2,
                      single_blocks=2, text_dim=16, pooled_dim=12,

@@ -106,6 +106,13 @@ def test_wan_whole_model_parity():
                        text_dim=tdim, out_dim=4, num_heads=heads,
                        num_layers=layers, qk_norm=True,
                        cross_attn_norm=True, eps=1e-6).eval()
+    # the reference zero-inits its head (init_weights) — perturb every
+    # parameter so the whole-model comparison is non-vacuous
+    g = torch.Generator().manual_seed(123)
+    with torch.no_grad():
+        for p_ in ref.parameters():
+            p_.add_(torch.randn(p_.shape, generator=g) * 0.03)
+
     f, h, w = 3, 8, 8
     x = torch.randn(4, f, h, w)
     ctx = torch.randn(6, tdim)
@@ -113,6 +120,7 @@ def test_wan_whole_model_parity():
     L = f * (h // 2) * (w // 2)
     with torch.no_grad():
         out_ref = ref([x], t, [ctx], seq_len=L)[0].numpy()
+    assert float(np.std(out_ref)) > 1e-3
 
     ours = WanModel(in_channels=4, out_channels=4, dim=dim, ffn_dim=ffn,
                     num_layers=layers, heads=heads, text_dim=tdim,

@@ -46,20 +46,39 @@ def _modulation(vec: jnp.ndarray, n: int, dim: int, dtype, name: str):
 
 
 class MMDoubleStreamBlock(nn.Module):
+    """``tr_len > 0`` enables token-replace i2v conditioning (reference
+    models.py:150-199): the first ``tr_len`` image tokens (the conditioning
+    first frame) are modulated with ``vec_tr`` (the timestep-0 vector)
+    instead of ``vec``."""
     dim: int
     heads: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
     as_cell: bool = False
+    tr_len: int = 0
 
     @nn.compact
-    def __call__(self, carry, vec, img_cos, img_sin):
+    def __call__(self, carry, vec, img_cos, img_sin, vec_tr=None):
         img, txt = carry
         d = self.dim
         hd = d // self.heads
+        b = img.shape[0]
 
-        (i_s1, i_sc1, i_g1, i_s2, i_sc2, i_g2) = _modulation(
-            vec, 6, d, self.dtype, "img_mod")
+        img_mod = nn.Dense(6 * d, dtype=self.dtype, name="img_mod",
+                           kernel_init=nn.initializers.zeros)
+        mods = jnp.split(img_mod(nn.silu(vec))[:, None, :], 6, axis=-1)
+        if self.tr_len > 0 and vec_tr is not None:
+            mods_tr = jnp.split(img_mod(nn.silu(vec_tr))[:, None, :], 6,
+                                axis=-1)
+            li = img.shape[1]
+
+            def sel(m, m_tr):
+                return jnp.concatenate(
+                    [jnp.broadcast_to(m_tr, (b, self.tr_len, d)),
+                     jnp.broadcast_to(m, (b, li - self.tr_len, d))], axis=1)
+
+            mods = [sel(m, mt) for m, mt in zip(mods, mods_tr)]
+        (i_s1, i_sc1, i_g1, i_s2, i_sc2, i_g2) = mods
         (t_s1, t_sc1, t_g1, t_s2, t_sc2, t_g2) = _modulation(
             vec, 6, d, self.dtype, "txt_mod")
 
@@ -115,18 +134,34 @@ class MMDoubleStreamBlock(nn.Module):
 
 
 class MMSingleStreamBlock(nn.Module):
+    """``tr_len > 0``: token-replace modulation for the first ``tr_len``
+    tokens of the concatenated [img; txt] sequence (the conditioning
+    frame — reference models.py:371-460)."""
     dim: int
     heads: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
     as_cell: bool = False
+    tr_len: int = 0
 
     @nn.compact
-    def __call__(self, x, vec, cos_full, sin_full, img_len: int):
+    def __call__(self, x, vec, cos_full, sin_full, img_len: int,
+                 vec_tr=None):
         d = self.dim
         hd = d // self.heads
         mlp_dim = int(d * self.mlp_ratio)
-        s1, sc1, gate = _modulation(vec, 3, d, self.dtype, "mod")
+        mod = nn.Dense(3 * d, dtype=self.dtype, name="mod",
+                       kernel_init=nn.initializers.zeros)
+        mods = jnp.split(mod(nn.silu(vec))[:, None, :], 3, axis=-1)
+        if self.tr_len > 0 and vec_tr is not None:
+            b, ls = x.shape[0], x.shape[1]
+            mods_tr = jnp.split(mod(nn.silu(vec_tr))[:, None, :], 3,
+                                axis=-1)
+            mods = [jnp.concatenate(
+                [jnp.broadcast_to(mt, (b, self.tr_len, d)),
+                 jnp.broadcast_to(m, (b, ls - self.tr_len, d))], axis=1)
+                for m, mt in zip(mods, mods_tr)]
+        s1, sc1, gate = mods
         xm = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
                           dtype=self.dtype, name="norm")(x)
         xm = xm * (1 + sc1) + s1
@@ -239,6 +274,10 @@ class HYVideoDiT(nn.Module):
     # rope_dim_list (hyvideo_t2v/modules/models.py:461). None → the released
     # [16,56,56] when head_dim is 128, else an even ~(1/4,3/8,3/8) split.
     rope_dim_list: Optional[Tuple[int, int, int]] = None
+    # "token_replace": the i2v conditioning of the released HunyuanVideo
+    # I2V model (models.py:538,703-716) — the first latent frame's tokens
+    # are modulated at timestep 0
+    i2v_condition_type: Optional[str] = None
     dtype: Dtype = jnp.float32
     scan_blocks: bool = False
     remat: bool = False
@@ -256,15 +295,24 @@ class HYVideoDiT(nn.Module):
         tt, hh, ww = t_in // pt, h_in // ph, w_in // pw
         d = self.dim
 
-        vec = TimestepEmbedder(d, dtype=self.dtype, name="t_embedder")(
-            timestep)
+        t_embedder = TimestepEmbedder(d, dtype=self.dtype,
+                                      name="t_embedder")
+        vec = t_embedder(timestep)
+        token_replace = self.i2v_condition_type == "token_replace"
+        vec_tr = t_embedder(jnp.zeros_like(timestep)) if token_replace \
+            else None
         if pooled_text is not None:
             # MLPEmbedder (reference mlp_layers.py:63): in→d, silu, d→d
             pv = nn.Dense(d, dtype=self.dtype, name="vector_in")(
                 pooled_text.astype(self.dtype))
-            vec = vec + nn.Dense(d, dtype=self.dtype,
-                                 name="vector_in_out")(nn.silu(pv))
+            vec2 = nn.Dense(d, dtype=self.dtype,
+                            name="vector_in_out")(nn.silu(pv))
+            vec = vec + vec2
+            if token_replace:
+                vec_tr = vec_tr + vec2
         if self.guidance_embed and guidance is not None:
+            # guidance modulates vec only, NOT the token-replace vector
+            # (models.py:718-725)
             vec = vec + TimestepEmbedder(d, dtype=self.dtype,
                                          name="guidance_in")(guidance)
 
@@ -305,17 +353,19 @@ class HYVideoDiT(nn.Module):
             dscan = nn.scan(dcell,
                             variable_axes={"params": 0},
                             split_rngs={"params": True},
-                            in_axes=(nn.broadcast,) * 3,
+                            in_axes=(nn.broadcast,) * 4,
                             length=self.double_blocks)
             (img, txt), _ = dscan(d, self.heads, self.mlp_ratio,
                                   dtype=self.dtype, as_cell=True,
+                                  tr_len=hh * ww if token_replace else 0,
                                   name="double_blocks")(
-                (img, txt), vec, cos, sin)
+                (img, txt), vec, cos, sin, vec_tr)
         else:
             for i in range(self.double_blocks):
                 img, txt = MMDoubleStreamBlock(
                     d, self.heads, self.mlp_ratio, dtype=self.dtype,
-                    name=f"double_{i}")((img, txt), vec, cos, sin)
+                    tr_len=hh * ww if token_replace else 0,
+                    name=f"double_{i}")((img, txt), vec, cos, sin, vec_tr)
 
         xcat = jnp.concatenate([img, txt], axis=1)
         if self.scan_blocks:
@@ -324,17 +374,20 @@ class HYVideoDiT(nn.Module):
             sscan = nn.scan(scell,
                             variable_axes={"params": 0},
                             split_rngs={"params": True},
-                            in_axes=(nn.broadcast,) * 4,
+                            in_axes=(nn.broadcast,) * 5,
                             length=self.single_blocks)
             xcat, _ = sscan(d, self.heads, self.mlp_ratio, dtype=self.dtype,
-                            as_cell=True, name="single_blocks")(
-                xcat, vec, cos_full, sin_full, img.shape[1])
+                            as_cell=True,
+                            tr_len=hh * ww if token_replace else 0,
+                            name="single_blocks")(
+                xcat, vec, cos_full, sin_full, img.shape[1], vec_tr)
         else:
             for i in range(self.single_blocks):
                 xcat = MMSingleStreamBlock(
                     d, self.heads, self.mlp_ratio, dtype=self.dtype,
+                    tr_len=hh * ww if token_replace else 0,
                     name=f"single_{i}")(xcat, vec, cos_full, sin_full,
-                                        img.shape[1])
+                                        img.shape[1], vec_tr)
         img = xcat[:, :img.shape[1]]
 
         shift, scale = _modulation(vec, 2, d, self.dtype, "final_mod")

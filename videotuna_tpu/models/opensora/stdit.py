@@ -52,9 +52,12 @@ def sincos_pos_embed_2d(dim: int, h: int, w: int,
 
     emb_h = one_axis(dim // 2, h)            # (h, dim/2)
     emb_w = one_axis(dim // 2, w)            # (w, dim/2)
+    # reference get_2d_sincos_pos_embed builds meshgrid(w, h) and embeds
+    # grid[0] (the W coordinate) into the FIRST half — checkpoint parity
+    # requires the same half order
     grid = jnp.concatenate([
-        jnp.repeat(emb_h, w, axis=0),
         jnp.tile(emb_w, (h, 1)),
+        jnp.repeat(emb_h, w, axis=0),
     ], axis=1)
     return grid
 

@@ -85,6 +85,25 @@ def t_conv(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.transpose(perm))
 
 
+def t_cfirst_patch_rows(patch: Tuple[int, int, int],
+                        out_ch: int) -> Transform:
+    """Final-layer rows ordered (C, pt, ph, pw) in torch (hyvideo
+    unpatchify models.py:807-819 einsum nthwcopq) → our (pt, ph, pw, C)
+    row order, then the usual Linear transpose. Works for .weight (2D)
+    and .bias (1D)."""
+    pt, ph, pw = patch
+
+    def f(w: np.ndarray) -> np.ndarray:
+        if w.ndim == 1:
+            return np.ascontiguousarray(
+                w.reshape(out_ch, pt, ph, pw).transpose(1, 2, 3, 0)
+                .reshape(-1))
+        out_dim, hid = w.shape
+        wr = w.reshape(out_ch, pt, ph, pw, hid).transpose(1, 2, 3, 0, 4)
+        return t_linear(wr.reshape(out_dim, hid))
+    return f
+
+
 def t_dense_general(heads: int) -> Transform:
     """torch (H·hd, in) → flax DenseGeneral kernel (in, H, hd)."""
     def f(w: np.ndarray) -> np.ndarray:
@@ -384,7 +403,9 @@ def wan_map(heads: int = 12) -> ConversionMap:
     return ConversionMap(rules)
 
 
-def hunyuan_map(heads: int = 24) -> ConversionMap:
+def hunyuan_map(heads: int = 24,
+                patch: Tuple[int, int, int] = (1, 2, 2),
+                out_ch: int = 16) -> ConversionMap:
     """HunyuanVideo torch names (hyvideo modules/models.py) →
     videotuna_tpu HYVideoDiT tree. Run
     ``preprocess_split_fused_qkv(sd, r"attn_qkv|linear1_qkv")`` first for
@@ -411,8 +432,10 @@ def hunyuan_map(heads: int = 24) -> ConversionMap:
         (r"guidance_in\.mlp\.2\.weight", r"guidance_in/fc2/kernel",
          t_linear),
         (r"guidance_in\.mlp\.2\.bias", r"guidance_in/fc2/bias", None),
-        (r"final_layer\.linear\.weight", r"final_proj/kernel", t_linear),
-        (r"final_layer\.linear\.bias", r"final_proj/bias", None),
+        (r"final_layer\.linear\.weight", r"final_proj/kernel",
+         t_cfirst_patch_rows(patch, out_ch)),
+        (r"final_layer\.linear\.bias", r"final_proj/bias",
+         t_cfirst_patch_rows(patch, out_ch)),
         (r"final_layer\.adaLN_modulation\.1\.weight",
          r"final_mod/kernel", t_linear),
         (r"final_layer\.adaLN_modulation\.1\.bias",
@@ -1144,6 +1167,7 @@ def flux_map(heads: int = 24) -> ConversionMap:
          r"final_mod/kernel", t_linear),
         (r"final_layer\.adaLN_modulation\.1\.bias",
          r"final_mod/bias", None),
+        # flux output stays in the BFL packed-latent channel order
         (r"final_layer\.linear\.weight", r"final_proj/kernel", t_linear),
         (r"final_layer\.linear\.bias", r"final_proj/bias", None),
     ]
