@@ -326,6 +326,7 @@ def test_hunyuan_double_block_parity(ref_hy):
     hd = dim // heads
     blk = ref_hy.MMDoubleStreamBlock(dim, heads, mlp_width_ratio=4.0,
                                      qkv_bias=True).eval()
+    _perturb_(blk)          # ModulateDiT zero-inits → identity block
     f, h, w = 2, 4, 4
     L, Lt = f * h * w, 6
     img = torch.randn(1, L, dim)
@@ -366,7 +367,9 @@ def test_hunyuan_single_block_parity(ref_hy):
 
     torch.manual_seed(1)
     dim, heads = 32, 4
-    blk = ref_hy.MMSingleStreamBlock(dim, heads, mlp_width_ratio=4.0).eval()
+    blk = ref_hy.MMSingleStreamBlock(dim, heads,
+                                     mlp_width_ratio=4.0).eval()
+    _perturb_(blk)          # ModulateDiT zero-inits → identity block
     f, h, w = 2, 4, 4
     L, Lt = f * h * w, 6
     x = torch.randn(1, L + Lt, dim)
