@@ -47,29 +47,77 @@ def zero_init_conv(ch, kernel, dtype, name):
                    bias_init=nn.initializers.zeros)
 
 
+
+class FrameGN(nn.Module):
+    """GroupNorm with per-frame statistics: the reference applies its 2D
+    GroupNorms on (B·T, C, H, W) (ResBlock in/out_layers, the
+    SpatialTransformer norm), so stats must NOT pool over time — flax
+    GroupNorm on the 5D video would. Temporal modules (TemporalConvBlock,
+    TemporalTransformer) keep clip-wide stats like the reference's 3D
+    views."""
+    groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t = x.shape[:2]
+        y = x.reshape(b * t, *x.shape[2:])
+        y = nn.GroupNorm(self.groups, epsilon=self.epsilon,
+                         dtype=jnp.float32, name="gn")(y)
+        return y.reshape(x.shape)
+
+
+class TemporalConvBlock(nn.Module):
+    """Reference TemporalConvBlock (openaimodel3d.py:258): four
+    GN→SiLU→Conv3d stacks with (3,1,1) temporal kernels (conv1 maps
+    out_ch→out_ch at in==out in our use), conv4 zero-init, residual."""
+    ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = x
+        for i in range(1, 5):
+            h = nn.GroupNorm(_groups(self.ch), epsilon=1e-5,
+                             dtype=jnp.float32, name=f"norm{i}")(h)
+            h = nn.silu(h).astype(self.dtype)
+            conv = zero_init_conv(self.ch, (3, 1, 1), self.dtype,
+                                  f"conv{i}") if i == 4 else \
+                nn.Conv(self.ch, (3, 1, 1), dtype=self.dtype,
+                        name=f"conv{i}")
+            h = conv(h)
+        return x + h
+
+
 class ResBlock3D(nn.Module):
-    """Residual block with FiLM time-embedding and optional factorized
-    temporal conv (reference ResBlock :123 + TemporalConvBlock :258)."""
+    """Residual block with additive time-embedding (reference default,
+    use_scale_shift_norm=False — openaimodel3d.py:145,241) or FiLM
+    scale-shift, plus the faithful 4-conv temporal block."""
     out_ch: int
     use_temporal_conv: bool = False
+    use_scale_shift_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
         # x: (B, T, H, W, C); emb: (B, E)
         b, t, hh, ww, c = x.shape
-        h = nn.GroupNorm(_groups(c), epsilon=1e-5, dtype=jnp.float32,
-                         name="norm1")(x)
+        h = FrameGN(_groups(c), name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_ch, (1, 3, 3), dtype=self.dtype,
                     name="conv1")(h)
-        # FiLM: scale-shift from time embedding
-        es = nn.Dense(2 * self.out_ch, dtype=self.dtype,
-                      name="emb_proj")(nn.silu(emb))
-        scale, shift = jnp.split(es[:, None, None, None, :], 2, axis=-1)
-        h = nn.GroupNorm(_groups(self.out_ch), epsilon=1e-5,
-                         dtype=jnp.float32, name="norm2")(h)
-        h = h.astype(self.dtype) * (1.0 + scale) + shift
+        n_emb = 2 * self.out_ch if self.use_scale_shift_norm \
+            else self.out_ch
+        es = nn.Dense(n_emb, dtype=self.dtype,
+                      name="emb_proj")(nn.silu(emb))[:, None, None, None]
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(es, 2, axis=-1)
+            h = FrameGN(_groups(self.out_ch), name="norm2")(h)
+            h = h.astype(self.dtype) * (1.0 + scale) + shift
+        else:
+            h = h + es
+            h = FrameGN(_groups(self.out_ch),
+                        name="norm2")(h).astype(self.dtype)
         h = nn.silu(h)
         h = zero_init_conv(self.out_ch, (1, 3, 3), self.dtype, "conv2")(h)
         if c != self.out_ch:
@@ -77,12 +125,8 @@ class ResBlock3D(nn.Module):
                         name="skip")(x)
         h = x + h
         if self.use_temporal_conv:
-            v = nn.GroupNorm(_groups(self.out_ch), epsilon=1e-5,
-                             dtype=jnp.float32, name="tnorm")(h)
-            v = nn.silu(v).astype(self.dtype)
-            v = zero_init_conv(self.out_ch, (3, 1, 1), self.dtype,
-                               "tconv")(v)
-            h = h + v
+            h = TemporalConvBlock(self.out_ch, dtype=self.dtype,
+                                  name="tconv")(h)
         return h
 
 
@@ -101,8 +145,7 @@ class SpatialTransformer(nn.Module):
                  context_img: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         b, t, hh, ww, c = x.shape
         inner = self.heads * self.head_dim
-        h = nn.GroupNorm(_groups(c), epsilon=1e-6, dtype=jnp.float32,
-                         name="norm")(x)
+        h = FrameGN(_groups(c), epsilon=1e-6, name="norm")(x)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(
             h.astype(self.dtype))
         tok = h.reshape(b * t, hh * ww, inner)
@@ -166,36 +209,52 @@ class TemporalTransformer(nn.Module):
             h.astype(self.dtype))
         tok = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, t, inner)
 
-        m = nn.LayerNorm(dtype=self.dtype, name="ln1")(tok)
-        q = nn.DenseGeneral((self.heads, self.head_dim), use_bias=False,
-                            dtype=self.dtype, name="q")(m)
-        k = nn.DenseGeneral((self.heads, self.head_dim), use_bias=False,
-                            dtype=self.dtype, name="k")(m)
-        v = nn.DenseGeneral((self.heads, self.head_dim), use_bias=False,
-                            dtype=self.dtype, name="v")(m)
-        if self.use_relative_position:
-            # clipped-offset lookup (attention.py:31-43); note the
-            # reference scales sim2 by self.scale too (:132)
-            idx = jnp.clip(jnp.arange(t)[None, :] - jnp.arange(t)[:, None],
-                           -self.max_len, self.max_len) + self.max_len
-            k2 = self.param("rel_k", nn.initializers.xavier_uniform(),
-                            (2 * self.max_len + 1, self.head_dim))[idx]
-            v2 = self.param("rel_v", nn.initializers.xavier_uniform(),
-                            (2 * self.max_len + 1, self.head_dim))[idx]
-            scale = self.head_dim ** -0.5
-            sim = (jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                              preferred_element_type=jnp.float32)
-                   + jnp.einsum("bqhd,qkd->bhqk", q, k2.astype(q.dtype),
-                                preferred_element_type=jnp.float32)) * scale
-            p = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-            o = (jnp.einsum("bhqk,bkhd->bqhd", p, v)
-                 + jnp.einsum("bhqk,qkd->bqhd", p, v2.astype(v.dtype)))
-        else:
-            o = dot_product_attention(q, k, v)
-        o = o.reshape(*o.shape[:-2], inner)
-        tok = tok + nn.Dense(inner, dtype=self.dtype, name="attn_out")(o)
+        def temporal_attn(tok, prefix):
+            """One self-attention over frames; with relative-position k/v
+            embeddings when enabled (attention.py:31-43,128-148)."""
+            m = nn.LayerNorm(dtype=self.dtype,
+                             name=f"ln_{prefix}")(tok)
+            q = nn.DenseGeneral((self.heads, self.head_dim),
+                                use_bias=False, dtype=self.dtype,
+                                name=f"{prefix}_q")(m)
+            k = nn.DenseGeneral((self.heads, self.head_dim),
+                                use_bias=False, dtype=self.dtype,
+                                name=f"{prefix}_k")(m)
+            v = nn.DenseGeneral((self.heads, self.head_dim),
+                                use_bias=False, dtype=self.dtype,
+                                name=f"{prefix}_v")(m)
+            if self.use_relative_position:
+                idx = jnp.clip(
+                    jnp.arange(t)[None, :] - jnp.arange(t)[:, None],
+                    -self.max_len, self.max_len) + self.max_len
+                k2 = self.param(f"{prefix}_rel_k",
+                                nn.initializers.xavier_uniform(),
+                                (2 * self.max_len + 1, self.head_dim))[idx]
+                v2 = self.param(f"{prefix}_rel_v",
+                                nn.initializers.xavier_uniform(),
+                                (2 * self.max_len + 1, self.head_dim))[idx]
+                scale = self.head_dim ** -0.5
+                sim = (jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                  preferred_element_type=jnp.float32)
+                       + jnp.einsum("bqhd,qkd->bhqk", q,
+                                    k2.astype(q.dtype),
+                                    preferred_element_type=jnp.float32)) \
+                    * scale
+                p = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+                o = (jnp.einsum("bhqk,bkhd->bqhd", p, v)
+                     + jnp.einsum("bhqk,qkd->bqhd", p, v2.astype(v.dtype)))
+            else:
+                o = dot_product_attention(q, k, v)
+            o = o.reshape(*o.shape[:-2], inner)
+            return tok + nn.Dense(inner, dtype=self.dtype,
+                                  name=f"{prefix}_out")(o)
 
-        m = nn.LayerNorm(dtype=self.dtype, name="ln2")(tok)
+        # reference BasicTransformerBlock runs TWO self-attentions in
+        # only_self_att mode (attn2's context defaults to x) then the ff
+        tok = temporal_attn(tok, "attn1")
+        tok = temporal_attn(tok, "attn2")
+
+        m = nn.LayerNorm(dtype=self.dtype, name="ln3")(tok)
         gate = nn.Dense(inner * 8, dtype=self.dtype, name="geglu")(m)
         a, g = jnp.split(gate, 2, axis=-1)
         tok = tok + nn.Dense(inner, dtype=self.dtype, name="mlp_out")(
@@ -227,9 +286,11 @@ class UNet3D(nn.Module):
     temporal_conv: bool = True
     temporal_attention: bool = True
     temporal_length: int = 16
-    use_relative_position: bool = True      # False for DynamiCrafter i2v
+    use_relative_position: bool = True      # False for VC2/DynamiCrafter
     use_image_attention: bool = False       # DynamiCrafter i2v
     fps_cond: bool = False
+    addition_attention: bool = False        # VC2: init temporal attn
+    use_scale_shift_norm: bool = False      # reference default (additive)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -255,9 +316,17 @@ class UNet3D(nn.Module):
 
         x = x.astype(self.dtype)
         h = nn.Conv(mc, (1, 3, 3), dtype=self.dtype, name="conv_in")(x)
+        if self.addition_attention:
+            # reference init_attn (openaimodel3d.py:418-432): an extra
+            # temporal transformer right after conv_in, 8 heads fixed
+            h = TemporalTransformer(
+                8, self.num_head_channels,
+                max_len=self.temporal_length,
+                use_relative_position=self.use_relative_position,
+                dtype=self.dtype, name="init_attn")(h)
 
-        def attn_pair(h, ch, ds, idx):
-            if ds in self.attention_resolutions:
+        def attn_pair(h, ch, ds, idx, force=False):
+            if force or ds in self.attention_resolutions:
                 heads = ch // self.num_head_channels
                 h = SpatialTransformer(
                     heads, self.num_head_channels, self.context_dim,
@@ -279,23 +348,33 @@ class UNet3D(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
                 ch = mult * mc
-                h = ResBlock3D(ch, self.temporal_conv, dtype=self.dtype,
-                               name=f"down_res_{idx}")(h, emb)
+                h = ResBlock3D(
+                    ch, self.temporal_conv,
+                    use_scale_shift_norm=self.use_scale_shift_norm,
+                    dtype=self.dtype, name=f"down_res_{idx}")(h, emb)
                 h = attn_pair(h, ch, ds, f"down_{idx}")
                 skips.append(h)
                 idx += 1
             if level != len(self.channel_mult) - 1:
+                # torch Downsample pads (1,1) symmetric; flax SAME on a
+                # stride-2 k=3 conv pads (0,1) — one-pixel shift
                 h = nn.Conv(ch, (1, 3, 3), strides=(1, 2, 2),
-                            dtype=self.dtype, name=f"downsample_{level}")(h)
+                            padding=((0, 0), (1, 1), (1, 1)),
+                            dtype=self.dtype,
+                            name=f"downsample_{level}")(h)
                 skips.append(h)
                 ds *= 2
 
         # middle
-        h = ResBlock3D(ch, self.temporal_conv, dtype=self.dtype,
-                       name="mid_res_1")(h, emb)
-        h = attn_pair(h, ch, ds, "mid")
-        h = ResBlock3D(ch, self.temporal_conv, dtype=self.dtype,
-                       name="mid_res_2")(h, emb)
+        h = ResBlock3D(ch, self.temporal_conv,
+                       use_scale_shift_norm=self.use_scale_shift_norm,
+                       dtype=self.dtype, name="mid_res_1")(h, emb)
+        # the reference middle block ALWAYS carries spatial+temporal
+        # attention (openaimodel3d.py:519-545), independent of ds
+        h = attn_pair(h, ch, ds, "mid", force=True)
+        h = ResBlock3D(ch, self.temporal_conv,
+                       use_scale_shift_norm=self.use_scale_shift_norm,
+                       dtype=self.dtype, name="mid_res_2")(h, emb)
 
         # up path
         idx = 0
@@ -304,8 +383,10 @@ class UNet3D(nn.Module):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 ch = mult * mc
-                h = ResBlock3D(ch, self.temporal_conv, dtype=self.dtype,
-                               name=f"up_res_{idx}")(h, emb)
+                h = ResBlock3D(
+                    ch, self.temporal_conv,
+                    use_scale_shift_norm=self.use_scale_shift_norm,
+                    dtype=self.dtype, name=f"up_res_{idx}")(h, emb)
                 h = attn_pair(h, ch, ds, f"up_{idx}")
                 if level != 0 and i == self.num_res_blocks:
                     b2, t2, h2, w2, c2 = h.shape
@@ -316,8 +397,7 @@ class UNet3D(nn.Module):
                     ds //= 2
                 idx += 1
 
-        h = nn.GroupNorm(_groups(h.shape[-1]), epsilon=1e-5,
-                         dtype=jnp.float32, name="norm_out")(h)
+        h = FrameGN(_groups(h.shape[-1]), name="norm_out")(h)
         h = nn.silu(h).astype(self.dtype)
         h = zero_init_conv(self.out_channels, (1, 3, 3), self.dtype,
                            "conv_out")(h)

@@ -54,6 +54,9 @@ FAMILIES = {
     "stepllm": (lambda a: cw.stepllm_map(), None),
     "aesthetic": (lambda a: cw.aesthetic_map(), None),
     "llava_projector": (lambda a: cw.llava_projector_map(), None),
+    "lvdm": (lambda a: cw.lvdm_map(addition_attention=True), None),
+    "lvdm_vc1": (lambda a: cw.lvdm_map(addition_attention=True,
+                                       use_relative_position=True), None),
 }
 
 

@@ -1251,3 +1251,198 @@ def convert_lora_safetensors(sd: Dict[str, np.ndarray],
                          flags=re.I)
             out.setdefault(key, {})["b"] = t_linear(val)
     return out
+
+
+# ---------------------------------------------------------------------------
+# lvdm / VideoCrafter UNet3D map (generated by replaying the reference
+# UNetModel enumeration — openaimodel3d.py:411-560)
+# ---------------------------------------------------------------------------
+
+def _t_conv2d_as_133(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d (out, in, kh, kw) → our (1, kh, kw, in, out) video
+    conv."""
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))[None]
+
+
+def _t_conv1x1_as_111(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))[None]
+
+
+def _t_conv3d(w: np.ndarray) -> np.ndarray:
+    """torch Conv3d (out, in, kt, kh, kw) → (kt, kh, kw, in, out)."""
+    return np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0))
+
+
+def _t_conv1d_lin(w: np.ndarray) -> np.ndarray:
+    """Conv1d k=1 (out, in, 1) → Dense kernel (in, out)."""
+    return np.ascontiguousarray(w[:, :, 0].T)
+
+
+def lvdm_map(model_channels: int = 320,
+             channel_mult: Sequence[int] = (1, 2, 4, 4),
+             num_res_blocks: int = 2,
+             attention_resolutions: Sequence[int] = (4, 2, 1),
+             num_head_channels: int = 64,
+             temporal_conv: bool = True,
+             temporal_attention: bool = True,
+             addition_attention: bool = False,
+             use_relative_position: bool = False,
+             use_scale_shift_norm: bool = False) -> ConversionMap:
+    """VideoCrafter1/2 / DynamiCrafter ``UNetModel`` state dict →
+    videotuna_tpu UNet3D tree. Rules are generated by replaying the
+    reference block enumeration, so input_blocks.N indices line up with
+    our down_res_i / spatial_down_i / temporal_down_i / downsample_level
+    names for the given config."""
+    rules: List[Tuple[str, str, Optional[Transform]]] = []
+
+    def lin(t_prefix, o_path):
+        rules.append((re.escape(t_prefix) + r"\.weight", o_path + "/kernel",
+                      t_linear))
+        rules.append((re.escape(t_prefix) + r"\.bias", o_path + "/bias",
+                      None))
+
+    def norm(t_prefix, o_path):
+        rules.append((re.escape(t_prefix) + r"\.weight", o_path + "/scale",
+                      None))
+        rules.append((re.escape(t_prefix) + r"\.bias", o_path + "/bias",
+                      None))
+
+    def conv2d(t_prefix, o_path, one_by_one=False):
+        fn = _t_conv1x1_as_111 if one_by_one else _t_conv2d_as_133
+        rules.append((re.escape(t_prefix) + r"\.weight", o_path + "/kernel",
+                      fn))
+        rules.append((re.escape(t_prefix) + r"\.bias", o_path + "/bias",
+                      None))
+
+    def resblock(t, o):
+        norm(f"{t}.in_layers.0", f"{o}/norm1/gn")
+        conv2d(f"{t}.in_layers.2", f"{o}/conv1")
+        lin(f"{t}.emb_layers.1", f"{o}/emb_proj")
+        norm(f"{t}.out_layers.0", f"{o}/norm2/gn")
+        conv2d(f"{t}.out_layers.3", f"{o}/conv2")
+        conv2d(f"{t}.skip_connection", f"{o}/skip", one_by_one=True)
+        if temporal_conv:
+            for i in range(1, 5):
+                norm(f"{t}.temopral_conv.conv{i}.0", f"{o}/tconv/norm{i}")
+                ci = 2 if i == 1 else 3
+                rules.append((re.escape(f"{t}.temopral_conv.conv{i}.{ci}")
+                              + r"\.weight", f"{o}/tconv/conv{i}/kernel",
+                              _t_conv3d))
+                rules.append((re.escape(f"{t}.temopral_conv.conv{i}.{ci}")
+                              + r"\.bias", f"{o}/tconv/conv{i}/bias", None))
+
+    def attn(t, o, heads, extra_q_prefix=True):
+        dg = t_dense_general(heads)
+        for p in "qkv":
+            rules.append((re.escape(f"{t}.to_{p}") + r"\.weight",
+                          f"{o}_{p}/kernel", dg))
+        lin(f"{t}.to_out.0", f"{o}_out")
+
+    def spatial(t, o_tag, heads):
+        norm(f"{t}.norm", f"spatial_{o_tag}/norm/gn")
+        lin(f"{t}.proj_in", f"spatial_{o_tag}/proj_in")
+        tb = f"{t}.transformer_blocks.0"
+        attn(f"{tb}.attn1", f"spatial_{o_tag}/attn1", heads)
+        attn(f"{tb}.attn2", f"spatial_{o_tag}/attn2", heads)
+        for i in (1, 2, 3):
+            norm(f"{tb}.norm{i}", f"spatial_{o_tag}/ln{i}")
+        lin(f"{tb}.ff.net.0.proj", f"spatial_{o_tag}/geglu")
+        lin(f"{tb}.ff.net.2", f"spatial_{o_tag}/mlp_out")
+        lin(f"{t}.proj_out", f"spatial_{o_tag}/proj_out")
+
+    def temporal(t, o_name, heads, linear_proj=True):
+        norm(f"{t}.norm", f"{o_name}/norm")
+        if linear_proj:
+            lin(f"{t}.proj_in", f"{o_name}/proj_in")
+            lin(f"{t}.proj_out", f"{o_name}/proj_out")
+        else:   # init_attn uses Conv1d k=1
+            rules.append((re.escape(f"{t}.proj_in") + r"\.weight",
+                          f"{o_name}/proj_in/kernel", _t_conv1d_lin))
+            rules.append((re.escape(f"{t}.proj_in") + r"\.bias",
+                          f"{o_name}/proj_in/bias", None))
+            rules.append((re.escape(f"{t}.proj_out") + r"\.weight",
+                          f"{o_name}/proj_out/kernel", _t_conv1d_lin))
+            rules.append((re.escape(f"{t}.proj_out") + r"\.bias",
+                          f"{o_name}/proj_out/bias", None))
+        tb = f"{t}.transformer_blocks.0"
+        for a, ln in (("attn1", "ln_attn1"), ("attn2", "ln_attn2")):
+            attn(f"{tb}.{a}", f"{o_name}/{a}", heads)
+            if use_relative_position:
+                rules.append((re.escape(
+                    f"{tb}.{a}.relative_position_k.embeddings_table"),
+                    f"{o_name}/{a}_rel_k", _identity))
+                rules.append((re.escape(
+                    f"{tb}.{a}.relative_position_v.embeddings_table"),
+                    f"{o_name}/{a}_rel_v", _identity))
+        norm(f"{tb}.norm1", f"{o_name}/ln_attn1")
+        norm(f"{tb}.norm2", f"{o_name}/ln_attn2")
+        norm(f"{tb}.norm3", f"{o_name}/ln3")
+        lin(f"{tb}.ff.net.0.proj", f"{o_name}/geglu")
+        lin(f"{tb}.ff.net.2", f"{o_name}/mlp_out")
+
+    # --- top-level embeds + conv_in
+    lin("time_embed.0", "time_fc1")
+    lin("time_embed.2", "time_fc2")
+    lin("fps_embedding.0", "fps_fc1")
+    lin("fps_embedding.2", "fps_fc2")
+    conv2d("input_blocks.0.0", "conv_in")
+    if addition_attention:
+        temporal("init_attn.0", "init_attn", heads=8, linear_proj=False)
+
+    # --- down path (replay of openaimodel3d.py:436-512)
+    n = 1
+    ds = 1
+    idx = 0
+    for level, mult in enumerate(channel_mult):
+        for _ in range(num_res_blocks):
+            ch = mult * model_channels
+            heads = ch // num_head_channels
+            resblock(f"input_blocks.{n}.0", f"down_res_{idx}")
+            if ds in attention_resolutions:
+                spatial(f"input_blocks.{n}.1", f"down_{idx}", heads)
+                if temporal_attention:
+                    temporal(f"input_blocks.{n}.2",
+                             f"temporal_down_{idx}", heads)
+            n += 1
+            idx += 1
+        if level != len(channel_mult) - 1:
+            conv2d(f"input_blocks.{n}.0.op", f"downsample_{level}")
+            n += 1
+            ds *= 2
+
+    # --- middle
+    ch = channel_mult[-1] * model_channels
+    heads = ch // num_head_channels
+    resblock("middle_block.0", "mid_res_1")
+    spatial("middle_block.1", "mid", heads)
+    k = 2
+    if temporal_attention:
+        temporal(f"middle_block.{k}", "temporal_mid", heads)
+        k += 1
+    resblock(f"middle_block.{k}", "mid_res_2")
+
+    # --- up path (reverse levels, num_res_blocks+1 each, upsample at end)
+    n = 0
+    idx = 0
+    for level, mult in reversed(list(enumerate(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            ch = mult * model_channels
+            heads = ch // num_head_channels
+            resblock(f"output_blocks.{n}.0", f"up_res_{idx}")
+            m = 1
+            if ds in attention_resolutions:
+                spatial(f"output_blocks.{n}.{m}", f"up_{idx}", heads)
+                m += 1
+                if temporal_attention:
+                    temporal(f"output_blocks.{n}.{m}",
+                             f"temporal_up_{idx}", heads)
+                    m += 1
+            if level != 0 and i == num_res_blocks:
+                conv2d(f"output_blocks.{n}.{m}.conv", f"upsample_{level}")
+                ds //= 2
+            n += 1
+            idx += 1
+
+    norm("out.0", "norm_out/gn")
+    conv2d("out.2", "conv_out")
+    return ConversionMap(rules)
