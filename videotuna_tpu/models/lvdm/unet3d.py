@@ -138,6 +138,7 @@ class SpatialTransformer(nn.Module):
     head_dim: int
     context_dim: Optional[int] = None
     image_cross: bool = False
+    img_cross_scale: float = 1.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -164,15 +165,37 @@ class SpatialTransformer(nn.Module):
         # self attention
         normed = nn.LayerNorm(dtype=self.dtype, name="ln1")(tok)
         tok = tok + mha(normed, normed, "attn1")
-        # cross attention (text), context repeated per frame
+        # cross attention (text [+ image]): the reference's
+        # img_cross_attention SHARES the query and adds extra to_k_ip /
+        # to_v_ip projections; the two attention outputs sum BEFORE the
+        # single output projection (attention.py:81-170)
         if context is not None:
             ctx = jnp.repeat(context, t, axis=0).astype(self.dtype)
             q_in = nn.LayerNorm(dtype=self.dtype, name="ln2")(tok)
-            out = mha(q_in, ctx, "attn2")
+            q = nn.DenseGeneral((self.heads, self.head_dim),
+                                use_bias=False, dtype=self.dtype,
+                                name="attn2_q")(q_in)
+            k = nn.DenseGeneral((self.heads, self.head_dim),
+                                use_bias=False, dtype=self.dtype,
+                                name="attn2_k")(ctx)
+            v = nn.DenseGeneral((self.heads, self.head_dim),
+                                use_bias=False, dtype=self.dtype,
+                                name="attn2_v")(ctx)
+            out = dot_product_attention(q, k, v)
             if self.image_cross and context_img is not None:
-                ctx_i = jnp.repeat(context_img, t, axis=0).astype(self.dtype)
-                out = out + mha(q_in, ctx_i, "attn2_img")
-            tok = tok + out
+                ctx_i = jnp.repeat(context_img, t,
+                                   axis=0).astype(self.dtype)
+                k_ip = nn.DenseGeneral((self.heads, self.head_dim),
+                                       use_bias=False, dtype=self.dtype,
+                                       name="attn2_k_ip")(ctx_i)
+                v_ip = nn.DenseGeneral((self.heads, self.head_dim),
+                                       use_bias=False, dtype=self.dtype,
+                                       name="attn2_v_ip")(ctx_i)
+                out = out + self.img_cross_scale * dot_product_attention(
+                    q, k_ip, v_ip)
+            out = out.reshape(*out.shape[:-2], inner)
+            tok = tok + nn.Dense(inner, dtype=self.dtype,
+                                 name="attn2_out")(out)
         # GEGLU MLP
         m = nn.LayerNorm(dtype=self.dtype, name="ln3")(tok)
         gate = nn.Dense(inner * 8, dtype=self.dtype, name="geglu")(m)

@@ -1287,6 +1287,7 @@ def lvdm_map(model_channels: int = 320,
              temporal_attention: bool = True,
              addition_attention: bool = False,
              use_relative_position: bool = False,
+             use_image_attention: bool = False,
              use_scale_shift_norm: bool = False) -> ConversionMap:
     """VideoCrafter1/2 / DynamiCrafter ``UNetModel`` state dict →
     videotuna_tpu UNet3D tree. Rules are generated by replaying the
@@ -1344,6 +1345,12 @@ def lvdm_map(model_channels: int = 320,
         tb = f"{t}.transformer_blocks.0"
         attn(f"{tb}.attn1", f"spatial_{o_tag}/attn1", heads)
         attn(f"{tb}.attn2", f"spatial_{o_tag}/attn2", heads)
+        if use_image_attention:
+            dgx = t_dense_general(heads)
+            for p in ("k_ip", "v_ip"):
+                rules.append((re.escape(f"{tb}.attn2.to_{p}")
+                              + r"\.weight",
+                              f"spatial_{o_tag}/attn2_{p}/kernel", dgx))
         for i in (1, 2, 3):
             norm(f"{tb}.norm{i}", f"spatial_{o_tag}/ln{i}")
         lin(f"{tb}.ff.net.0.proj", f"spatial_{o_tag}/geglu")
