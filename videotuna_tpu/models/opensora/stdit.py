@@ -87,6 +87,10 @@ class STDiTBlock(nn.Module):
     qk_norm: bool = False            # STDiT2/3 variant feature
     temporal_rope: bool = False      # STDiT3: RoPE instead of additive tpe
     temporal_mod: bool = False       # STDiT5-7: own 3-way temporal adaLN
+    # "both" (STDiT1-7: spatial+temporal in one block) | "spatial" |
+    # "temporal" (STDiT8 / upstream OpenSora 1.2: paired single-axis
+    # blocks, stdit8.py:104-184 — one attention + cross + MLP each)
+    attn_mode: str = "both"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray, t6: jnp.ndarray,
@@ -133,17 +137,35 @@ class STDiTBlock(nn.Module):
                    None if zmods[0] is None else
                    x_n * (1.0 + zmods[1]) + zmods[0])
 
-        # spatial attention: fold T into batch
-        x_s = x_m.reshape(b * tt, ss, c)
-        x_s = Attention(self.heads, qk_norm=self.qk_norm, dtype=self.dtype,
-                        name="attn")(x_s)
-        x_s = x_s.reshape(b, tt, ss, c)
-        x = x + fsel(gate_msa * x_s,
-                     None if zmods[2] is None else zmods[2] * x_s)
+        if self.attn_mode == "temporal":
+            # STDiT8 temporal block: the single attention runs over
+            # frames on the MODULATED input; gate applies after
+            x_t = x_m.transpose(0, 2, 1, 3).reshape(b * ss, tt, c)
+            rope_t8 = None
+            if self.temporal_rope:
+                from videotuna_tpu.models.layers import rope_frequencies
+                rope_t8 = rope_frequencies(self.hidden // self.heads,
+                                           jnp.arange(tt))
+            elif tpe is not None:
+                x_t = x_t + tpe.astype(self.dtype)
+            x_t = Attention(self.heads, qk_norm=self.qk_norm,
+                            dtype=self.dtype, name="attn")(x_t,
+                                                           rope=rope_t8)
+            x_t = x_t.reshape(b, ss, tt, c).transpose(0, 2, 1, 3)
+            x = x + fsel(gate_msa * x_t,
+                         None if zmods[2] is None else zmods[2] * x_t)
+        else:
+            # spatial attention: fold T into batch
+            x_s = x_m.reshape(b * tt, ss, c)
+            x_s = Attention(self.heads, qk_norm=self.qk_norm,
+                            dtype=self.dtype, name="attn")(x_s)
+            x_s = x_s.reshape(b, tt, ss, c)
+            x = x + fsel(gate_msa * x_s,
+                         None if zmods[2] is None else zmods[2] * x_s)
 
         # temporal branch modulation: shared 6-way gate (STDiT1-4) or the
         # separate 3-way temporal table (STDiT5-7 scale_shift_table_temporal)
-        if self.temporal_mod:
+        if self.temporal_mod and self.attn_mode == "both":
             t_table = self.param("scale_shift_table_temporal",
                                  nn.initializers.normal(
                                      self.hidden ** -0.5),
@@ -170,23 +192,25 @@ class STDiTBlock(nn.Module):
             x_tm = x
             gate_t, zgate_t = gate_msa, zmods[2]
 
-        # temporal attention: fold S into batch
-        x_t = x_tm.transpose(0, 2, 1, 3).reshape(b * ss, tt, c)
-        rope_t = None
-        if self.temporal_rope:
-            from videotuna_tpu.models.layers import rope_frequencies
-            rope_t = rope_frequencies(self.hidden // self.heads,
-                                      jnp.arange(tt))
-        elif tpe is not None:
-            add = tpe.astype(self.dtype)
-            if tpe_gate is not None:
-                add = add * tpe_gate.astype(self.dtype)
-            x_t = x_t + add
-        x_t = Attention(self.heads, qk_norm=self.qk_norm, dtype=self.dtype,
-                        name="attn_temp")(x_t, rope=rope_t)
-        x_t = x_t.reshape(b, ss, tt, c).transpose(0, 2, 1, 3)
-        x = x + fsel(gate_t * x_t,
-                     None if zgate_t is None else zgate_t * x_t)
+        if self.attn_mode == "both":
+            # temporal attention: fold S into batch
+            x_t = x_tm.transpose(0, 2, 1, 3).reshape(b * ss, tt, c)
+            rope_t = None
+            if self.temporal_rope:
+                from videotuna_tpu.models.layers import rope_frequencies
+                rope_t = rope_frequencies(self.hidden // self.heads,
+                                          jnp.arange(tt))
+            elif tpe is not None:
+                add = tpe.astype(self.dtype)
+                if tpe_gate is not None:
+                    add = add * tpe_gate.astype(self.dtype)
+                x_t = x_t + add
+            x_t = Attention(self.heads, qk_norm=self.qk_norm,
+                            dtype=self.dtype, name="attn_temp")(
+                x_t, rope=rope_t)
+            x_t = x_t.reshape(b, ss, tt, c).transpose(0, 2, 1, 3)
+            x = x + fsel(gate_t * x_t,
+                         None if zgate_t is None else zgate_t * x_t)
 
         # cross attention to text tokens
         x_flat = x.reshape(b, tt * ss, c)
@@ -207,6 +231,35 @@ class STDiTBlock(nn.Module):
                     dtype=self.dtype, name="mlp")(x_m)
         x = x + fsel(gate_mlp * x_mlp,
                      None if zmods[5] is None else zmods[5] * x_mlp)
+        if self.as_cell:
+            return x, None
+        return x
+
+
+class PairedSTDiTCell(nn.Module):
+    """One (spatial-only, temporal-only) block pair — the STDiT8 /
+    upstream OpenSora 1.2 layout (stdit8.py:285-318, forward :489)."""
+    hidden: int
+    heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+    qk_norm: bool = False
+    temporal_rope: bool = False
+    as_cell: bool = False
+
+    @nn.compact
+    def __call__(self, x, y, t6, y_mask=None, tpe=None,
+                 t6_zero=None, x_mask=None):
+        x = STDiTBlock(self.hidden, self.heads, self.mlp_ratio,
+                       dtype=self.dtype, qk_norm=self.qk_norm,
+                       attn_mode="spatial", name="spatial")(
+            x, y, t6, y_mask=y_mask, t6_zero=t6_zero, x_mask=x_mask)
+        x = STDiTBlock(self.hidden, self.heads, self.mlp_ratio,
+                       dtype=self.dtype, qk_norm=self.qk_norm,
+                       temporal_rope=self.temporal_rope,
+                       attn_mode="temporal", name="temporal")(
+            x, y, t6, y_mask=y_mask, tpe=tpe, t6_zero=t6_zero,
+            x_mask=x_mask)
         if self.as_cell:
             return x, None
         return x
@@ -237,6 +290,8 @@ class STDiT(nn.Module):
     qk_norm: bool = False            # STDiT2/3: per-head qk RMSNorm
     temporal_rope: bool = False      # STDiT3: rotary temporal positions
     temporal_mod: bool = False       # STDiT5-7: separate temporal adaLN
+    paired_blocks: bool = False      # STDiT8/OpenSora-1.2: spatial+temporal
+    # single-axis block pairs instead of fused dual-attention blocks
 
     @property
     def out_channels(self) -> int:
@@ -329,6 +384,31 @@ class STDiT(nn.Module):
 
         if stage == "head":
             pass
+        elif self.paired_blocks:
+            if self.scan_blocks:
+                cell_cls = PairedSTDiTCell
+                if self.remat:
+                    cell_cls = nn.remat(PairedSTDiTCell, prevent_cse=False)
+                scan_cls = nn.scan(
+                    cell_cls, variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    in_axes=(nn.broadcast,) * 6, length=self.depth)
+                tok, _ = scan_cls(self.hidden_size, self.num_heads,
+                                  self.mlp_ratio, dtype=self.dtype,
+                                  qk_norm=self.qk_norm,
+                                  temporal_rope=self.temporal_rope,
+                                  as_cell=True, name="pairs")(
+                    tok, y, t6, mask, tpe, t6_zero, x_mask)
+            else:
+                for i in range(self.depth):
+                    tok = PairedSTDiTCell(
+                        self.hidden_size, self.num_heads, self.mlp_ratio,
+                        dtype=self.dtype, qk_norm=self.qk_norm,
+                        temporal_rope=self.temporal_rope,
+                        name=f"pair_{i}")(
+                        tok, y, t6, y_mask=mask,
+                        tpe=tpe if i == 0 else None,
+                        t6_zero=t6_zero, x_mask=x_mask)
         elif self.scan_blocks:
             cell_cls = STDiTBlock
             if self.remat:

@@ -336,6 +336,83 @@ def stdit_map(heads: int = 16) -> ConversionMap:
     ])
 
 
+def stdit8_map(heads: int = 16) -> ConversionMap:
+    """Open-Sora 1.2 / stdit8 paired-block layout (stdit8.py:285-318:
+    spatial_blocks.N + temporal_blocks.N, qk-norm attention, fused qkv
+    pre-split by the caller) → videotuna_tpu STDiT(paired_blocks=True)
+    pair_N/spatial|temporal trees."""
+    dg = t_dense_general(heads)
+    dgb = t_dense_general_bias(heads)
+    rules: List[Tuple[str, str, Optional[Transform]]] = [
+        (r"x_embedder\.proj\.weight", r"x_embedder/proj/kernel", t_conv),
+        (r"x_embedder\.proj\.bias", r"x_embedder/proj/bias", None),
+        (r"t_embedder\.mlp\.0\.weight", r"t_embedder/fc1/kernel",
+         t_linear),
+        (r"t_embedder\.mlp\.0\.bias", r"t_embedder/fc1/bias", None),
+        (r"t_embedder\.mlp\.2\.weight", r"t_embedder/fc2/kernel",
+         t_linear),
+        (r"t_embedder\.mlp\.2\.bias", r"t_embedder/fc2/bias", None),
+        (r"t_block\.1\.weight", r"t_block/kernel", t_linear),
+        (r"t_block\.1\.bias", r"t_block/bias", None),
+        (r"y_embedder\.y_proj\.fc1\.weight", r"y_proj1/kernel",
+         t_linear),
+        (r"y_embedder\.y_proj\.fc1\.bias", r"y_proj1/bias", None),
+        (r"y_embedder\.y_proj\.fc2\.weight", r"y_proj2/kernel",
+         t_linear),
+        (r"y_embedder\.y_proj\.fc2\.bias", r"y_proj2/bias", None),
+        (r"final_layer\.scale_shift_table",
+         r"final_scale_shift_table", None),
+        (r"final_layer\.linear\.weight", r"final_linear/kernel",
+         t_linear),
+        (r"final_layer\.linear\.bias", r"final_linear/bias", None),
+    ]
+    for src_root, sub in (("spatial_blocks", "spatial"),
+                          ("temporal_blocks", "temporal")):
+        pre = rf"{src_root}\.(\d+)"
+        out = rf"pair_\1/{sub}"
+        rules += [
+            (pre + r"\.scale_shift_table", out + r"/scale_shift_table",
+             None),
+            (pre + r"\.attn\.q\.weight", out + r"/attn/q/kernel", dg),
+            (pre + r"\.attn\.q\.bias", out + r"/attn/q/bias", dgb),
+            (pre + r"\.attn\.k\.weight", out + r"/attn/k/kernel", dg),
+            (pre + r"\.attn\.k\.bias", out + r"/attn/k/bias", dgb),
+            (pre + r"\.attn\.v\.weight", out + r"/attn/v/kernel", dg),
+            (pre + r"\.attn\.v\.bias", out + r"/attn/v/bias", dgb),
+            (pre + r"\.attn\.q_norm\.weight",
+             out + r"/attn/q_norm/scale", None),
+            (pre + r"\.attn\.k_norm\.weight",
+             out + r"/attn/k_norm/scale", None),
+            (pre + r"\.attn\.proj\.weight", out + r"/attn/out/kernel",
+             t_linear),
+            (pre + r"\.attn\.proj\.bias", out + r"/attn/out/bias",
+             None),
+            (pre + r"\.cross_attn\.q_linear\.weight",
+             out + r"/cross_attn/q/kernel", dg),
+            (pre + r"\.cross_attn\.q_linear\.bias",
+             out + r"/cross_attn/q/bias", dgb),
+            (pre + r"\.cross_attn\.k_linear\.weight",
+             out + r"/cross_attn/k/kernel", dg),
+            (pre + r"\.cross_attn\.k_linear\.bias",
+             out + r"/cross_attn/k/bias", dgb),
+            (pre + r"\.cross_attn\.v_linear\.weight",
+             out + r"/cross_attn/v/kernel", dg),
+            (pre + r"\.cross_attn\.v_linear\.bias",
+             out + r"/cross_attn/v/bias", dgb),
+            (pre + r"\.cross_attn\.proj\.weight",
+             out + r"/cross_attn/out/kernel", t_linear),
+            (pre + r"\.cross_attn\.proj\.bias",
+             out + r"/cross_attn/out/bias", None),
+            (pre + r"\.mlp\.fc1\.weight", out + r"/mlp/fc1/kernel",
+             t_linear),
+            (pre + r"\.mlp\.fc1\.bias", out + r"/mlp/fc1/bias", None),
+            (pre + r"\.mlp\.fc2\.weight", out + r"/mlp/fc2/kernel",
+             t_linear),
+            (pre + r"\.mlp\.fc2\.bias", out + r"/mlp/fc2/bias", None),
+        ]
+    return ConversionMap(rules)
+
+
 def wan_map(heads: int = 12) -> ConversionMap:
     """Wan 2.1 torch names (models/wan/wan/modules/model.py) →
     videotuna_tpu WanModel tree."""
