@@ -648,3 +648,89 @@ def test_hunyuan_token_replace_parity(ref_hy):
     assert float(np.std(out_ref.numpy())) > 1e-3
     out_base = base.apply({"params": tree}, *args)
     assert float(jnp.abs(out_base - out).max()) > 1e-5
+
+
+@pytest.fixture(scope="module")
+def ref_stdit8():
+    _stub_opensora_deps()
+    # faithful rotary_embedding_torch stand-in: interleaved-pair rotation
+    # with theta-10000 inverse frequencies over the seq dim (-2), matching
+    # the library's defaults used by stdit8 temporal attention
+    import torch as _t
+    ret = sys.modules["rotary_embedding_torch"]
+
+    class RotaryEmbedding:
+        def __init__(self, dim, *a, **k):
+            self.inv = 1.0 / (10000.0 ** (_t.arange(0, dim, 2).float()
+                                          / dim))
+
+        def rotate_queries_or_keys(self, x, seq_dim=-2):
+            n = x.shape[-2]
+            freqs = _t.arange(n).float()[:, None] * self.inv[None]
+            cos, sin = freqs.cos(), freqs.sin()
+            x1, x2 = x[..., 0::2], x[..., 1::2]
+            o1 = x1 * cos - x2 * sin
+            o2 = x1 * sin + x2 * cos
+            return _t.stack([o1, o2], dim=-1).flatten(-2)
+
+    ret.RotaryEmbedding = RotaryEmbedding
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import importlib
+    import videotuna.models.opensora.models.stdit.stdit8 as s8
+    importlib.reload(s8)      # rebind the faithful RotaryEmbedding
+    return s8
+
+
+def test_stdit8_whole_model_parity(ref_stdit8):
+    """WHOLE-MODEL stdit8 (OpenSora-1.2 paired layout) parity: random-init
+    reference → stdit8_map → our STDiT(paired_blocks=True)."""
+    from videotuna_tpu.models.opensora.stdit import STDiT
+    from videotuna_tpu.tools.convert_weights import (
+        preprocess_split_fused, preprocess_split_fused_qkv, stdit8_map,
+        verify_tree_shapes)
+
+    torch.manual_seed(0)
+    cfg = ref_stdit8.STDiT8Config(
+        input_size=(4, 8, 8), in_channels=4, patch_size=(1, 2, 2),
+        hidden_size=32, depth=2, num_heads=2, caption_channels=16,
+        model_max_length=6, qk_norm=True, pred_sigma=False,
+        enable_flash_attn=False, enable_layernorm_kernel=False,
+        enable_sequence_parallelism=False)
+    ref = ref_stdit8.STDiT8(cfg).eval()
+    _perturb_(ref)
+
+    x = torch.randn(1, 4, 4, 8, 8)
+    t = torch.tensor([500.0])
+    y = torch.randn(1, 1, 6, 16)
+    fps = torch.tensor([24.0])
+    hh_px = torch.tensor([64.0])
+    ww_px = torch.tensor([64.0])
+    with torch.no_grad():
+        out_ref = ref(x, t, y, fps=fps, height=hh_px,
+                      width=ww_px).numpy()
+    assert float(np.std(out_ref)) > 1e-3
+
+    ours = STDiT(input_size=(4, 8, 8), in_channels=4, hidden_size=32,
+                 depth=2, num_heads=2, caption_channels=16,
+                 pred_sigma=False, paired_blocks=True, qk_norm=True,
+                 temporal_rope=True, dynamic_pos_embed=True,
+                 input_sq_size=512.0)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))
+    kw8 = dict(fps=jnp.asarray([24.0]), height=jnp.asarray([64.0]),
+               width=jnp.asarray([64.0]))
+    args = (xj, jnp.asarray([500.0]), jnp.asarray(y[:, 0].numpy()))
+    init = ours.init(jax.random.key(0), *args, **kw8)["params"]
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    sd = preprocess_split_fused_qkv(sd, r"attn\.qkv")
+    sd = preprocess_split_fused(sd, r"cross_attn\.kv_linear", "kv_linear",
+                                ("k_linear", "v_linear"))
+    tree = stdit8_map(heads=2).convert(sd, strict=False)
+    missing = [m for m in verify_tree_shapes(tree, init)
+               if "pos_embed" not in m]
+    assert not missing, missing[:10]
+
+    out = ours.apply({"params": tree}, *args, **kw8)
+    out_np = np.asarray(out).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(out_np, out_ref, atol=1e-3, rtol=5e-3)

