@@ -36,6 +36,11 @@ def ref_unet_mod():
         sys.modules["loguru"] = lg
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+    import videotuna.models.lvdm.modules.attention as ref_att
+    # other parity tests stub `xformers` into sys.modules, which would
+    # flip the reference CrossAttention onto efficient_forward and crash
+    # against the stub's signature — force the plain einsum path
+    ref_att.XFORMERS_IS_AVAILBLE = False
     import videotuna.models.lvdm.modules.networks.openaimodel3d as om
     return om
 
