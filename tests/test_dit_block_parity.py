@@ -734,3 +734,52 @@ def test_stdit8_whole_model_parity(ref_stdit8):
     out = ours.apply({"params": tree}, *args, **kw8)
     out_np = np.asarray(out).transpose(0, 4, 1, 2, 3)
     np.testing.assert_allclose(out_np, out_ref, atol=1e-3, rtol=5e-3)
+
+
+def test_stdit8_mixed_frame_mask_parity(ref_stdit8):
+    """stdit8 with a MIXED x_mask (first frame conditioned at timestep 0):
+    the t_mask_select path must match the reference numerically."""
+    from videotuna_tpu.models.opensora.stdit import STDiT
+    from videotuna_tpu.tools.convert_weights import (
+        preprocess_split_fused, preprocess_split_fused_qkv, stdit8_map)
+
+    torch.manual_seed(5)
+    cfg = ref_stdit8.STDiT8Config(
+        input_size=(4, 8, 8), in_channels=4, patch_size=(1, 2, 2),
+        hidden_size=32, depth=2, num_heads=2, caption_channels=16,
+        model_max_length=6, qk_norm=True, pred_sigma=False,
+        enable_flash_attn=False, enable_layernorm_kernel=False,
+        enable_sequence_parallelism=False)
+    ref = ref_stdit8.STDiT8(cfg).eval()
+    _perturb_(ref)
+
+    x = torch.randn(1, 4, 4, 8, 8)
+    t = torch.tensor([500.0])
+    y = torch.randn(1, 1, 6, 16)
+    fps = torch.tensor([24.0])
+    hp, wp = torch.tensor([64.0]), torch.tensor([64.0])
+    x_mask = torch.tensor([[False, True, True, True]])
+    with torch.no_grad():
+        out_ref = ref(x, t, y, x_mask=x_mask, fps=fps, height=hp,
+                      width=wp).numpy()
+    assert float(np.std(out_ref)) > 1e-3
+
+    ours = STDiT(input_size=(4, 8, 8), in_channels=4, hidden_size=32,
+                 depth=2, num_heads=2, caption_channels=16,
+                 pred_sigma=False, paired_blocks=True, qk_norm=True,
+                 temporal_rope=True, dynamic_pos_embed=True)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))
+    args = (xj, jnp.asarray([500.0]), jnp.asarray(y[:, 0].numpy()))
+    kw = dict(fps=jnp.asarray([24.0]), height=jnp.asarray([64.0]),
+              width=jnp.asarray([64.0]),
+              x_mask=jnp.asarray([[False, True, True, True]]))
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    sd = preprocess_split_fused_qkv(sd, r"attn\.qkv")
+    sd = preprocess_split_fused(sd, r"cross_attn\.kv_linear", "kv_linear",
+                                ("k_linear", "v_linear"))
+    tree = stdit8_map(heads=2).convert(sd, strict=False)
+
+    out = ours.apply({"params": tree}, *args, **kw)
+    out_np = np.asarray(out).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(out_np, out_ref, atol=1e-3, rtol=5e-3)

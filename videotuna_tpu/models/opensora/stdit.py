@@ -385,12 +385,14 @@ class STDiT(nn.Module):
             t_block = nn.Dense(6 * self.hidden_size, dtype=self.dtype,
                                name="t_block")
             t_emb = t_embedder(timestep)
+            fps_embedder = None
             if self.dynamic_pos_embed and fps is not None:
                 # OpenSora-1.2: fps SizeEmbedder added to the timestep
                 # embedding (stdit8.py:456-464)
-                t_emb = t_emb + TimestepEmbedder(
+                fps_embedder = TimestepEmbedder(
                     self.hidden_size, dtype=self.dtype,
-                    name="fps_embedder")(fps)
+                    name="fps_embedder")
+                t_emb = t_emb + fps_embedder(fps)
             t6 = t_block(nn.silu(t_emb)).reshape(b, 6, self.hidden_size)
             t3 = t6_zero = t3_zero = None
             if self.temporal_mod:
@@ -403,10 +405,8 @@ class STDiT(nn.Module):
                 # masked frames are conditioned at timestep 0 (reference
                 # stdit5.py:438-445 t0 path)
                 t0_emb = t_embedder(jnp.zeros_like(timestep))
-                if self.dynamic_pos_embed and fps is not None:
-                    t0_emb = t0_emb + TimestepEmbedder(
-                        self.hidden_size, dtype=self.dtype,
-                        name="fps_embedder")(fps)
+                if fps_embedder is not None:
+                    t0_emb = t0_emb + fps_embedder(fps)
                 t6_zero = t_block(nn.silu(t0_emb)).reshape(
                     b, 6, self.hidden_size)
                 if self.temporal_mod:
@@ -418,6 +418,9 @@ class STDiT(nn.Module):
             y = nn.gelu(y, approximate=True)
             y = nn.Dense(self.hidden_size, dtype=self.dtype,
                          name="y_proj2")(y)
+            t_emb_zero = None
+            if x_mask is not None:
+                t_emb_zero = t0_emb
             if stage == "embed":
                 return tok, t6, y, t_emb
         elif stage == "blocks":
@@ -493,18 +496,35 @@ class STDiT(nn.Module):
         if stage == "blocks":
             return tok
 
-        # T2I final layer (reference T2IFinalLayer)
+        # T2I final layer (reference T2IFinalLayer; with x_mask the
+        # masked frames use the timestep-0 modulation — stdit8.py:508,
+        # blocks.py:611-628)
         final_table = self.param(
             "final_scale_shift_table",
             nn.initializers.normal(self.hidden_size ** -0.5),
             (2, self.hidden_size))
-        fin = final_table[None] + t_emb.astype(jnp.float32)[:, None, :]
-        shift, scale = [m.astype(self.dtype)[:, None, None]
-                        for m in jnp.split(fin, 2, axis=1)]
-        tok = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
-                           dtype=self.dtype, name="final_norm")(tok)
-        tok = tok * (1.0 + scale.reshape(b, 1, 1, -1)) \
-            + shift.reshape(b, 1, 1, -1)
+
+        def fin_mods(te):
+            fin = final_table[None] + te.astype(jnp.float32)[:, None, :]
+            sh, sc = jnp.split(fin, 2, axis=1)
+            return (sh.astype(self.dtype).reshape(b, 1, 1, -1),
+                    sc.astype(self.dtype).reshape(b, 1, 1, -1))
+
+        shift, scale = fin_mods(t_emb)
+        final_norm = nn.LayerNorm(use_bias=False, use_scale=False,
+                                  epsilon=1e-6, dtype=self.dtype,
+                                  name="final_norm")
+        tok = final_norm(tok) * (1.0 + scale) + shift
+        if stage == "all" and x_mask is not None \
+                and t_emb_zero is not None:
+            # replicate the reference exactly (T2IFinalLayer,
+            # blocks.py:611-624): the t0 branch re-norms and re-modulates
+            # the ALREADY t-modulated tokens — masked frames get the
+            # double modulation, as shipped
+            sh0, sc0 = fin_mods(t_emb_zero)
+            tok0 = final_norm(tok) * (1.0 + sc0) + sh0
+            fm = x_mask.astype(self.dtype).reshape(b, tt, 1, 1)
+            tok = tok * fm + tok0 * (1.0 - fm)
         out_dim = pt * ph * pw * self.out_channels
         tok = nn.Dense(out_dim, dtype=self.dtype, name="final_linear")(tok)
 
