@@ -442,3 +442,23 @@ def test_wan_vae_default_shapes():
     assert mu.shape == (1, 3, 4, 4, 16)
     out = ours.apply({"params": params}, mu, method=WanVAE.decode)
     assert out.shape == (1, 9, 32, 32, 3)
+
+
+def test_wan_streaming_decode_exact():
+    """WanVAE feat-cache streaming decode == full-sequence decode (incl.
+    the first-frame bypass temporal upsample at chunk boundaries)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from videotuna_tpu.models.wan.vae import WanVAE, wan_streaming_decode
+
+    vae = WanVAE(dim=16, z_dim=4, dim_mult=(1, 2), num_res_blocks=1,
+                 attn_scales=(), temperal_downsample=(True,))
+    z = jax.random.normal(jax.random.key(0), (1, 5, 8, 8, 4))
+    params = vae.init(jax.random.key(1), z, method="decode")["params"]
+    full = vae.apply({"params": params}, z, method="decode")
+    for chunk in (1, 2, 3):
+        out = wan_streaming_decode(vae, params, z, chunk=chunk)
+        assert out.shape == full.shape, (out.shape, full.shape)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                                   atol=1e-5)

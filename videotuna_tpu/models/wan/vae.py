@@ -66,7 +66,12 @@ class WanRMSNorm(nn.Module):
 
 class WanCausalConv3d(nn.Module):
     """CausalConv3d (vae.py:17-36): time front-pad 2·pad_t zeros, spatial
-    SAME, VALID conv."""
+    SAME, VALID conv.
+
+    ``streaming=True``: the temporal front context comes from a ``cache``
+    variable holding the previous chunk's trailing 2·pad_t frames — the
+    reference's ``feat_cache`` streaming (vae.py:146-158) made explicit;
+    the first chunk zero-pads and primes the cache."""
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (1, 1, 1)
@@ -74,9 +79,23 @@ class WanCausalConv3d(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False,
+                 first_chunk: bool = True) -> jnp.ndarray:
         pt, ph, pw = self.pad
-        x = jnp.pad(x, ((0, 0), (2 * pt, 0), (ph, ph), (pw, pw), (0, 0)))
+        tpad = 2 * pt
+        if streaming and tpad > 0:
+            cache = self.variable(
+                "cache", "front",
+                lambda: jnp.zeros((x.shape[0], tpad) + x.shape[2:],
+                                  x.dtype))
+            front = jnp.zeros((x.shape[0], tpad) + x.shape[2:], x.dtype) \
+                if first_chunk else cache.value.astype(x.dtype)
+            x = jnp.concatenate([front, x], axis=1)
+            cache.value = x[:, -tpad:]
+            x = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw), (0, 0)))
+        else:
+            x = jnp.pad(x, ((0, 0), (2 * pt, 0), (ph, ph), (pw, pw),
+                            (0, 0)))
         return nn.Conv(self.features, self.kernel, strides=self.stride,
                        padding="VALID", dtype=self.dtype, name="conv")(x)
 
@@ -98,21 +117,34 @@ class WanResample(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False,
+                 first_chunk: bool = True) -> jnp.ndarray:
         if self.mode == "upsample3d":
             # time conv BEFORE spatial (vae.py:101-138). The 'Rep' sentinel
-            # means frame 0 never enters the conv: later windows see zeros
-            # in its place (vae.py:119-124), so zero it in the conv input.
-            xz = jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, 1:]],
-                                 axis=1)
+            # means the GLOBAL frame 0 never enters the conv: later windows
+            # see zeros in its place (vae.py:119-124), so zero it in the
+            # conv input (first chunk only under streaming).
+            if not streaming or first_chunk:
+                xz = jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, 1:]],
+                                     axis=1)
+            else:
+                xz = x
             y = WanCausalConv3d(self.dim * 2, (3, 1, 1), pad=(1, 0, 0),
-                                dtype=self.dtype, name="time_conv")(xz)
+                                dtype=self.dtype, name="time_conv")(
+                xz, streaming=streaming, first_chunk=first_chunk)
             b, t, h, w, c2 = y.shape
             c = c2 // 2
-            # (…, 2C) → two frames (first-half channels, second-half)
-            pairs = y[:, 1:].reshape(b, t - 1, h, w, 2, c)
-            inter = jnp.moveaxis(pairs, 4, 2).reshape(b, 2 * (t - 1), h, w, c)
-            x = jnp.concatenate([x[:, :1], inter], axis=1)
+            # (…, 2C) → two frames (first-half channels, second-half);
+            # the global first frame's conv output is dropped (it passes
+            # through unconvolved)
+            y2 = y[:, 1:] if (not streaming or first_chunk) else y
+            n2 = y2.shape[1]
+            pairs = y2.reshape(b, n2, h, w, 2, c)
+            inter = jnp.moveaxis(pairs, 4, 2).reshape(b, 2 * n2, h, w, c)
+            if not streaming or first_chunk:
+                x = jnp.concatenate([x[:, :1], inter], axis=1)
+            else:
+                x = inter
         if self.mode in ("upsample2d", "upsample3d"):
             x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
             x = _conv2d(x, self.dim // 2, "resample_conv", self.dtype)
@@ -137,13 +169,17 @@ class WanResidualBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False,
+                 first_chunk: bool = True) -> jnp.ndarray:
+        skw = dict(streaming=streaming, first_chunk=first_chunk)
         h = WanRMSNorm(self.in_dim, name="norm1")(x)
         h = nn.silu(h)
-        h = WanCausalConv3d(self.out_dim, dtype=self.dtype, name="conv1")(h)
+        h = WanCausalConv3d(self.out_dim, dtype=self.dtype,
+                            name="conv1")(h, **skw)
         h = WanRMSNorm(self.out_dim, name="norm2")(h)
         h = nn.silu(h)
-        h = WanCausalConv3d(self.out_dim, dtype=self.dtype, name="conv2")(h)
+        h = WanCausalConv3d(self.out_dim, dtype=self.dtype,
+                            name="conv2")(h, **skw)
         if self.in_dim != self.out_dim:
             x = WanCausalConv3d(self.out_dim, (1, 1, 1), pad=(0, 0, 0),
                                 dtype=self.dtype, name="shortcut")(x)
@@ -229,29 +265,33 @@ class _WanCoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False,
+                 first_chunk: bool = True) -> jnp.ndarray:
+        skw = dict(streaming=streaming, first_chunk=first_chunk)
+
         def middle(h):
             md = self.dim * self.mid_dim
             h = WanResidualBlock(md, md, dtype=self.dtype,
-                                 name="middle_0")(h)
+                                 name="middle_0")(h, **skw)
             h = WanAttentionBlock(md, dtype=self.dtype, name="middle_1")(h)
             return WanResidualBlock(md, md, dtype=self.dtype,
-                                    name="middle_2")(h)
+                                    name="middle_2")(h, **skw)
 
-        h = WanCausalConv3d(self.in_ch, dtype=self.dtype, name="conv1")(x)
+        h = WanCausalConv3d(self.in_ch, dtype=self.dtype,
+                            name="conv1")(x, **skw)
         if self.middle_first:
             h = middle(h)
         for idx, (kind, in_m, out_m) in enumerate(self.layout):
             name = f"{self.stages_name}_{idx}"
             if kind == "res":
                 h = WanResidualBlock(self.dim * in_m, self.dim * out_m,
-                                     dtype=self.dtype, name=name)(h)
+                                     dtype=self.dtype, name=name)(h, **skw)
             elif kind == "attn":
                 h = WanAttentionBlock(self.dim * out_m, dtype=self.dtype,
                                       name=name)(h)
             else:
                 h = WanResample(self.dim * out_m, kind, dtype=self.dtype,
-                                name=name)(h)
+                                name=name)(h, **skw)
         if not self.middle_first:
             h = middle(h)
         head_dim = (self.dim * self.layout[-1][2] if self.middle_first
@@ -259,7 +299,7 @@ class _WanCoder(nn.Module):
         h = WanRMSNorm(head_dim, name="head_norm")(h)
         h = nn.silu(h)
         return WanCausalConv3d(self.out_ch, dtype=self.dtype,
-                               name="head_conv")(h)
+                               name="head_conv")(h, **skw)
 
 
 @register("videotuna_tpu.models.WanVAE",
@@ -333,6 +373,53 @@ class WanVAE(nn.Module):
             z = z * std + mean
         return self.decoder(self.conv2(z))
 
+    def decode_chunk(self, z: jnp.ndarray, standardize: bool = True,
+                     first_chunk: bool = True) -> jnp.ndarray:
+        """One streaming chunk — the reference's feat-cache decode
+        (vae.py:543-567 chunks of 1,4,4,… latent frames) with conv
+        context carried in the ``cache`` collection. Drive with
+        ``wan_streaming_decode``."""
+        if standardize:
+            mean, std = self._scale()
+            z = z * std + mean
+        return self.decoder(self.conv2(z), streaming=True,
+                            first_chunk=first_chunk)
+
     def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
         return self.decode(self.encode(video, standardize=False),
                            standardize=False)
+
+
+def wan_streaming_decode(vae: "WanVAE", params, z, chunk: int = 2,
+                         standardize: bool = True):
+    """Exact O(T) streaming decode for the faithful WanVAE: latent frame 0
+    alone (→ 1 pixel frame via the first-frame bypass), then uniform
+    chunks (→ 4·chunk frames each); per-conv temporal context rides the
+    ``cache`` collection. Matches ``vae.apply(..., method="decode")``
+    output exactly (per-position RMS norms keep chunking exact)."""
+    import functools
+
+    import jax
+
+    ratio = vae.temporal_ratio
+    first_fn = jax.jit(functools.partial(
+        vae.apply, method="decode_chunk", standardize=standardize,
+        first_chunk=True, mutable=["cache"]))
+    rest_fn = jax.jit(functools.partial(
+        vae.apply, method="decode_chunk", standardize=standardize,
+        first_chunk=False, mutable=["cache"]))
+
+    out0, state = first_fn({"params": params}, z[:, :1])
+    outs = [out0]
+    t = z.shape[1]
+    i = 1
+    while i < t:
+        j = min(i + chunk, t)
+        zc = z[:, i:j]
+        if j - i < chunk:
+            zc = jnp.pad(zc, ((0, 0), (0, chunk - (j - i)),
+                              (0, 0), (0, 0), (0, 0)))
+        out, state = rest_fn({"params": params, **state}, zc)
+        outs.append(out[:, : ratio * (j - i)])
+        i = j
+    return jnp.concatenate(outs, axis=1)
