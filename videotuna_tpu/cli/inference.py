@@ -25,6 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="YAML config file(s), merged left to right")
     p.add_argument("--ckpt", default=None,
                    help="checkpoint dir (overrides flow.pretrained)")
+    p.add_argument("--lora", default=None, metavar="PATH",
+                   help="LoRA-only checkpoint to merge into the loaded "
+                        "params (reference --lorackpt, "
+                        "scripts/__init__.py:564-592)")
+    p.add_argument("--lora-alpha", type=float, default=None,
+                   help="merge scale (default: train.lora.alpha or 1.0)")
     p.add_argument("--savedir", default=None)
     p.add_argument("--prompt", default=None)
     p.add_argument("--seed", type=int, default=None)
@@ -66,6 +72,32 @@ def run_inference(argv: Optional[List[str]] = None) -> dict:
         print("[videotuna-tpu] no checkpoint given — using random init",
               file=sys.stderr)
         flow.init_params(seed=int(inf.get("seed", 0)))
+
+    if args.lora:
+        # merge a LoRA-only checkpoint (Trainer.save's `lora` component or
+        # any {component: delta_tree} saved via core.checkpoint) — the
+        # reference's --lorackpt path (scripts/__init__.py:564-592)
+        import os as _os
+        from videotuna_tpu.core.checkpoint import restore_tree
+        from videotuna_tpu.training.lora import merge_lora
+        path = args.lora
+        if _os.path.isdir(_os.path.join(path, "lora")):
+            path = _os.path.join(path, "lora")
+        lora_tree = restore_tree(path)
+        alpha = args.lora_alpha
+        if alpha is None:
+            alpha = float(config.get("train", {}).get("lora", {})
+                          .get("alpha", 1.0))
+        merged_any = False
+        for comp, delta in lora_tree.items():
+            if comp in flow.params:
+                flow.params[comp] = merge_lora(flow.params[comp], delta,
+                                               alpha)
+                merged_any = True
+        if not merged_any:
+            raise ValueError(
+                f"LoRA checkpoint {args.lora!r} has no components matching "
+                f"the flow's params ({sorted(flow.params)})")
 
     # multi-chip inference: inference.mesh {dp, fsdp, sp, tp} builds the
     # global mesh; sp>1 routes long attention through ulysses/ring SP

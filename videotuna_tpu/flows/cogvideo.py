@@ -35,11 +35,13 @@ class CogVideoXFlow(GenerationFlow):
     def __init__(self, *args,
                  ddim_steps: int = 50,
                  i2v_mode: bool = False,
+                 use_dynamic_cfg: bool = False,
                  **kwargs):
         kwargs.setdefault("model_max_length", 226)
         kwargs.setdefault("scale_factor", 1.15258426)  # CogVideoX latent scale
         super().__init__(*args, **kwargs)
         self.i2v_mode = i2v_mode
+        self.use_dynamic_cfg = use_dynamic_cfg
         if isinstance(self.scheduler, DDPMSchedule):
             self.base_schedule = self.scheduler
             self.scheduler = DDIMSchedule.create(self.base_schedule,
@@ -116,6 +118,21 @@ class CogVideoXFlow(GenerationFlow):
         return loss, {"loss": loss}
 
     # -------------------------------------------------------------- sampling
+    def sample(self, params: Params, cond, uncond, shape, key,
+               cfg_scale: float = 6.0) -> jnp.ndarray:
+        """CogVideoX sampling: optional cosine dynamic guidance
+        (``use_dynamic_cfg`` in the diffusers CogVideoX pipeline;
+        reference cogvideo_pl.py:711-723)."""
+        if not self.use_dynamic_cfg:
+            return super().sample(params, cond, uncond, shape, key,
+                                  cfg_scale)
+        from videotuna_tpu.schedulers import dynamic_cfg_denoise
+        model_fn = lambda x, t, c: self.denoise_apply(params, x, t, c)
+        denoise = dynamic_cfg_denoise(model_fn, cond, uncond, cfg_scale,
+                                      self.scheduler.num_steps,
+                                      timesteps=self.scheduler.timesteps)
+        return self.scheduler.sample(denoise, shape, key)
+
     def prepare_image_latents(self, params: Params, image: jnp.ndarray,
                               num_latent_frames: int,
                               key: jax.Array) -> jnp.ndarray:

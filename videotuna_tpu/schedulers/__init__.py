@@ -14,6 +14,7 @@ from videotuna_tpu.schedulers.common import (extract_into, make_beta_schedule,
                                              rescale_zero_terminal_snr)
 from videotuna_tpu.schedulers.ddpm import DDPMSchedule
 from videotuna_tpu.schedulers.ddim import (DDIMSchedule, cfg_denoise,
+                                           dynamic_cfg_denoise,
                                            multicond_cfg_denoise)
 from videotuna_tpu.schedulers.flow_match import (FlowMatchSchedule,
                                                  flow_interpolate, flow_target,
@@ -21,7 +22,7 @@ from videotuna_tpu.schedulers.flow_match import (FlowMatchSchedule,
 
 __all__ = [
     "DDPMSchedule", "DDIMSchedule", "FlowMatchSchedule",
-    "cfg_denoise", "multicond_cfg_denoise",
+    "cfg_denoise", "dynamic_cfg_denoise", "multicond_cfg_denoise",
     "flow_interpolate", "flow_target", "sample_sigmas", "shift_sigmas",
     "extract_into", "make_beta_schedule", "make_ddim_timesteps",
     "rescale_noise_cfg", "rescale_zero_terminal_snr",

@@ -133,6 +133,55 @@ def cfg_denoise(model_fn: Callable[..., jnp.ndarray],
     return fn
 
 
+def dynamic_cfg_denoise(model_fn: Callable[..., jnp.ndarray],
+                        cond, uncond, scale: float,
+                        num_inference_steps: int,
+                        timesteps=None,
+                        guidance_rescale: float = 0.0) -> DenoiseFn:
+    """CogVideoX cosine dynamic guidance (reference
+    cogvideo_pl.py:711-723): per-step scale
+    ``1 + s·(1 − cos(π·((N − t)/N)^5))/2`` computed from the raw timestep
+    value ``t`` (reference semantics preserved exactly, including the
+    t > N regime where the cosine argument is huge). The reference does
+    this in python float64; float32-on-device diverges for large
+    arguments, so when the (static) ``timesteps`` schedule is given the
+    table is precomputed host-side in float64 and looked up by matching
+    the traced ``t`` against the schedule."""
+    import numpy as np
+
+    if timesteps is not None:
+        ts64 = np.asarray(jax.device_get(timesteps), np.float64)
+        frac64 = (num_inference_steps - ts64) / num_inference_steps
+        tab = 1.0 + scale * ((1.0 - np.cos(np.pi * frac64 ** 5)) / 2.0)
+        ts_j = jnp.asarray(ts64, jnp.float32)
+        tab_j = jnp.asarray(tab, jnp.float32)
+
+        def gs_of(tf):
+            idx = jnp.argmin(jnp.abs(ts_j - tf))
+            return tab_j[idx]
+    else:
+        def gs_of(tf):
+            frac = (num_inference_steps - tf) / num_inference_steps
+            return 1.0 + scale * ((1.0 - jnp.cos(jnp.pi * frac ** 5)) / 2.0)
+
+    def fn(x, t):
+        if uncond is None:
+            return model_fn(x, t, cond)
+        gs = gs_of(t.reshape(-1)[0].astype(jnp.float32))
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        c2 = jax.tree.map(
+            lambda u, c: jnp.concatenate([u, c], axis=0), uncond, cond)
+        out = model_fn(x2, t2, c2)
+        e_u, e_c = jnp.split(out, 2, axis=0)
+        e = e_u + gs * (e_c - e_u)
+        if guidance_rescale > 0.0:
+            e = rescale_noise_cfg(e, e_c, guidance_rescale)
+        return e
+
+    return fn
+
+
 def multicond_cfg_denoise(model_fn: Callable[..., jnp.ndarray],
                           cond, uncond, img_uncond,
                           text_scale: float,

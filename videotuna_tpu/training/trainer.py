@@ -61,6 +61,12 @@ class TrainConfig:
     log_every: int = 10
     ckpt_every: int = 500
     ckpt_keep: int = 3
+    # LoRA fine-tuning (reference peft injection, ddpm3d.py:434-445 +
+    # configs `train.lora`): {"rank": N, "alpha": a, "targets": [substr…]}.
+    # When set, only low-rank delta trees for the trainable components are
+    # optimized; base weights ride in `frozen` (passed as jit arguments,
+    # never closed over — multi-GB constants would OOM the compile).
+    lora: Optional[Dict[str, Any]] = None
 
 
 def make_optimizer(cfg: TrainConfig, num_devices: int = 1
@@ -93,16 +99,22 @@ LossFn = Callable[[Params, Dict[str, Any], jax.Array],
 
 def make_train_step(loss_fn: LossFn,
                     optimizer: optax.GradientTransformation,
-                    ema_decay: Optional[float] = None) -> Callable:
+                    ema_decay: Optional[float] = None,
+                    merge_fn: Optional[Callable] = None) -> Callable:
     """Build the pure train step ``(state, frozen, batch, key) → (state,
     metrics)``. Frozen components get zero gradients by exclusion: grads are
     taken only w.r.t. the trainable sub-trees in ``state.params`` (the JAX
-    equivalent of requires_grad_(False) in set_trainable_components)."""
+    equivalent of requires_grad_(False) in set_trainable_components).
+
+    ``merge_fn(frozen, train_params) → full params`` defaults to dict
+    overlay; LoRA training passes a low-rank merge instead (the trainable
+    tree is then the delta, not the weights)."""
+    merge_fn = merge_fn or (lambda frozen, train: {**frozen, **train})
 
     def step(state: TrainState, frozen: Params, batch: Dict[str, Any],
              key: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
         def loss_of(train_params):
-            params = {**frozen, **train_params}
+            params = merge_fn(frozen, train_params)
             return loss_fn(params, batch, key)
 
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
@@ -165,14 +177,40 @@ class Trainer:
         self.metrics_history: list[Dict[str, float]] = []
 
     # ------------------------------------------------------------- state mgmt
+    def _lora_merge_fn(self):
+        """merge_fn for LoRA mode: frozen holds ALL components; trainable
+        tree is {component: lora_delta}."""
+        from videotuna_tpu.training.lora import merge_lora
+        alpha = float((self.cfg.lora or {}).get("alpha", 1.0))
+
+        def merge(frozen, train):
+            merged = dict(frozen)
+            for comp, delta in train.items():
+                merged[comp] = merge_lora(frozen[comp], delta, alpha)
+            return merged
+        return merge
+
     def init_state(self) -> TrainState:
         if not self.flow.params:
             self.flow.init_params()
         params = self.flow.params
-        train = {k: jax.tree.map(jnp.copy, v) for k, v in params.items()
-                 if k in self.flow.trainable_components}
-        self.frozen = {k: v for k, v in params.items()
-                       if k not in self.flow.trainable_components}
+        if self.cfg.lora:
+            from videotuna_tpu.training.lora import (default_match, init_lora,
+                                                     lora_target)
+            lcfg = dict(self.cfg.lora)
+            rank = int(lcfg.get("rank", 16))
+            targets = lcfg.get("targets")
+            match = lora_target(*targets) if targets else default_match
+            train = {k: init_lora(params[k], rank=rank, match=match,
+                                  key=self.keys("lora_init"))
+                     for k in self.flow.trainable_components
+                     if k in params}
+            self.frozen = dict(params)   # base weights all frozen
+        else:
+            train = {k: jax.tree.map(jnp.copy, v) for k, v in params.items()
+                     if k in self.flow.trainable_components}
+            self.frozen = {k: v for k, v in params.items()
+                           if k not in self.flow.trainable_components}
         self.frozen = jax.device_put(self.frozen,
                                      shard_params(self.frozen, self.mesh))
         opt_state = self.optimizer.init(train)
@@ -196,8 +234,9 @@ class Trainer:
     # ---------------------------------------------------------------- running
     def compiled_step(self, state: TrainState):
         if self._step_fn is None:
+            merge_fn = self._lora_merge_fn() if self.cfg.lora else None
             raw = make_train_step(self.flow.training_loss, self.optimizer,
-                                  self.cfg.ema_decay)
+                                  self.cfg.ema_decay, merge_fn=merge_fn)
             self._step_fn = jax.jit(raw, donate_argnums=(0,))
         return self._step_fn
 
@@ -281,7 +320,10 @@ class Trainer:
         the validation_step analogue (reference base/train_base.py stubs +
         epoch-end aggregation); no gradients, no state mutation."""
         loss_fn = jax.jit(self.flow.training_loss)
-        params = {**self.frozen, **state.params}
+        if self.cfg.lora:
+            params = self._lora_merge_fn()(self.frozen, state.params)
+        else:
+            params = {**self.frozen, **state.params}
         losses = []
         for i, batch in enumerate(val_loader):
             if i >= max_batches:
@@ -310,8 +352,19 @@ class Trainer:
         return out
 
     def save(self, state: TrainState, step: int):
-        ckpt_lib.save_components(self.workdir, step, {"state": state},
+        comps: Dict[str, Any] = {"state": state}
+        if self.cfg.lora:
+            # LoRA-only checkpoint alongside the full state (reference
+            # LoraModelCheckpoint, utils/callbacks.py:28-53) — loadable at
+            # inference via `--lora` (merged into base params there)
+            comps["lora"] = state.params
+        ckpt_lib.save_components(self.workdir, step, comps,
                                  keep=self.cfg.ckpt_keep)
         # component-split update (reference VideoTunaModelCheckpoint writes
         # whole-flow + trained-only; here flow.params mirrors the live state)
-        self.flow.params.update(jax.device_get(state.params))
+        if self.cfg.lora:
+            merged = self._lora_merge_fn()(self.frozen, state.params)
+            self.flow.params.update(
+                {k: jax.device_get(merged[k]) for k in state.params})
+        else:
+            self.flow.params.update(jax.device_get(state.params))
