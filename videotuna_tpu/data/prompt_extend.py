@@ -128,3 +128,84 @@ def make_llm_expander(lm, lm_params, prompt_template_ids,
         return f"{prompt.strip()}, {ext}" if ext else prompt
 
     return expand
+
+
+# English VL system prompt (reference wan/utils/prompt_extend.py:79-97,
+# abridged task list — the instruction content that conditions the local
+# VL rewriter; the full text only matters with real Qwen-VL weights)
+VL_EN_SYS_PROMPT = (
+    "You are a prompt optimization specialist whose goal is to rewrite "
+    "the user's input prompts into high-quality English prompts by "
+    "referring to the details of the user's input images, making them "
+    "more complete and expressive while maintaining the original "
+    "meaning. Emphasize movement information, camera angles, character "
+    "actions, clothing and backgrounds from the photo; around 80-100 "
+    "words; always output in English. Directly output the rewritten "
+    "English text.")
+
+
+def make_vl_expander(lm, lm_params, vision, vision_params,
+                     projector, projector_params,
+                     prompt_template_ids,
+                     max_new_tokens: int = 96,
+                     eos_token_id: int = 2,
+                     tokenize_fn=None, detokenize_fn=None):
+    """IMAGE-CONDITIONED prompt extension — the local Qwen-VL equivalent
+    (reference QwenPromptExpander(is_vl=True),
+    wan/utils/prompt_extend.py:543 and extend_run at :500-540): the input
+    image's projected CLIP patch states are prepended to the LM prefix
+    (the same multimodal splice the LLaVA captioner uses) so the rewrite
+    is grounded in the image.
+
+    Returns ``expand(prompt, image=None) -> str``; with image=None it
+    degrades to text-only extension. ``image``: (H, W, 3) float [-1, 1]
+    or uint8."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from videotuna_tpu.tools.captioner import LlavaCaptioner
+
+    cap = LlavaCaptioner.__new__(LlavaCaptioner)
+    cap.lm = lm
+    cap.lm_params = lm_params
+    cap.vision = vision
+    cap.vision_params = vision_params
+    cap.projector = projector
+    cap.projector_params = projector_params
+    cap.eos_token_id = eos_token_id
+    cap._decode_jit = jax.jit(cap._decode, static_argnames=("max_new",))
+
+    if tokenize_fn is None:
+        from videotuna_tpu.models.text_encoders import tokenize
+
+        def tokenize_fn(text):
+            ids, mask = tokenize([text], max_length=96)
+            n = int(np.sum(mask[0]))
+            vocab = getattr(lm, "vocab_size", None)
+            out = np.asarray(ids[0][:n])
+            return out % vocab if vocab else out
+
+    if detokenize_fn is None:
+        def detokenize_fn(ids):
+            return " ".join(str(int(i)) for i in ids)
+
+    def expand(prompt: str, image=None) -> str:
+        ids = np.concatenate([np.asarray(prompt_template_ids, np.int32),
+                              np.asarray(tokenize_fn(prompt), np.int32)])
+        if image is not None:
+            img = np.asarray(image)
+            if img.dtype == np.uint8:
+                img = img.astype(np.float32) / 127.5 - 1.0
+            prefix = cap.image_tokens(jnp.asarray(img)[None])
+        else:
+            prefix = jnp.zeros((0, lm.dim), jnp.float32)
+        out = cap._decode_jit(prefix, jnp.asarray(ids),
+                              max_new=max_new_tokens)
+        out = np.asarray(out)
+        eos = np.where(out == eos_token_id)[0]
+        gen = out[: eos[0]] if eos.size else out
+        ext = detokenize_fn(gen)
+        return f"{prompt.strip()}, {ext}" if ext else prompt
+
+    return expand

@@ -50,26 +50,88 @@ def _cos(a, b, eps=1e-8):
 
 
 def temporal_flickering(video: jnp.ndarray) -> jnp.ndarray:
-    diff = jnp.mean(jnp.abs(jnp.diff(video, axis=0)))
-    return jnp.clip(1.0 - diff * 2.5, 0.0, 1.0)
+    """FAITHFUL VBench protocol (eval/vbench/temporal_flickering.py:21-44):
+    mean absolute difference between consecutive frames in 0–255 units,
+    scored as (255 − MAE)/255. Model-free in VBench too, so this carries
+    the real dimension name."""
+    if video.shape[0] < 2:
+        return jnp.asarray(1.0)
+    v255 = (video + 1.0) * 127.5
+    mae = jnp.mean(jnp.abs(jnp.diff(v255, axis=0)))
+    return (255.0 - mae) / 255.0
 
 
-def motion_smoothness(video: jnp.ndarray) -> jnp.ndarray:
+def motion_smoothness_proxy(video: jnp.ndarray) -> jnp.ndarray:
+    """Second-order temporal-difference heuristic. NOT VBench's
+    motion_smoothness (which scores AMT frame-interpolation residuals,
+    eval/vbench/motion_smoothness.py:113-178) — hence the ``_proxy``
+    suffix."""
     if video.shape[0] < 3:
         return jnp.asarray(1.0)
     accel = jnp.diff(video, n=2, axis=0)
     return jnp.clip(1.0 - jnp.mean(jnp.abs(accel)) * 5.0, 0.0, 1.0)
 
 
-def dynamic_degree(video: jnp.ndarray,
-                   threshold: float = 2.0) -> jnp.ndarray:
-    """Fraction of pixels whose estimated flow exceeds ``threshold`` px
-    (threshold ≈ soft-argmax jitter floor × the 8× feature downsampling)."""
+def dynamic_degree_proxy(video: jnp.ndarray,
+                         threshold: float = 2.0) -> jnp.ndarray:
+    """Pooled-correlation soft-argmax flow stand-in. NOT VBench's
+    RAFT-based dynamic_degree — use ``dynamic_degree`` with converted
+    RAFT weights for the faithful protocol."""
     if video.shape[0] < 2:
         return jnp.asarray(0.0)
     flow = estimate_flow(video[:-1], video[1:])
     mag = jnp.linalg.norm(flow, axis=-1)
     return jnp.mean((mag > threshold).astype(jnp.float32))
+
+
+def dynamic_degree(video: jnp.ndarray, raft_params,
+                   fps: Optional[float] = None, iters: int = 20,
+                   pair_chunk: int = 8) -> float:
+    """FAITHFUL VBench dynamic_degree (eval/vbench/dynamic_degree.py:15-80)
+    over the JAX RAFT (evalkit/raft.py):
+
+    - frames subsampled to ~8 fps (interval = round(fps/8));
+    - per consecutive pair: pad to /8 (InputPadder), 20 RAFT iterations,
+      score = mean of the top-5% flow magnitudes (on the padded frame);
+    - thres = 6·(min(H,W)/256), count_num = round(4·(T/16));
+    - returns 1.0 once count_num scores exceed thres, else 0.0 —
+      including the reference's count_num == 0 ⇒ immediately-True path.
+    """
+    from videotuna_tpu.evalkit.raft import RAFT, pad_to_8
+    v = np.asarray(video)
+    v255 = (v + 1.0) * 127.5
+    if fps:
+        interval = max(int(round(fps / 8)), 1)
+        v255 = v255[::interval]
+    count = v255.shape[0]
+    if count < 2:
+        return 0.0
+    scale = min(v255.shape[1], v255.shape[2])
+    thres = 6.0 * (scale / 256.0)
+    count_num = round(4 * (count / 16.0))
+    padded, _ = pad_to_8(jnp.asarray(v255, jnp.float32))
+    model = RAFT(iters=iters)
+    apply_fn = jax.jit(
+        lambda p, a, b: model.apply({"params": p}, a, b))
+    scores: List[float] = []
+    h, w = padded.shape[1:3]
+    cut = int(h * w * 0.05)
+    for s in range(0, count - 1, pair_chunk):
+        a = padded[s:s + pair_chunk]
+        b = padded[s + 1:s + 1 + pair_chunk]
+        n = min(a.shape[0], b.shape[0])
+        flows = np.asarray(apply_fn(raft_params, a[:n], b[:n]))
+        rad = np.sqrt(np.sum(flows ** 2, axis=-1)).reshape(n, -1)
+        top = -np.sort(-rad, axis=1)[:, :cut]
+        scores.extend(np.mean(top, axis=1).tolist())
+    moved = 0
+    for sc in scores:
+        if sc > thres:
+            moved += 1
+        if moved >= count_num:
+            return 1.0
+    return 0.0
+
 
 def subject_consistency(video: jnp.ndarray,
                         features: FeatureFn = default_features
@@ -129,9 +191,9 @@ def aesthetic_quality(video: jnp.ndarray, scorer,
 
 
 STANDARD_DIMENSIONS: Dict[str, Callable] = {
-    "temporal_flickering": temporal_flickering,
-    "motion_smoothness": motion_smoothness,
-    "dynamic_degree": dynamic_degree,
+    "temporal_flickering": temporal_flickering,        # faithful protocol
+    "motion_smoothness_proxy": motion_smoothness_proxy,
+    "dynamic_degree_proxy": dynamic_degree_proxy,
     "subject_consistency": subject_consistency,
     "background_consistency": background_consistency,
     "imaging_quality_proxy": imaging_quality_proxy,
@@ -143,15 +205,24 @@ def evaluate_video(video: np.ndarray,
                    dimensions: Optional[List[str]] = None,
                    scorer=None, prompt: Optional[str] = None,
                    aux: Optional[Dict] = None,
-                   aesthetic_params=None) -> Dict[str, float]:
+                   aesthetic_params=None,
+                   raft_params=None,
+                   fps: Optional[float] = None) -> Dict[str, float]:
     """video: (T, H, W, 3) uint8 or float [-1, 1]. With a CLIP ``scorer``
-    the semantic dimensions (+ real aesthetic_quality) are scored too."""
+    the semantic dimensions (+ real aesthetic_quality) are scored too;
+    with converted RAFT weights the faithful ``dynamic_degree`` replaces
+    its correlation proxy."""
     if video.dtype == np.uint8:
         video = video.astype(np.float32) / 127.5 - 1.0
     v = jnp.asarray(video)
     dims = dimensions or list(STANDARD_DIMENSIONS)
     out = {d: float(STANDARD_DIMENSIONS[d](v)) for d in dims
            if d in STANDARD_DIMENSIONS}
+    if raft_params is not None and (dimensions is None
+                                    or "dynamic_degree" in dims):
+        out["dynamic_degree"] = float(
+            dynamic_degree(v, raft_params, fps=fps))
+        out.pop("dynamic_degree_proxy", None)
     if scorer is not None:
         from videotuna_tpu.evalkit.semantic import (SEMANTIC_DIMENSIONS,
                                                     evaluate_semantics)

@@ -65,7 +65,8 @@ def evaluate_directory(videos_dir: str,
                        output_path: Optional[str] = None,
                        max_frames: int = 64,
                        scorer=None,
-                       aesthetic_params=None) -> Dict:
+                       aesthetic_params=None,
+                       raft_params=None) -> Dict:
     """Score every video in a directory; write final_results.json.
 
     With ``scorer`` (a ``CLIPScorer``) and an ``info.json`` prompt map in
@@ -87,7 +88,8 @@ def evaluate_directory(videos_dir: str,
         meta = info.get(p.name, {})
         results[p.name] = evaluate_video(
             video, dims, scorer=scorer, prompt=meta.get("prompt"),
-            aux=meta.get("aux"), aesthetic_params=aesthetic_params)
+            aux=meta.get("aux"), aesthetic_params=aesthetic_params,
+            raft_params=raft_params)
 
     all_dims = sorted({d for r in results.values() for d in r
                        if d != "error"})
@@ -134,9 +136,18 @@ def main(argv=None):
     ap.add_argument("--aesthetic", default=None,
                     help="LAION aesthetic-MLP ckpt")
     ap.add_argument("--tokenizer", default=None)
+    ap.add_argument("--raft", default=None,
+                    help="RAFT checkpoint (raft-things.pth); enables the "
+                         "faithful dynamic_degree instead of its proxy")
     args = ap.parse_args(argv)
     scorer = None
     aes = None
+    raft = None
+    if args.raft:
+        from videotuna_tpu.evalkit.raft import convert_raft_state_dict
+        from videotuna_tpu.tools.convert_weights import \
+            load_torch_state_dict
+        raft = convert_raft_state_dict(load_torch_state_dict(args.raft))
     if args.clip_vision and args.clip_text:
         from videotuna_tpu.evalkit.semantic import CLIPScorer
         scorer = CLIPScorer.from_pretrained(args.clip_vision,
@@ -148,7 +159,8 @@ def main(argv=None):
             aes = aesthetic_map().convert(
                 load_torch_state_dict(args.aesthetic))
     final = evaluate_directory(args.videos, args.dimensions, args.output,
-                               scorer=scorer, aesthetic_params=aes)
+                               scorer=scorer, aesthetic_params=aes,
+                               raft_params=raft)
     print(tabular_score(final))
     return final
 

@@ -118,6 +118,35 @@ class HunyuanVideoFlow(GenerationFlow):
             pooled = seq2[jnp.arange(seq2.shape[0]), last]
         return {"y": states, "mask": jnp.asarray(mask), "pooled": pooled}
 
+    def encode_text_i2v(self, params: Params, texts, image_states,
+                        i2v_condition_type: str = "token_replace"):
+        """Faithful i2v prompt encode: LLaVA chat template with the
+        <image> slot spliced with 576 projected CLIP patch states, then
+        the reference's crop/splice into [image ; text] conditioning
+        (reference hyvideo_i2v/text_encoder/__init__.py:292-517,
+        TextEncoderWrapper :539-660). ``image_states``: (B, 576, D_lm)
+        from tools.captioner.LlavaCaptioner.image_tokens (CLIP tower +
+        mm projector)."""
+        import numpy as np
+        from videotuna_tpu.models.text_encoders import (encode_hunyuan_i2v,
+                                                        tokenize)
+        y, mask = encode_hunyuan_i2v(
+            self.cond_stage, params["cond_stage"], texts, image_states,
+            tokenizer=self.tokenizer,
+            i2v_condition_type=i2v_condition_type,
+            text_len=self.model_max_length)
+        pooled = None
+        if self.cond_stage_2 is not None:
+            max2 = getattr(self.cond_stage_2, "max_len", 77)
+            ids2, mask2 = tokenize(texts, pretrained=self.tokenizer,
+                                   max_length=max2)
+            seq2 = self.cond_stage_2.apply(
+                {"params": params["cond_stage_2"]}, jnp.asarray(ids2))
+            last = jnp.sum(jnp.asarray(mask2), axis=1) - 1
+            pooled = seq2[jnp.arange(seq2.shape[0]), last]
+        return {"y": jnp.asarray(y), "mask": jnp.asarray(np.asarray(mask)),
+                "pooled": pooled}
+
     def denoise_apply(self, params: Params, x, t, cond,
                       temporal_rope_scale=None):
         if self.i2v_mode and cond.get("image_latents") is not None:

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from videotuna_tpu.core.registry import register
+from videotuna_tpu.parallel.sharding import constrain_batch
 from videotuna_tpu.models.layers import (Attention, Mlp, PatchEmbed3D,
                                          TimestepEmbedder, modulate,
                                          unpatchify_3d)
@@ -362,10 +363,12 @@ class STDiT(nn.Module):
 
         if stage in ("all", "embed"):
             x = x.astype(self.dtype)
+            x = constrain_batch(x)
             tok = PatchEmbed3D(self.hidden_size, self.patch_size,
                                dtype=self.dtype, flatten=False,
                                name="x_embedder")(x)
-            tok = tok.reshape(b, tt, ss, self.hidden_size)
+            tok = constrain_batch(
+                tok.reshape(b, tt, ss, self.hidden_size))
             if self.dynamic_pos_embed:
                 res_sq = jnp.sqrt(height[0] * width[0]) \
                     if height is not None else float(h_in * 8)
@@ -393,31 +396,33 @@ class STDiT(nn.Module):
                     self.hidden_size, dtype=self.dtype,
                     name="fps_embedder")
                 t_emb = t_emb + fps_embedder(fps)
-            t6 = t_block(nn.silu(t_emb)).reshape(b, 6, self.hidden_size)
+            t6 = constrain_batch(
+                t_block(nn.silu(t_emb)).reshape(b, 6, self.hidden_size))
             t3 = t6_zero = t3_zero = None
             if self.temporal_mod:
                 t_block_temp = nn.Dense(3 * self.hidden_size,
                                         dtype=self.dtype,
                                         name="t_block_temp")
-                t3 = t_block_temp(nn.silu(t_emb)).reshape(
-                    b, 3, self.hidden_size)
+                t3 = constrain_batch(t_block_temp(nn.silu(t_emb)).reshape(
+                    b, 3, self.hidden_size))
             if x_mask is not None:
                 # masked frames are conditioned at timestep 0 (reference
                 # stdit5.py:438-445 t0 path)
                 t0_emb = t_embedder(jnp.zeros_like(timestep))
                 if fps_embedder is not None:
                     t0_emb = t0_emb + fps_embedder(fps)
-                t6_zero = t_block(nn.silu(t0_emb)).reshape(
-                    b, 6, self.hidden_size)
+                t6_zero = constrain_batch(t_block(nn.silu(t0_emb)).reshape(
+                    b, 6, self.hidden_size))
                 if self.temporal_mod:
-                    t3_zero = t_block_temp(nn.silu(t0_emb)).reshape(
-                        b, 3, self.hidden_size)
+                    t3_zero = constrain_batch(
+                        t_block_temp(nn.silu(t0_emb)).reshape(
+                            b, 3, self.hidden_size))
 
             y = nn.Dense(self.hidden_size, dtype=self.dtype,
                          name="y_proj1")(y.astype(self.dtype))
             y = nn.gelu(y, approximate=True)
-            y = nn.Dense(self.hidden_size, dtype=self.dtype,
-                         name="y_proj2")(y)
+            y = constrain_batch(nn.Dense(self.hidden_size, dtype=self.dtype,
+                                         name="y_proj2")(y))
             t_emb_zero = None
             if x_mask is not None:
                 t_emb_zero = t0_emb
@@ -528,10 +533,10 @@ class STDiT(nn.Module):
         out_dim = pt * ph * pw * self.out_channels
         tok = nn.Dense(out_dim, dtype=self.dtype, name="final_linear")(tok)
 
-        tok = tok.reshape(b, tt * ss, out_dim)
+        tok = constrain_batch(tok.reshape(b, tt * ss, out_dim))
         out = unpatchify_3d(tok, (tt, hh, ww), self.patch_size,
                             self.out_channels)
-        return out.astype(jnp.float32)
+        return constrain_batch(out.astype(jnp.float32))
 
 
 def stdit_xl_2(**kwargs) -> STDiT:

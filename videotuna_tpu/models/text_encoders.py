@@ -398,3 +398,173 @@ def tokenize(texts, tokenizer_name: str = "t5", max_length: int = 120,
             ids[i, 0] = 1
             mask[i, 0] = True
     return ids, mask
+
+
+# ---------------------------------------------------------------------------
+# HunyuanVideo I2V LLaVA prompt-encode protocol
+# (reference models/hunyuan/hyvideo_i2v/text_encoder/__init__.py:292-517 +
+# constants.py:39-100): the user prompt is wrapped in a chat template whose
+# system message carries an <image> slot; the LLaVA-LLaMA expands that slot
+# to 576 projected CLIP patch states; the output hidden states are then
+# crop/spliced into [subsampled image states ; text states] for the DiT.
+# ---------------------------------------------------------------------------
+
+HUNYUAN_PROMPT_TEMPLATES = {
+    # constants.py:75-100 (crop_start counts the template's own tokens)
+    "dit-llm-encode": {
+        "template": ("<|start_header_id|>system<|end_header_id|>\n\n"
+                     "Describe the image by detailing the color, shape, "
+                     "size, texture, quantity, text, spatial relationships "
+                     "of the objects and background:<|eot_id|>"
+                     "<|start_header_id|>user<|end_header_id|>\n\n{}"
+                     "<|eot_id|>"),
+        "crop_start": 36,
+    },
+    "dit-llm-encode-video": {
+        "template": ("<|start_header_id|>system<|end_header_id|>\n\n"
+                     "Describe the video by detailing the following "
+                     "aspects: 1. The main content and theme of the video."
+                     "2. The color, shape, size, texture, quantity, text, "
+                     "and spatial relationships of the objects."
+                     "3. Actions, events, behaviors temporal relationships, "
+                     "physical movement changes of the objects."
+                     "4. background environment, light, style and "
+                     "atmosphere."
+                     "5. camera angles, movements, and transitions used in "
+                     "the video:<|eot_id|>"
+                     "<|start_header_id|>user<|end_header_id|>\n\n{}"
+                     "<|eot_id|>"),
+        "crop_start": 95,
+    },
+    "dit-llm-encode-i2v": {
+        "template": ("<|start_header_id|>system<|end_header_id|>\n\n"
+                     "<image>\nDescribe the image by detailing the color, "
+                     "shape, size, texture, quantity, text, spatial "
+                     "relationships of the objects and background:"
+                     "<|eot_id|><|start_header_id|>user<|end_header_id|>"
+                     "\n\n{}<|eot_id|>"
+                     "<|start_header_id|>assistant<|end_header_id|>\n\n"),
+        "crop_start": 36, "image_emb_start": 5, "image_emb_end": 581,
+        "image_emb_len": 576, "double_return_token_id": 271,
+    },
+    "dit-llm-encode-video-i2v": {
+        "template": ("<|start_header_id|>system<|end_header_id|>\n\n"
+                     "<image>\nDescribe the video by detailing the "
+                     "following aspects according to the reference image: "
+                     "1. The main content and theme of the video."
+                     "2. The color, shape, size, texture, quantity, text, "
+                     "and spatial relationships of the objects."
+                     "3. Actions, events, behaviors temporal relationships, "
+                     "physical movement changes of the objects."
+                     "4. background environment, light, style and "
+                     "atmosphere."
+                     "5. camera angles, movements, and transitions used in "
+                     "the video:<|eot_id|>\n\n"
+                     "<|start_header_id|>user<|end_header_id|>\n\n{}"
+                     "<|eot_id|>"
+                     "<|start_header_id|>assistant<|end_header_id|>\n\n"),
+        "crop_start": 103, "image_emb_start": 5, "image_emb_end": 581,
+        "image_emb_len": 576, "double_return_token_id": 271,
+    },
+}
+
+# token_replace i2v subsamples image states ×4, latent_concat ×2
+# (reference __init__.py:592-597)
+HUNYUAN_I2V_INTERLEAVE = {"token_replace": 4, "latent_concat": 2}
+
+
+def hunyuan_i2v_crop(hidden: np.ndarray, attn_mask: np.ndarray,
+                     input_ids: np.ndarray, template: dict,
+                     image_embed_interleave: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact port of the reference's i2v crop/splice
+    (text_encoder/__init__.py:395-510).
+
+    ``hidden``: (B, L+575, D) LLaVA output states (the single <image>
+    input token expanded to 576 patch states); ``attn_mask``/``input_ids``:
+    (B, L) UN-expanded. Returns (y, mask): subsampled image states
+    concatenated before the template-stripped text states.
+    """
+    crop_start = template["crop_start"]
+    emb_len = template["image_emb_len"]
+    img_s, img_e = template["image_emb_start"], template["image_emb_end"]
+    dr_id = template["double_return_token_id"]
+    b, L = input_ids.shape
+    text_crop_start = crop_start - 1 + emb_len
+
+    text_states, text_masks, img_states, img_masks = [], [], [], []
+    for i in range(b):
+        dr = np.where(input_ids[i] == dr_id)[0]
+        # reference: the template carries 4 double-return ("\n\n") tokens;
+        # when the prompt is too long the last is truncated away and the
+        # sequence end acts as the 4th (:412-422)
+        if dr.size == 3 or dr.size == 0:
+            last_dr = L
+        else:
+            last_dr = int(dr[-1])
+        a_start = last_dr - 1 + emb_len - 4
+        a_end = last_dr - 1 + emb_len
+        m_start = last_dr - 4
+        m_end = last_dr
+        text_states.append(np.concatenate(
+            [hidden[i, text_crop_start:a_start], hidden[i, a_end:]]))
+        text_masks.append(np.concatenate(
+            [attn_mask[i, crop_start:m_start], attn_mask[i, m_end:]]))
+        img_states.append(hidden[i, img_s:img_e])
+        img_masks.append(np.ones(img_e - img_s, attn_mask.dtype))
+    y_text = np.stack(text_states)
+    m_text = np.stack(text_masks)
+    y_img = np.stack(img_states)
+    m_img = np.stack(img_masks)
+    if 0 < image_embed_interleave < 6:
+        y_img = y_img[:, ::image_embed_interleave]
+        m_img = m_img[:, ::image_embed_interleave]
+    return (np.concatenate([y_img, y_text], axis=1),
+            np.concatenate([m_img, m_text], axis=1))
+
+
+def encode_hunyuan_i2v(llama, llama_params, texts, image_states,
+                       tokenizer: Optional[str] = None,
+                       template_name: str = "dit-llm-encode-video-i2v",
+                       text_len: int = 256,
+                       i2v_condition_type: str = "token_replace",
+                       image_token: str = "<image>"
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Full i2v prompt-encode: template → tokenize → splice the 576
+    projected CLIP patch states at the <image> slot → LLaVA-LLaMA →
+    crop/splice (reference TextEncoderWrapper path, __init__.py:539-660).
+
+    ``image_states``: (B, 576, D_lm) projected patch features (e.g. from
+    tools.captioner.LlavaCaptioner.image_tokens). Returns (y, mask).
+    """
+    import jax.numpy as jnp
+    template = HUNYUAN_PROMPT_TEMPLATES[template_name]
+    crop_start = template["crop_start"]
+    max_length = text_len + crop_start
+    prompts = [template["template"].format(t) for t in texts]
+    # tokenize with the <image> slot held out (one token placeholder)
+    marked = [p.replace(image_token, " \x00 ") for p in prompts]
+    ids, mask = tokenize(marked, tokenizer_name="llama",
+                         max_length=max_length, pretrained=tokenizer)
+    emb_len = template["image_emb_len"]
+    # the <image> slot sits at the template's image_emb_start with the
+    # real llama tokenizer; the crop arithmetic assumes exactly that
+    # position, so the splice is pinned there
+    img_pos = template["image_emb_start"]
+    # build input embeds: tokens up to the slot, 576 image states, rest
+    tok_emb = llama.embed_tokens(llama_params, jnp.asarray(ids))
+    embeds = jnp.concatenate([
+        tok_emb[:, :img_pos],
+        jnp.asarray(image_states)[:, :emb_len].astype(tok_emb.dtype),
+        tok_emb[:, img_pos + 1:],
+    ], axis=1)
+    expanded_mask = np.concatenate([
+        mask[:, :img_pos],
+        np.ones((mask.shape[0], emb_len), mask.dtype),
+        mask[:, img_pos + 1:],
+    ], axis=1)
+    hidden = llama.apply({"params": llama_params}, input_embeds=embeds,
+                         mask=jnp.asarray(expanded_mask))
+    interleave = HUNYUAN_I2V_INTERLEAVE.get(i2v_condition_type, 1)
+    return hunyuan_i2v_crop(np.asarray(hidden), mask, ids, template,
+                            interleave)

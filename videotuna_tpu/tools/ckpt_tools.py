@@ -40,6 +40,12 @@ FAMILIES = {
                     sd, r"attn_qkv")),
     "cogvideox": (lambda a: cw.cogvideox_map(heads=a.heads), None),
     "mochi": (lambda a: cw.mochi_map(heads=a.heads), None),
+    "mochi_vae": (lambda a: __import__(
+        "videotuna_tpu.models.mochi_vae", fromlist=["mochi_vae_map"]
+    ).mochi_vae_map(), None),
+    "raft": (lambda a: __import__(
+        "videotuna_tpu.evalkit.raft", fromlist=["raft_map"]
+    ).raft_map(), None),
     "flux": (lambda a: cw.flux_map(heads=a.heads),
              lambda sd: cw.preprocess_split_fused_qkv(
                  sd, r"(img|txt)_attn\.qkv")),
