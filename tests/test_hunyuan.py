@@ -154,3 +154,62 @@ class TestHunyuanFlow:
         }}
         result = flow.inference(cfg)
         assert len(result["videos"]) == 1
+
+
+class TestStageParity:
+    """Staged execution (embed → double chunks → single chunks → head)
+    must equal the monolithic forward — the contract tools/offload's
+    host-streaming and bench.py's full-depth measurement rely on."""
+
+    def test_staged_equals_monolithic(self):
+        model = HYVideoDiT(**{**TINY_DIT, "scan_blocks": True})
+        x = jax.random.normal(jax.random.key(0), (1, 2, 8, 8, 16)) * 0.3
+        t = jnp.array([500.0])
+        y = jax.random.normal(jax.random.key(1), (1, 6, 24)) * 0.2
+        pooled = jax.random.normal(jax.random.key(2), (1, 12)) * 0.2
+        mask = jnp.ones((1, 6), bool)
+        g = jnp.array([6000.0])
+        args = (x, t, y, pooled, mask, g)
+        params = model.init(jax.random.key(3), *args)["params"]
+        # perturb so zero-init modulations don't make stages vacuous
+        params = jax.tree.map(
+            lambda a: a + 0.02 * np.random.default_rng(5)
+            .standard_normal(a.shape).astype(a.dtype), params)
+        ref = model.apply({"params": params}, *args)
+
+        grid = (2, 4, 4)
+        emb_params = {k: v for k, v in params.items()
+                      if k not in ("double_blocks", "single_blocks",
+                                   "final_mod", "final_norm",
+                                   "final_proj")}
+        head_params = {k: params[k] for k in ("final_mod", "final_proj")
+                       if k in params}
+        img, txt, vec, vec_tr = model.apply(
+            {"params": emb_params}, x, t, y, pooled, mask, g,
+            stage="embed")
+        nd = TINY_DIT["double_blocks"]
+        ns = TINY_DIT["single_blocks"]
+        sub_d = HYVideoDiT(**{**TINY_DIT, "scan_blocks": True,
+                              "double_blocks": 1})
+        for i in range(nd):
+            chunk = {"double_blocks":
+                     jax.tree.map(lambda a: a[i:i + 1],
+                                  params["double_blocks"])}
+            img, txt = sub_d.apply({"params": chunk}, stage="double",
+                                   img=img, txt=txt, vec=vec,
+                                   vec_tr=vec_tr, grid=grid)
+        xcat = jnp.concatenate([img, txt], axis=1)
+        sub_s = HYVideoDiT(**{**TINY_DIT, "scan_blocks": True,
+                              "single_blocks": 1})
+        for i in range(ns):
+            chunk = {"single_blocks":
+                     jax.tree.map(lambda a: a[i:i + 1],
+                                  params["single_blocks"])}
+            xcat = sub_s.apply({"params": chunk}, stage="single",
+                               xcat=xcat, vec=vec, vec_tr=vec_tr,
+                               grid=grid)
+        img_len = grid[0] * grid[1] * grid[2]
+        out = model.apply({"params": head_params}, stage="head",
+                          img=xcat[:, :img_len], vec=vec, grid=grid)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)

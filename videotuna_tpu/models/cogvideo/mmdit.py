@@ -59,15 +59,21 @@ class CogVideoXBlock(nn.Module):
         (vs1, vsc1, vg1, ts1, tsc1, tg1) = jnp.split(mods1, 6, axis=-1)
         (vs2, vsc2, vg2, ts2, tsc2, tg2) = jnp.split(mods2, 6, axis=-1)
 
+        # per-segment modulation via a (1, L, 1) select instead of
+        # slice+concat: concatenates materialize two full (B, L, D) HBM
+        # copies per call (×6 calls/block at 17.7k tokens ≈ 1.3 GB of
+        # pure copy traffic per CogVideoX-5B layer); the where-select is
+        # elementwise and fuses into the surrounding multiply
+        is_text = (jnp.arange(x.shape[1]) < lt)[None, :, None]
+
         def seg_mod(h, tshift, tscale, vshift, vscale):
-            ht = h[:, :lt] * (1 + tscale[:, None]) + tshift[:, None]
-            hv = h[:, lt:] * (1 + vscale[:, None]) + vshift[:, None]
-            return jnp.concatenate([ht, hv], axis=1)
+            scale = jnp.where(is_text, tscale[:, None], vscale[:, None])
+            shift = jnp.where(is_text, tshift[:, None], vshift[:, None])
+            return h * (1 + scale) + shift
 
         def seg_gate(h, tgate, vgate):
-            return jnp.concatenate(
-                [h[:, :lt] * tgate[:, None], h[:, lt:] * vgate[:, None]],
-                axis=1)
+            gate = jnp.where(is_text, tgate[:, None], vgate[:, None])
+            return h * gate
 
         norm1 = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
                              dtype=self.dtype, name="norm1")
@@ -83,10 +89,15 @@ class CogVideoXBlock(nn.Module):
         q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="q_norm")(q)
         k = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="k_norm")(k)
         if rope_cos is not None:
-            qv = apply_rope(q[:, lt:], rope_cos, rope_sin)
-            kv_ = apply_rope(k[:, lt:], rope_cos, rope_sin)
-            q = jnp.concatenate([q[:, :lt], qv], axis=1)
-            k = jnp.concatenate([k[:, :lt], kv_], axis=1)
+            # identity rotation (cos=1, sin=0) on the text prefix — equal
+            # to rotating only the video segment but without the
+            # slice+concat HBM round-trips on q and k
+            pad_c = jnp.ones((lt, rope_cos.shape[1]), rope_cos.dtype)
+            pad_s = jnp.zeros((lt, rope_sin.shape[1]), rope_sin.dtype)
+            full_cos = jnp.concatenate([pad_c, rope_cos], axis=0)
+            full_sin = jnp.concatenate([pad_s, rope_sin], axis=0)
+            q = apply_rope(q, full_cos, full_sin)
+            k = apply_rope(k, full_cos, full_sin)
         att = dot_product_attention(q, k, v)
         att = att.reshape(b, -1, d)
         att = nn.Dense(d, dtype=self.dtype, name="attn_out")(att)

@@ -283,22 +283,98 @@ class HYVideoDiT(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, timestep: jnp.ndarray,
-                 text_states: jnp.ndarray,
+    def __call__(self, x: Optional[jnp.ndarray] = None,
+                 timestep: Optional[jnp.ndarray] = None,
+                 text_states: Optional[jnp.ndarray] = None,
                  pooled_text: Optional[jnp.ndarray] = None,
                  text_mask: Optional[jnp.ndarray] = None,
                  guidance: Optional[jnp.ndarray] = None,
-                 temporal_rope_scale: Optional[jnp.ndarray] = None
-                 ) -> jnp.ndarray:
-        b, t_in, h_in, w_in, _ = x.shape
-        pt, ph, pw = self.patch_size
-        tt, hh, ww = t_in // pt, h_in // ph, w_in // pw
-        d = self.dim
+                 temporal_rope_scale: Optional[jnp.ndarray] = None,
+                 stage: str = "all",
+                 img: Optional[jnp.ndarray] = None,
+                 txt: Optional[jnp.ndarray] = None,
+                 xcat: Optional[jnp.ndarray] = None,
+                 vec: Optional[jnp.ndarray] = None,
+                 vec_tr: Optional[jnp.ndarray] = None,
+                 grid: Optional[Tuple[int, int, int]] = None
+                 ) -> Any:
+        """``stage`` partitions the forward into separately-jittable
+        pieces (the STDiT pattern, stdit.py ``stage=``; used by
+        tools/offload host-streaming for params > HBM and by bench.py):
 
+        - "all": full forward (default);
+        - "embed": → (img, txt, vec, vec_tr) + host keeps grid=(tt,hh,ww);
+        - "double": instance with double_blocks=K applies its K-layer
+          stack to (img, txt) given (vec, vec_tr, grid);
+        - "single": instance with single_blocks=K applies its stack to
+          ``xcat`` given (vec, vec_tr, grid);
+        - "head": final modulation + projection + unpatchify on ``img``.
+        Staged == monolithic is pinned by tests/test_hunyuan.py's
+        stage-parity test."""
+        pt, ph, pw = self.patch_size
+        if stage in ("all", "embed"):
+            b, t_in, h_in, w_in, _ = x.shape
+            tt, hh, ww = t_in // pt, h_in // ph, w_in // pw
+        else:
+            tt, hh, ww = grid
+        d = self.dim
+        token_replace = self.i2v_condition_type == "token_replace"
+
+        if stage in ("all", "embed"):
+            vec, vec_tr, img, txt = self._embed(
+                x, timestep, text_states, pooled_text, text_mask,
+                guidance, tt, hh, ww)
+            if stage == "embed":
+                return img, txt, vec, vec_tr
+        if stage == "head":
+            return self._head(img, vec, tt, hh, ww)
+
+        hd = d // self.heads
+        if self.rope_dim_list is not None:
+            dt_r, dh_r, dw_r = self.rope_dim_list
+        elif hd == 128:
+            dt_r, dh_r, dw_r = HUNYUAN_ROPE_DIMS
+        else:
+            dt_r, dh_r, dw_r = split_rope_dims(hd)
+        assert dt_r + dh_r + dw_r == hd, \
+            f"rope dims {dt_r}+{dh_r}+{dw_r} != head_dim {hd}"
+        cos, sin = rope_3d(dt_r, dh_r, dw_r, tt, hh, ww,
+                           theta=self.rope_theta,
+                           temporal_scale=temporal_rope_scale)
+        cos = cos.astype(self.dtype)
+        sin = sin.astype(self.dtype)
+
+        if stage in ("all", "double"):
+            img, txt = self._double_stack(img, txt, vec, vec_tr, cos, sin,
+                                          hh, ww, token_replace)
+            if stage == "double":
+                return img, txt
+
+        if stage == "all":
+            xcat = jnp.concatenate([img, txt], axis=1)
+            img_len = img.shape[1]
+        else:
+            img_len = tt * hh * ww
+        lt = xcat.shape[1] - img_len
+        cos_full = jnp.concatenate(
+            [cos, jnp.ones((lt, cos.shape[1]), self.dtype)], axis=0)
+        sin_full = jnp.concatenate(
+            [sin, jnp.zeros((lt, sin.shape[1]), self.dtype)], axis=0)
+        xcat = self._single_stack(xcat, vec, vec_tr, cos_full, sin_full,
+                                  img_len, hh, ww, token_replace)
+        if stage == "single":
+            return xcat
+        img = xcat[:, :img_len]
+        return self._head(img, vec, tt, hh, ww)
+
+    def _embed(self, x, timestep, text_states, pooled_text, text_mask,
+               guidance, tt, hh, ww):
+        d = self.dim
+        b = x.shape[0]
+        token_replace = self.i2v_condition_type == "token_replace"
         t_embedder = TimestepEmbedder(d, dtype=self.dtype,
                                       name="t_embedder")
         vec = t_embedder(timestep)
-        token_replace = self.i2v_condition_type == "token_replace"
         vec_tr = t_embedder(jnp.zeros_like(timestep)) if token_replace \
             else None
         if pooled_text is not None:
@@ -325,28 +401,11 @@ class HYVideoDiT(nn.Module):
         txt = TokenRefiner(d, heads=self.heads, dtype=self.dtype,
                            name="txt_in")(
             text_states.astype(self.dtype), timestep, text_mask)
-        lt = txt.shape[1]
+        return vec, vec_tr, img, txt
 
-        hd = d // self.heads
-        if self.rope_dim_list is not None:
-            dt_r, dh_r, dw_r = self.rope_dim_list
-        elif hd == 128:
-            dt_r, dh_r, dw_r = HUNYUAN_ROPE_DIMS
-        else:
-            dt_r, dh_r, dw_r = split_rope_dims(hd)
-        assert dt_r + dh_r + dw_r == hd, \
-            f"rope dims {dt_r}+{dh_r}+{dw_r} != head_dim {hd}"
-        cos, sin = rope_3d(dt_r, dh_r, dw_r, tt, hh, ww,
-                           theta=self.rope_theta,
-                           temporal_scale=temporal_rope_scale)
-        cos = cos.astype(self.dtype)
-        sin = sin.astype(self.dtype)
-        # single-stream tables: identity rows appended for text positions
-        cos_full = jnp.concatenate(
-            [cos, jnp.ones((lt, cos.shape[1]), self.dtype)], axis=0)
-        sin_full = jnp.concatenate(
-            [sin, jnp.zeros((lt, sin.shape[1]), self.dtype)], axis=0)
-
+    def _double_stack(self, img, txt, vec, vec_tr, cos, sin, hh, ww,
+                      token_replace):
+        d = self.dim
         if self.scan_blocks:
             dcell = nn.remat(MMDoubleStreamBlock, prevent_cse=False) \
                 if self.remat else MMDoubleStreamBlock
@@ -366,8 +425,11 @@ class HYVideoDiT(nn.Module):
                     d, self.heads, self.mlp_ratio, dtype=self.dtype,
                     tr_len=hh * ww if token_replace else 0,
                     name=f"double_{i}")((img, txt), vec, cos, sin, vec_tr)
+        return img, txt
 
-        xcat = jnp.concatenate([img, txt], axis=1)
+    def _single_stack(self, xcat, vec, vec_tr, cos_full, sin_full,
+                      img_len, hh, ww, token_replace):
+        d = self.dim
         if self.scan_blocks:
             scell = nn.remat(MMSingleStreamBlock, prevent_cse=False) \
                 if self.remat else MMSingleStreamBlock
@@ -380,16 +442,19 @@ class HYVideoDiT(nn.Module):
                             as_cell=True,
                             tr_len=hh * ww if token_replace else 0,
                             name="single_blocks")(
-                xcat, vec, cos_full, sin_full, img.shape[1], vec_tr)
+                xcat, vec, cos_full, sin_full, img_len, vec_tr)
         else:
             for i in range(self.single_blocks):
                 xcat = MMSingleStreamBlock(
                     d, self.heads, self.mlp_ratio, dtype=self.dtype,
                     tr_len=hh * ww if token_replace else 0,
                     name=f"single_{i}")(xcat, vec, cos_full, sin_full,
-                                        img.shape[1], vec_tr)
-        img = xcat[:, :img.shape[1]]
+                                        img_len, vec_tr)
+        return xcat
 
+    def _head(self, img, vec, tt, hh, ww):
+        d = self.dim
+        pt, ph, pw = self.patch_size
         shift, scale = _modulation(vec, 2, d, self.dtype, "final_mod")
         img = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
                            dtype=self.dtype, name="final_norm")(img)
