@@ -453,6 +453,168 @@ def _bench_hunyuan13b_full(n_steps: int = 2, frames: int = 17,
             "implied_stream_gb_s": round(implied_gbs, 2),
             "vs_baseline": round(sps / (50.0 / 1920.0), 3)}
 
+
+
+def _bench_wan14b(n_steps: int = 2, frames: int = 21, hh: int = 60,
+                  ww: int = 90, dim: int = 5120, ffn: int = 13824,
+                  layers: int = 40, heads: int = 40, chunk: int = 4):
+    """Wan2.1-14B class denoise, MEASURED via host streaming (28 GB bf16
+    params > HBM; BlockStreamer chunks of 4 layers). Geometry scaled to
+    the 480p class (latents 21×60×90 → 28.4k tokens after (1,2,2)
+    patchify; the baseline row is 81f 720p on H800-80G, README.md:172 —
+    32 min / 50 steps ⇒ 0.026 steps/s there at 75.6k tokens)."""
+    import numpy as np
+    from ml_dtypes import bfloat16 as np_bf16
+    from videotuna_tpu.models.wan.dit import WanModel
+    from videotuna_tpu.tools.offload import BlockStreamer, split_stacked
+
+    full = WanModel(dim=dim, ffn_dim=ffn, num_layers=layers, heads=heads,
+                    dtype=jnp.bfloat16, scan_blocks=True)
+    b = 1
+    x = jnp.zeros((b, frames, hh, ww, 16))
+    t = jnp.zeros((b,))
+    ctx = jnp.zeros((b, 512, 4096))
+    import functools
+    shapes = jax.eval_shape(
+        functools.partial(full.init, jax.random.key(0)), x, t, ctx
+    )["params"]
+    hz = lambda tree: jax.tree.map(
+        lambda sh: np.zeros(sh.shape, np_bf16), tree)
+    emb_keys = [k for k in shapes if k not in
+                ("blocks", "head_modulation", "head_norm", "head_out")]
+    emb_params = jax.device_put(hz({k: shapes[k] for k in emb_keys}))
+    head_params = jax.device_put(hz(
+        {k: shapes[k] for k in ("head_modulation", "head_out")
+         if k in shapes}))
+    chunks = split_stacked(hz(shapes["blocks"]), layers // chunk)
+    streamed = sum(a.nbytes for c in chunks for a in jax.tree.leaves(c))
+
+    grid = (frames, hh // 2, ww // 2)
+    sub = WanModel(dim=dim, ffn_dim=ffn, num_layers=chunk, heads=heads,
+                   dtype=jnp.bfloat16, scan_blocks=True)
+    e_fn = jax.jit(functools.partial(full.apply, stage="embed"))
+    b_fn = jax.jit(functools.partial(sub.apply, stage="blocks",
+                                     grid=grid))
+    h_fn = jax.jit(functools.partial(full.apply, stage="head", grid=grid))
+
+    def one_step(x_in):
+        tok, e, e6, c, ci = e_fn({"params": emb_params}, x_in, t, ctx)
+        streamer = BlockStreamer([{"blocks": ch} for ch in chunks])
+
+        def apply_chunk(ch, carry):
+            return b_fn({"params": ch}, tok=carry, e6=e6, ctx=c,
+                        ctx_img=ci)
+        tok = streamer.run(apply_chunk, tok)
+        out = h_fn({"params": head_params}, tok=tok, e=e)
+        return out[..., :16].astype(x_in.dtype)
+
+    sps = _chain_and_time(one_step, x, n_steps)
+    seq = frames * (hh // 2) * (ww // 2)
+    # wan blocks: qkvo (8·S·D²) + cross-attn kv/o vs text (≈4·S·D²) +
+    # ffn (2·S·D·ffn·2) + self+cross attention quadratic terms
+    per_layer = (12 * seq * dim * dim + 4 * seq * dim * ffn
+                 + 4 * seq * seq * dim)
+    mfu = b * layers * per_layer * sps / V5E_PEAK_BF16
+    return {"metric": "wan14b_class_denoise_steps_per_sec",
+            "value": round(sps, 4),
+            "unit": f"steps/s MEASURED ({layers} layers dim {dim} via "
+                    f"host streaming {streamed / 1e9:.1f} GB/step, "
+                    "21x60x90 latents, bf16)",
+            "mfu": round(mfu, 4),
+            "streamed_gb_per_step": round(streamed / 1e9, 1),
+            "vs_baseline": round(sps / (50.0 / 1920.0), 3)}
+
+
+def _bench_vc2_unet(n_steps: int = 10, frames: int = 16, hh: int = 40,
+                    ww: int = 64):
+    """VideoCrafter2 UNet3D inference step (16f 320×512 latents 40×64,
+    CFG-doubled). H800 baseline: 26 s / 50 DDIM steps ⇒ 1.92 steps/s
+    (README.md:178)."""
+    from videotuna_tpu.models.lvdm.unet3d import UNet3D
+    model = UNet3D(in_channels=4, out_channels=4, model_channels=320,
+                   num_res_blocks=2, attention_resolutions=(4, 2, 1),
+                   channel_mult=(1, 2, 4, 4), num_head_channels=64,
+                   context_dim=1024, temporal_conv=True,
+                   temporal_attention=True, temporal_length=frames,
+                   addition_attention=True, fps_cond=True,
+                   dtype=jnp.bfloat16)
+    b = 2
+    x = jnp.zeros((b, frames, hh, ww, 4))
+    t = jnp.zeros((b,), jnp.int32)
+    ctx = jnp.zeros((b, 77, 1024))
+    fps = jnp.full((b,), 24.0)
+    params = _bf16_params(model, x, t, ctx, fps=fps)
+
+    @jax.jit
+    def step_p(p, x):
+        return model.apply({"params": p}, x, t, ctx,
+                           fps=fps).astype(x.dtype)
+
+    step = lambda x: step_p(params, x)
+    sps = _chain_and_time(step, x, n_steps)
+    return {"metric": "vc2_unet_denoise_steps_per_sec_per_chip",
+            "value": round(sps, 3),
+            "unit": "steps/s (CFG-doubled, 16x40x64 latents, bf16)",
+            "vs_baseline": round(sps / (50.0 / 26.0), 3)}
+
+
+def _bench_hunyuan_lora_train(double: int = 5, single: int = 10,
+                              n_steps: int = 3, frames: int = 9,
+                              hh: int = 45, ww: int = 60,
+                              dim: int = 3072, heads: int = 24,
+                              rank: int = 32):
+    """HunyuanVideo LoRA fine-tune step (BASELINE README.md:217 names
+    this the north-star finetune): fwd+bwd+adamw on rank-32 deltas over
+    frozen bf16 base params, remat'd blocks. Depth 5dbl+10sgl (the
+    fits-on-one-chip configuration, measured — full 13B LoRA training is
+    a multi-chip fsdp workload, validated on the virtual mesh)."""
+    import optax
+    from videotuna_tpu.models.hunyuan.dit import HYVideoDiT
+    from videotuna_tpu.training.lora import (default_match, init_lora,
+                                             merge_lora)
+    model = HYVideoDiT(dim=dim, heads=heads, double_blocks=double,
+                       single_blocks=single, dtype=jnp.bfloat16,
+                       scan_blocks=True, remat=True)
+    b = 1
+    x = jnp.zeros((b, frames, hh, ww, 16))
+    t = jnp.zeros((b,))
+    y = jnp.zeros((b, 256, 4096))
+    pooled = jnp.zeros((b, 768))
+    mask = jnp.ones((b, 256), bool)
+    base = _bf16_params(model, x, t, y, pooled, mask)
+    lora = init_lora(base, rank=rank, match=default_match,
+                     dtype=jnp.bfloat16)
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(lora)
+
+    def loss_fn(lr, xx):
+        merged = merge_lora(base, lr, 1.0)
+        out = model.apply({"params": merged}, xx, t, y, pooled, mask)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    @jax.jit
+    def train_step(lr, os_, xx):
+        loss, g = jax.value_and_grad(loss_fn)(lr, xx)
+        upd, os2 = opt.update(g, os_, lr)
+        return optax.apply_updates(lr, upd), os2, loss
+
+    # chain on the lora tree; sync via the loss scalar
+    train_step_c = jax.jit(train_step)
+    lora, opt_state, loss = train_step_c(lora, opt_state, x)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        lora, opt_state, loss = train_step_c(lora, opt_state, x)
+    _ = float(loss)
+    sps = n_steps / (time.perf_counter() - t0)
+    n_lora = sum(int(a.size) for a in jax.tree.leaves(lora))
+    return {"metric": "hunyuan_lora_train_steps_per_sec",
+            "value": round(sps, 3),
+            "unit": f"train steps/s ({double}dbl+{single}sgl, rank {rank} "
+                    f"LoRA = {n_lora / 1e6:.0f}M deltas, 9x45x60 latents, "
+                    "bf16+remat)",
+            "vs_baseline": None}
+
 SUITE_BENCHES = {
     "stdit": lambda: dict(zip(("value", "unit"), _bench_partitioned())),
     "stdit_train": lambda: _bench_train_stdit(),
@@ -461,6 +623,9 @@ SUITE_BENCHES = {
     "vae_decode": lambda: _bench_vae_decode(),
     "attn_d64": lambda: _bench_attn_d64(),
     "hunyuan13b_full": lambda: _bench_hunyuan13b_full(),
+    "wan14b": lambda: _bench_wan14b(),
+    "vc2_unet": lambda: _bench_vc2_unet(),
+    "hunyuan_lora_train": lambda: _bench_hunyuan_lora_train(),
 }
 
 

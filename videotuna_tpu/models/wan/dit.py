@@ -125,13 +125,40 @@ class WanModel(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, timestep: jnp.ndarray,
-                 context: jnp.ndarray,
-                 context_img: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        b, t_in, h_in, w_in, _ = x.shape
-        pt, ph, pw = self.patch_size
-        tt, hh, ww = t_in // pt, h_in // ph, w_in // pw
+    def __call__(self, x: Optional[jnp.ndarray] = None,
+                 timestep: Optional[jnp.ndarray] = None,
+                 context: Optional[jnp.ndarray] = None,
+                 context_img: Optional[jnp.ndarray] = None,
+                 stage: str = "all",
+                 tok: Optional[jnp.ndarray] = None,
+                 e: Optional[jnp.ndarray] = None,
+                 e6: Optional[jnp.ndarray] = None,
+                 ctx: Optional[jnp.ndarray] = None,
+                 ctx_img: Optional[jnp.ndarray] = None,
+                 grid: Optional[Tuple[int, int, int]] = None) -> Any:
+        """``stage`` partitions the forward (the STDiT/HYVideoDiT
+        pattern) for host-streamed params > HBM and partitioned benches:
+        "embed" → (tok, e, e6, ctx, ctx_img); "blocks" applies this
+        instance's num_layers stack; "head" finishes. Staged ==
+        monolithic is pinned by tests/test_wan_staging.py."""
+        if stage in ("all", "embed"):
+            b, t_in, h_in, w_in, _ = x.shape
+            pt, ph, pw = self.patch_size
+            tt, hh, ww = t_in // pt, h_in // ph, w_in // pw
+        else:
+            pt, ph, pw = self.patch_size
+            tt, hh, ww = grid
         d = self.dim
+        if stage == "head":
+            return self._head(tok, e, tt, hh, ww)
+        if stage == "blocks":
+            hd = d // self.heads
+            dt_r, dh_r, dw_r = wan_rope_dims(hd)
+            cos, sin = rope_3d(dt_r, dh_r, dw_r, tt, hh, ww,
+                               theta=self.rope_theta)
+            return self._blocks(tok, e6, ctx, ctx_img,
+                                cos.astype(self.dtype),
+                                sin.astype(self.dtype))
 
         # time embedding: sinusoidal → MLP → e (B, D); e6 = proj → (B, 6, D)
         te = timestep_embedding(timestep, self.freq_dim).astype(self.dtype)
@@ -158,6 +185,8 @@ class WanModel(nn.Module):
                 context_img.astype(self.dtype))
             ci = nn.gelu(ci, approximate=True)
             ctx_img = nn.Dense(d, dtype=self.dtype, name="img_fc2")(ci)
+        if stage == "embed":
+            return tok, e, e6, ctx, ctx_img
 
         hd = d // self.heads
         dt_r, dh_r, dw_r = wan_rope_dims(hd)
@@ -166,6 +195,11 @@ class WanModel(nn.Module):
         cos = cos.astype(self.dtype)
         sin = sin.astype(self.dtype)
 
+        tok = self._blocks(tok, e6, ctx, ctx_img, cos, sin)
+        return self._head(tok, e, tt, hh, ww)
+
+    def _blocks(self, tok, e6, ctx, ctx_img, cos, sin):
+        d = self.dim
         if self.scan_blocks:
             cell = nn.remat(WanBlock, prevent_cse=False) if self.remat \
                 else WanBlock
@@ -182,10 +216,14 @@ class WanModel(nn.Module):
                 tok = WanBlock(d, self.heads, self.ffn_dim,
                                dtype=self.dtype, name=f"block_{i}")(
                     tok, e6, ctx, ctx_img, cos, sin)
+        return tok
 
+    def _head(self, tok, e, tt, hh, ww):
         # head: 2-way modulated norm + linear. As in the reference (WanModel
         # Head :320-331), the time embedding e is ADDED to both modulation
         # rows directly — no extra projection.
+        d = self.dim
+        pt, ph, pw = self.patch_size
         head_table = self.param("head_modulation",
                                 nn.initializers.normal(d ** -0.5), (2, d))
         hm = head_table[None] + e.astype(jnp.float32)[:, None]
