@@ -642,7 +642,9 @@ def _suite():
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
-                capture_output=True, timeout=3600, text=True)
+                # generous: killing a child mid-remote-compile wedges the
+                # compile service for every later program
+                capture_output=True, timeout=10800, text=True)
             line = proc.stdout.strip().splitlines()[-1] if \
                 proc.stdout.strip() else ""
             if proc.returncode == 0 and line.startswith("{"):

@@ -7,15 +7,19 @@ feature-extractor callable — by default a deterministic downsampled-pixel
 embedder so the harness runs offline; plug a real CLIP params tree for
 leaderboard-grade numbers.
 
-Implemented dimensions (names match VBench):
-- temporal_flickering      mean abs frame-to-frame difference (inverted)
-- motion_smoothness        second-order temporal difference (inverted)
-- dynamic_degree           correlation-flow magnitude (fraction of moving px)
-- subject_consistency      cosine similarity of per-frame features to first
-- background_consistency   cosine similarity of frame borders
-- imaging_quality          local-contrast / saturation proxy
-- aesthetic_quality        feature-norm proxy (hook for a real predictor)
-- overall_consistency      mean of text-free dims
+Implemented dimensions:
+- temporal_flickering        FAITHFUL: (255 − mean inter-frame MAE)/255
+- dynamic_degree             FAITHFUL: full JAX RAFT + the VBench scoring
+                             rules (needs converted raft-things weights)
+- dynamic_degree_proxy       correlation-flow stand-in (no weights)
+- motion_smoothness          FAITHFUL: AMT-S frame interpolation + the
+                             VBench residual protocol (needs converted
+                             amt-s weights)
+- motion_smoothness_proxy    2nd-order temporal difference (no weights)
+- subject_consistency        cosine similarity of per-frame features
+- background_consistency     cosine similarity of frame borders
+- imaging_quality_proxy      local-contrast / saturation heuristic
+- aesthetic_quality(_proxy)  LAION MLP over CLIP (real) / heuristic
 
 All metrics map a video (T, H, W, 3) float in [-1, 1] → scalar in [0, 1].
 """
@@ -207,11 +211,13 @@ def evaluate_video(video: np.ndarray,
                    aux: Optional[Dict] = None,
                    aesthetic_params=None,
                    raft_params=None,
+                   amt_params=None,
                    fps: Optional[float] = None) -> Dict[str, float]:
     """video: (T, H, W, 3) uint8 or float [-1, 1]. With a CLIP ``scorer``
     the semantic dimensions (+ real aesthetic_quality) are scored too;
     with converted RAFT weights the faithful ``dynamic_degree`` replaces
-    its correlation proxy."""
+    its correlation proxy, and with converted AMT-S weights the faithful
+    ``motion_smoothness`` replaces its heuristic proxy."""
     if video.dtype == np.uint8:
         video = video.astype(np.float32) / 127.5 - 1.0
     v = jnp.asarray(video)
@@ -223,6 +229,12 @@ def evaluate_video(video: np.ndarray,
         out["dynamic_degree"] = float(
             dynamic_degree(v, raft_params, fps=fps))
         out.pop("dynamic_degree_proxy", None)
+    if amt_params is not None and (dimensions is None
+                                   or "motion_smoothness" in dims):
+        from videotuna_tpu.evalkit.amt import motion_smoothness_score
+        out["motion_smoothness"] = float(
+            motion_smoothness_score(np.asarray(video), amt_params))
+        out.pop("motion_smoothness_proxy", None)
     if scorer is not None:
         from videotuna_tpu.evalkit.semantic import (SEMANTIC_DIMENSIONS,
                                                     evaluate_semantics)

