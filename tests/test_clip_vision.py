@@ -123,7 +123,10 @@ def test_evaluate_directory_all_dims(tmp_path, scorer):
 
     final = evaluate_directory(str(tmp_path), scorer=scorer)
     dims = set(final["summary"])
-    assert {"temporal_flickering", "motion_smoothness", "dynamic_degree",
+    # motion dims report as _proxy without RAFT/AMT weights (honest
+    # labels; the faithful paths are gated on --raft / --amt)
+    assert {"temporal_flickering", "motion_smoothness_proxy",
+            "dynamic_degree_proxy",
             "subject_consistency", "background_consistency",
             "imaging_quality_proxy", "aesthetic_quality_proxy",
             "aesthetic_quality", "object_class", "spatial_relationship",
