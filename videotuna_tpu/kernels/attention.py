@@ -37,6 +37,10 @@ DEFAULT_BLOCK_K = 2048
 # packed two-head d=64 kernel blocks (score block is (bq, 2·bk))
 PACKED_BLOCK_Q = 512
 PACKED_BLOCK_K = 1024
+# softmax exp dtype inside the packed kernel: at d=64 the exp over the
+# (bq, 2·bk) score block is VPU-bound work comparable to the matmuls;
+# bf16 exp is an accuracy/throughput experiment knob (default f32)
+_PACKED_EXP_DTYPE = jnp.float32
 _NEG_INF = -1e30
 
 
@@ -182,8 +186,8 @@ def _flash_kernel_packed2(q_ref, k_ref, v_ref, o_ref, acc_ref,
     m1 = m1_ref[:]
     m0n = jnp.maximum(m0, jnp.max(s0, axis=-1, keepdims=True))
     m1n = jnp.maximum(m1, jnp.max(s1, axis=-1, keepdims=True))
-    p0 = jnp.exp(s0 - m0n)
-    p1 = jnp.exp(s1 - m1n)
+    p0 = jnp.exp((s0 - m0n).astype(_PACKED_EXP_DTYPE)).astype(jnp.float32)
+    p1 = jnp.exp((s1 - m1n).astype(_PACKED_EXP_DTYPE)).astype(jnp.float32)
     a0 = jnp.exp(m0 - m0n)
     a1 = jnp.exp(m1 - m1n)
     l0_ref[:] = a0 * l0_ref[:] + jnp.sum(p0, axis=-1, keepdims=True)
