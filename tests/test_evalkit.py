@@ -110,3 +110,40 @@ class TestRunner:
         assert (tmp_path / "final_results.json").exists()
         table = tabular_score(final)
         assert "mean" in table
+
+
+class TestViCLIPWiring:
+    def test_evaluate_video_viclip_dispatch(self):
+        """A ViCLIP scorer overrides overall_consistency/temporal_style
+        with video-level scores (wiring test with a duck-typed scorer)."""
+        from videotuna_tpu.evalkit.metrics import evaluate_video
+
+        class FakeScorer:
+            calls = []
+
+            def score(self, video, text):
+                self.calls.append(text)
+                return 0.42
+
+        rng = np.random.default_rng(0)
+        video = rng.standard_normal((6, 16, 16, 3)).astype(np.float32)
+        out = evaluate_video(video, prompt="a red fox",
+                             aux={"style": "in van gogh style"},
+                             viclip_scorer=FakeScorer())
+        assert out["overall_consistency"] == 0.42
+        assert out["temporal_style"] == 0.42
+        assert FakeScorer.calls == ["a red fox", "in van gogh style"]
+
+    def test_clip_bpe_roundtrip_or_skip(self):
+        from videotuna_tpu.evalkit.clip_bpe import default_tokenizer
+        tok = default_tokenizer()
+        if tok is None:
+            import pytest
+            pytest.skip("no bpe vocab asset on disk")
+        ids = tok(["a photo of a cat"], context=32)
+        assert ids.shape == (1, 32)
+        assert ids[0, 0] == tok.sot_id
+        assert tok.eot_id in ids[0]
+        assert tok.decode([i for i in ids[0]
+                           if i not in (tok.sot_id, tok.eot_id, 0)]) == \
+            "a photo of a cat"

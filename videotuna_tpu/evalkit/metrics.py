@@ -212,12 +212,16 @@ def evaluate_video(video: np.ndarray,
                    aesthetic_params=None,
                    raft_params=None,
                    amt_params=None,
+                   viclip_scorer=None,
                    fps: Optional[float] = None) -> Dict[str, float]:
     """video: (T, H, W, 3) uint8 or float [-1, 1]. With a CLIP ``scorer``
     the semantic dimensions (+ real aesthetic_quality) are scored too;
     with converted RAFT weights the faithful ``dynamic_degree`` replaces
-    its correlation proxy, and with converted AMT-S weights the faithful
-    ``motion_smoothness`` replaces its heuristic proxy."""
+    its correlation proxy, with converted AMT-S weights the faithful
+    ``motion_smoothness`` replaces its heuristic proxy, and with a
+    ``ViCLIPScorer`` the faithful ``overall_consistency`` /
+    ``temporal_style`` (video↔text, the VBench backbone protocol)
+    replace the frame-CLIP approximations."""
     if video.dtype == np.uint8:
         video = video.astype(np.float32) / 127.5 - 1.0
     v = jnp.asarray(video)
@@ -246,4 +250,12 @@ def evaluate_video(video: np.ndarray,
         if dimensions is None or "aesthetic_quality" in dims:
             out["aesthetic_quality"] = float(
                 aesthetic_quality(v, scorer, aesthetic_params))
+    if viclip_scorer is not None:
+        vid = np.asarray(video)
+        if prompt is not None and (dimensions is None
+                                   or "overall_consistency" in dims):
+            out["overall_consistency"] = viclip_scorer.score(vid, prompt)
+        style = (aux or {}).get("style") if isinstance(aux, dict) else None
+        if style and (dimensions is None or "temporal_style" in dims):
+            out["temporal_style"] = viclip_scorer.score(vid, style)
     return out

@@ -67,7 +67,8 @@ def evaluate_directory(videos_dir: str,
                        scorer=None,
                        aesthetic_params=None,
                        raft_params=None,
-                       amt_params=None) -> Dict:
+                       amt_params=None,
+                       viclip_scorer=None) -> Dict:
     """Score every video in a directory; write final_results.json.
 
     With ``scorer`` (a ``CLIPScorer``) and an ``info.json`` prompt map in
@@ -90,7 +91,8 @@ def evaluate_directory(videos_dir: str,
         results[p.name] = evaluate_video(
             video, dims, scorer=scorer, prompt=meta.get("prompt"),
             aux=meta.get("aux"), aesthetic_params=aesthetic_params,
-            raft_params=raft_params, amt_params=amt_params)
+            raft_params=raft_params, amt_params=amt_params,
+            viclip_scorer=viclip_scorer)
 
     all_dims = sorted({d for r in results.values() for d in r
                        if d != "error"})
@@ -143,11 +145,23 @@ def main(argv=None):
     ap.add_argument("--amt", default=None,
                     help="AMT-S checkpoint (amt-s.pth); enables the "
                          "faithful motion_smoothness instead of its proxy")
+    ap.add_argument("--viclip", default=None,
+                    help="ViCLIP checkpoint (ViClip-InternVid-10M-FLT"
+                         ".pth); enables the faithful "
+                         "overall_consistency / temporal_style")
     args = ap.parse_args(argv)
     scorer = None
     aes = None
     raft = None
     amt = None
+    viclip = None
+    if args.viclip:
+        from videotuna_tpu.evalkit.viclip import (ViCLIPScorer,
+                                                  convert_viclip_state_dict)
+        from videotuna_tpu.tools.convert_weights import \
+            load_torch_state_dict
+        sd = load_torch_state_dict(args.viclip)
+        viclip = ViCLIPScorer(*convert_viclip_state_dict(sd))
     if args.raft:
         from videotuna_tpu.evalkit.raft import convert_raft_state_dict
         from videotuna_tpu.tools.convert_weights import \
@@ -170,7 +184,8 @@ def main(argv=None):
                 load_torch_state_dict(args.aesthetic))
     final = evaluate_directory(args.videos, args.dimensions, args.output,
                                scorer=scorer, aesthetic_params=aes,
-                               raft_params=raft, amt_params=amt)
+                               raft_params=raft, amt_params=amt,
+                               viclip_scorer=viclip)
     print(tabular_score(final))
     return final
 
