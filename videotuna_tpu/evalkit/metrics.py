@@ -213,6 +213,8 @@ def evaluate_video(video: np.ndarray,
                    raft_params=None,
                    amt_params=None,
                    viclip_scorer=None,
+                   umt_scorer=None,
+                   video_name: Optional[str] = None,
                    fps: Optional[float] = None) -> Dict[str, float]:
     """video: (T, H, W, 3) uint8 or float [-1, 1]. With a CLIP ``scorer``
     the semantic dimensions (+ real aesthetic_quality) are scored too;
@@ -258,4 +260,8 @@ def evaluate_video(video: np.ndarray,
         style = (aux or {}).get("style") if isinstance(aux, dict) else None
         if style and (dimensions is None or "temporal_style" in dims):
             out["temporal_style"] = viclip_scorer.score(vid, style)
+    if umt_scorer is not None and video_name and \
+            (dimensions is None or "human_action" in dims):
+        out["human_action"] = float(
+            umt_scorer.score(np.asarray(video), video_name))
     return out

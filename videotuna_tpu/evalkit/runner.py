@@ -68,7 +68,8 @@ def evaluate_directory(videos_dir: str,
                        aesthetic_params=None,
                        raft_params=None,
                        amt_params=None,
-                       viclip_scorer=None) -> Dict:
+                       viclip_scorer=None,
+                       umt_scorer=None) -> Dict:
     """Score every video in a directory; write final_results.json.
 
     With ``scorer`` (a ``CLIPScorer``) and an ``info.json`` prompt map in
@@ -92,7 +93,8 @@ def evaluate_directory(videos_dir: str,
             video, dims, scorer=scorer, prompt=meta.get("prompt"),
             aux=meta.get("aux"), aesthetic_params=aesthetic_params,
             raft_params=raft_params, amt_params=amt_params,
-            viclip_scorer=viclip_scorer)
+            viclip_scorer=viclip_scorer, umt_scorer=umt_scorer,
+            video_name=p.name)
 
     all_dims = sorted({d for r in results.values() for d in r
                        if d != "error"})
@@ -149,12 +151,24 @@ def main(argv=None):
                     help="ViCLIP checkpoint (ViClip-InternVid-10M-FLT"
                          ".pth); enables the faithful "
                          "overall_consistency / temporal_style")
+    ap.add_argument("--umt", default=None,
+                    help="UMT K400 checkpoint (l16_ptk710_ftk710_ftk400"
+                         "_f16_res224.pth); enables the faithful "
+                         "human_action")
     args = ap.parse_args(argv)
     scorer = None
     aes = None
     raft = None
     amt = None
     viclip = None
+    umt = None
+    if args.umt:
+        from videotuna_tpu.evalkit.umt import (UMTActionScorer,
+                                               convert_umt_state_dict)
+        from videotuna_tpu.tools.convert_weights import \
+            load_torch_state_dict
+        umt = UMTActionScorer(
+            convert_umt_state_dict(load_torch_state_dict(args.umt)))
     if args.viclip:
         from videotuna_tpu.evalkit.viclip import (ViCLIPScorer,
                                                   convert_viclip_state_dict)
@@ -185,7 +199,7 @@ def main(argv=None):
     final = evaluate_directory(args.videos, args.dimensions, args.output,
                                scorer=scorer, aesthetic_params=aes,
                                raft_params=raft, amt_params=amt,
-                               viclip_scorer=viclip)
+                               viclip_scorer=viclip, umt_scorer=umt)
     print(tabular_score(final))
     return final
 
