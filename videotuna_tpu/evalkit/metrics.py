@@ -214,6 +214,7 @@ def evaluate_video(video: np.ndarray,
                    amt_params=None,
                    viclip_scorer=None,
                    umt_scorer=None,
+                   tag2text_captioner=None,
                    video_name: Optional[str] = None,
                    fps: Optional[float] = None) -> Dict[str, float]:
     """video: (T, H, W, 3) uint8 or float [-1, 1]. With a CLIP ``scorer``
@@ -264,4 +265,13 @@ def evaluate_video(video: np.ndarray,
             (dimensions is None or "human_action" in dims):
         out["human_action"] = float(
             umt_scorer.score(np.asarray(video), video_name))
+    scene_phrase = (aux or {}).get("scene") if isinstance(aux, dict) \
+        else None
+    if isinstance(scene_phrase, dict):       # VBench aux: {"scene": str}
+        scene_phrase = scene_phrase.get("scene")
+    if tag2text_captioner is not None and scene_phrase and \
+            (dimensions is None or "scene" in dims):
+        from videotuna_tpu.evalkit.tag2text import scene_score
+        out["scene"] = float(scene_score(
+            tag2text_captioner, np.asarray(video), scene_phrase))
     return out

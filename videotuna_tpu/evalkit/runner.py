@@ -69,7 +69,8 @@ def evaluate_directory(videos_dir: str,
                        raft_params=None,
                        amt_params=None,
                        viclip_scorer=None,
-                       umt_scorer=None) -> Dict:
+                       umt_scorer=None,
+                       tag2text_captioner=None) -> Dict:
     """Score every video in a directory; write final_results.json.
 
     With ``scorer`` (a ``CLIPScorer``) and an ``info.json`` prompt map in
@@ -94,7 +95,7 @@ def evaluate_directory(videos_dir: str,
             aux=meta.get("aux"), aesthetic_params=aesthetic_params,
             raft_params=raft_params, amt_params=amt_params,
             viclip_scorer=viclip_scorer, umt_scorer=umt_scorer,
-            video_name=p.name)
+            tag2text_captioner=tag2text_captioner, video_name=p.name)
 
     all_dims = sorted({d for r in results.values() for d in r
                        if d != "error"})
@@ -155,6 +156,12 @@ def main(argv=None):
                     help="UMT K400 checkpoint (l16_ptk710_ftk710_ftk400"
                          "_f16_res224.pth); enables the faithful "
                          "human_action")
+    ap.add_argument("--tag2text", default=None,
+                    help="Tag2Text checkpoint (tag2text_swin_14m.pth); "
+                         "enables the faithful scene dimension")
+    ap.add_argument("--bert_vocab", default=None,
+                    help="bert-base-uncased vocab.txt (required with "
+                         "--tag2text)")
     args = ap.parse_args(argv)
     scorer = None
     aes = None
@@ -162,6 +169,19 @@ def main(argv=None):
     amt = None
     viclip = None
     umt = None
+    tag2text = None
+    if args.tag2text:
+        if not args.bert_vocab:
+            raise SystemExit("--tag2text requires --bert_vocab")
+        from videotuna_tpu.evalkit.tag2text import (
+            Tag2TextCaptioner, convert_tag2text_state_dict)
+        from videotuna_tpu.evalkit.wordpiece import WordPieceTokenizer
+        from videotuna_tpu.tools.convert_weights import \
+            load_torch_state_dict
+        tag2text = Tag2TextCaptioner(
+            convert_tag2text_state_dict(
+                load_torch_state_dict(args.tag2text)),
+            WordPieceTokenizer(args.bert_vocab))
     if args.umt:
         from videotuna_tpu.evalkit.umt import (UMTActionScorer,
                                                convert_umt_state_dict)
@@ -199,7 +219,8 @@ def main(argv=None):
     final = evaluate_directory(args.videos, args.dimensions, args.output,
                                scorer=scorer, aesthetic_params=aes,
                                raft_params=raft, amt_params=amt,
-                               viclip_scorer=viclip, umt_scorer=umt)
+                               viclip_scorer=viclip, umt_scorer=umt,
+                               tag2text_captioner=tag2text)
     print(tabular_score(final))
     return final
 
