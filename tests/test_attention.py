@@ -115,6 +115,36 @@ def test_fused_pallas_backward_matches_reference(causal, sq, sk):
                                    atol=2e-3, rtol=2e-3)
 
 
+def test_fused_backward_fwd_bwd_block_pad_mismatch():
+    """Regression: fwd pads lse to a multiple of DEFAULT_BLOCK_Q (1024)
+    while bwd re-pads to a multiple of DEFAULT_BWD_BLOCK_Q (512). At
+    sq=1152 the fwd pad (2048) exceeds the bwd pad (1536), which used to
+    make flash_attention_bwd call jnp.pad with a negative width (the
+    hunyuan_lora_train bench failure). lse rows >= sq are masked by
+    q_len, so the bwd slices them off."""
+    import videotuna_tpu.kernels.attention as A
+    sq = 1152
+    q, k, v = _rand_qkv(jax.random.key(13), 1, sq, 1, 8)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    old = A._FA_INTERPRET
+    A._FA_INTERPRET = True
+    try:
+        def loss_flash(q, k, v):
+            return jnp.sum(A.flash_attention_diff(q, k, v) ** 2)
+
+        g_fused = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        A._FA_INTERPRET = old
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
+
+
 def test_entrypoint_bias_and_shapes():
     q, k, v = _rand_qkv(jax.random.key(5), 2, 16, 4, 8)
     mask_bias = jnp.where(

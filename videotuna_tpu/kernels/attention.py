@@ -598,7 +598,11 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
     if sk_pad != sk:
         zk = ((0, 0), (0, sk_pad - sk), (0, 0))
         kt, vt = jnp.pad(kt, zk), jnp.pad(vt, zk)
-    if lse.shape[1] != sq_pad:
+    if lse.shape[1] > sq_pad:
+        # fwd padded to a larger block_q multiple than bwd uses; rows
+        # >= sq are masked by q_len in the kernels, so slicing is exact
+        lse = lse[:, :sq_pad]
+    elif lse.shape[1] < sq_pad:
         lse = jnp.pad(lse, ((0, 0), (0, sq_pad - lse.shape[1])))
 
     # delta_i = Σ_d dO·O per q row — O(S·d), computed by XLA
