@@ -455,6 +455,121 @@ def _bench_hunyuan13b_full(n_steps: int = 2, frames: int = 17,
 
 
 
+def _bench_hunyuan13b_fp8(n_steps: int = 3, frames: int = 17,
+                          hh: int = 60, ww: int = 80, dim: int = 3072,
+                          heads: int = 24, double: int = 20,
+                          single: int = 40, d_chunk: int = 2,
+                          s_chunk: int = 4):
+    """Hunyuan-13B FULL depth, fp8-RESIDENT — the reference's deployment
+    mode for this model (fp8 weights with per-tensor dequant scales,
+    /root/reference/videotuna/models/hunyuan/hyvideo_i2v/modules/
+    fp8_optimization.py, enabled at flow/hunyuanvideo.py:336-337).
+    ~11.5 GB of fp8 block params stay in HBM; each chunk is dequantized
+    to bf16 inside its jitted stage (XLA fuses scale*convert into the
+    consuming matmuls where it can, and the per-chunk bf16 temp is
+    transient). Unlike the host-streaming bench this measures pure
+    compute — no PCIe/tunnel bandwidth in the loop."""
+    import numpy as np
+    from ml_dtypes import float8_e4m3fn as np_fp8
+    from videotuna_tpu.models.hunyuan.dit import HYVideoDiT
+    from videotuna_tpu.tools.fp8 import dequantize_tree
+    from videotuna_tpu.tools.offload import split_stacked
+
+    full = HYVideoDiT(dim=dim, heads=heads, double_blocks=double,
+                      single_blocks=single, dtype=jnp.bfloat16,
+                      scan_blocks=True)
+    b = 1
+    x = jnp.zeros((b, frames, hh, ww, 16))
+    t = jnp.zeros((b,))
+    y = jnp.zeros((b, 256, 4096))
+    pooled = jnp.zeros((b, 768))
+    mask = jnp.ones((b, 256), bool)
+
+    import functools
+    shapes = jax.eval_shape(
+        functools.partial(full.init, jax.random.key(0)),
+        x, t, y, pooled, mask)["params"]
+
+    def host_zeros_bf16(tree):
+        from ml_dtypes import bfloat16 as np_bf16
+        return jax.tree.map(lambda s: np.zeros(s.shape, np_bf16), tree)
+
+    def host_zeros_fp8(tree):
+        """fp8 values + unit scales (zeros quantize to zeros; unit scale
+        keeps the dequant multiply in the program, which is what costs)."""
+        vals = jax.tree.map(lambda s: np.zeros(s.shape, np_fp8), tree)
+        scales = jax.tree.map(lambda s: np.float32(1.0), tree)
+        return vals, scales
+
+    emb_keys = [k for k in shapes
+                if k not in ("double_blocks", "single_blocks",
+                             "final_mod", "final_norm", "final_proj")]
+    emb_params = jax.device_put(host_zeros_bf16(
+        {k: shapes[k] for k in emb_keys}))
+    head_params = jax.device_put(host_zeros_bf16(
+        {k: shapes[k] for k in ("final_mod", "final_proj")
+         if k in shapes}))
+    dv, dsc = host_zeros_fp8(shapes["double_blocks"])
+    sv, ssc = host_zeros_fp8(shapes["single_blocks"])
+    d_chunks = [jax.device_put(c)
+                for c in split_stacked(dv, double // d_chunk)]
+    s_chunks = [jax.device_put(c)
+                for c in split_stacked(sv, single // s_chunk)]
+    resident = sum(a.nbytes for c in d_chunks + s_chunks
+                   for a in jax.tree.leaves(c))
+
+    grid = (frames, hh // 2, ww // 2)
+    sub_d = HYVideoDiT(dim=dim, heads=heads, double_blocks=d_chunk,
+                       single_blocks=single, dtype=jnp.bfloat16,
+                       scan_blocks=True)
+    sub_s = HYVideoDiT(dim=dim, heads=heads, double_blocks=double,
+                       single_blocks=s_chunk, dtype=jnp.bfloat16,
+                       scan_blocks=True)
+
+    e_fn = jax.jit(functools.partial(full.apply, stage="embed"))
+    h_fn = jax.jit(functools.partial(full.apply, stage="head", grid=grid))
+
+    @jax.jit
+    def d_fn(chunk, img, txt, vec, vec_tr):
+        deq = dequantize_tree(chunk, dsc, jnp.bfloat16)
+        return sub_d.apply({"params": {"double_blocks": deq}}, img=img,
+                           txt=txt, vec=vec, vec_tr=vec_tr, stage="double",
+                           grid=grid)
+
+    @jax.jit
+    def s_fn(chunk, xcat, vec, vec_tr):
+        deq = dequantize_tree(chunk, ssc, jnp.bfloat16)
+        return sub_s.apply({"params": {"single_blocks": deq}}, xcat=xcat,
+                           vec=vec, vec_tr=vec_tr, stage="single",
+                           grid=grid)
+
+    def one_step(x_in):
+        img, txt, vec, vec_tr = e_fn({"params": emb_params}, x_in, t, y,
+                                     pooled, mask)
+        for c in d_chunks:
+            img, txt = d_fn(c, img, txt, vec, vec_tr)
+        xcat = jnp.concatenate([img, txt], axis=1)
+        for c in s_chunks:
+            xcat = s_fn(c, xcat, vec, vec_tr)
+        img_len = grid[0] * grid[1] * grid[2]
+        out = h_fn({"params": head_params}, img=xcat[:, :img_len],
+                   vec=vec)
+        return out[..., :16].astype(x_in.dtype)
+
+    sps = _chain_and_time(one_step, x, n_steps)
+    seq = frames * (hh // 2) * (ww // 2) + 256
+    eq_depth = double + single // 2
+    mfu = _dit_flops(seq, dim, eq_depth, b) * sps / V5E_PEAK_BF16
+    return {"metric": "hunyuan13b_FULL_depth_fp8_denoise_steps_per_sec",
+            "value": round(sps, 4),
+            "unit": f"steps/s MEASURED ({double}dbl+{single}sgl fp8-"
+                    f"resident {resident / 1e9:.1f} GB, per-chunk bf16 "
+                    "dequant in-jit, 17x60x80 latents)",
+            "mfu": round(mfu, 4),
+            "fp8_resident_gb": round(resident / 1e9, 1),
+            "vs_baseline": round(sps / (50.0 / 1920.0), 3)}
+
+
 def _bench_wan14b(n_steps: int = 2, frames: int = 21, hh: int = 60,
                   ww: int = 90, dim: int = 5120, ffn: int = 13824,
                   layers: int = 40, heads: int = 40, chunk: int = 4):
@@ -587,24 +702,25 @@ def _bench_hunyuan_lora_train(double: int = 5, single: int = 10,
     opt = optax.adamw(1e-4)
     opt_state = opt.init(lora)
 
-    def loss_fn(lr, xx):
-        merged = merge_lora(base, lr, 1.0)
+    def loss_fn(lr, bp, xx):
+        merged = merge_lora(bp, lr, 1.0)
         out = model.apply({"params": merged}, xx, t, y, pooled, mask)
         return jnp.mean(out.astype(jnp.float32) ** 2)
 
+    # base params MUST be jit arguments: closed-over they become HLO
+    # constants (6.9 GB embedded in the program — host round-trip + copy)
     @jax.jit
-    def train_step(lr, os_, xx):
-        loss, g = jax.value_and_grad(loss_fn)(lr, xx)
+    def train_step(lr, bp, os_, xx):
+        loss, g = jax.value_and_grad(loss_fn)(lr, bp, xx)
         upd, os2 = opt.update(g, os_, lr)
         return optax.apply_updates(lr, upd), os2, loss
 
     # chain on the lora tree; sync via the loss scalar
-    train_step_c = jax.jit(train_step)
-    lora, opt_state, loss = train_step_c(lora, opt_state, x)
+    lora, opt_state, loss = train_step(lora, base, opt_state, x)
     _ = float(loss)
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        lora, opt_state, loss = train_step_c(lora, opt_state, x)
+        lora, opt_state, loss = train_step(lora, base, opt_state, x)
     _ = float(loss)
     sps = n_steps / (time.perf_counter() - t0)
     n_lora = sum(int(a.size) for a in jax.tree.leaves(lora))
@@ -623,6 +739,7 @@ SUITE_BENCHES = {
     "vae_decode": lambda: _bench_vae_decode(),
     "attn_d64": lambda: _bench_attn_d64(),
     "hunyuan13b_full": lambda: _bench_hunyuan13b_full(),
+    "hunyuan13b_full_fp8": lambda: _bench_hunyuan13b_fp8(),
     "wan14b": lambda: _bench_wan14b(),
     "vc2_unet": lambda: _bench_vc2_unet(),
     "hunyuan_lora_train": lambda: _bench_hunyuan_lora_train(),

@@ -21,3 +21,14 @@ def test_bench_suite_tiny_dims():
 
     # flops formula sanity: quadratic attention term dominates at long seq
     assert _dit_flops(10_000, 64, 1, 1) > _dit_flops(1_000, 64, 1, 1) * 10
+
+
+def test_bench_hunyuan_fp8_resident_tiny_dims():
+    """The fp8-resident full-depth harness (chunked stages + in-jit
+    dequant) must run end-to-end at tiny dims on CPU."""
+    sys.path.insert(0, ".")
+    from bench import _bench_hunyuan13b_fp8
+    r = _bench_hunyuan13b_fp8(n_steps=1, frames=2, hh=4, ww=4, dim=32,
+                              heads=4, double=4, single=8, d_chunk=2,
+                              s_chunk=4)
+    assert r["value"] > 0 and r["fp8_resident_gb"] >= 0
