@@ -215,6 +215,7 @@ def evaluate_video(video: np.ndarray,
                    viclip_scorer=None,
                    umt_scorer=None,
                    tag2text_captioner=None,
+                   grit_detector=None,
                    video_name: Optional[str] = None,
                    fps: Optional[float] = None) -> Dict[str, float]:
     """video: (T, H, W, 3) uint8 or float [-1, 1]. With a CLIP ``scorer``
@@ -274,4 +275,30 @@ def evaluate_video(video: np.ndarray,
         from videotuna_tpu.evalkit.tag2text import scene_score
         out["scene"] = float(scene_score(
             tag2text_captioner, np.asarray(video), scene_phrase))
+    if grit_detector is not None and isinstance(aux, dict):
+        from videotuna_tpu.evalkit import grit as G
+        vid = np.asarray(video)
+        if aux.get("object") and (dimensions is None
+                                  or "object_class" in dims):
+            out["object_class"] = G.grit_object_class(
+                grit_detector, vid, aux["object"])
+        multi = aux.get("objects") or (
+            aux.get("object") if " and " in str(aux.get("object", ""))
+            else None)
+        if multi and (dimensions is None or "multiple_objects" in dims):
+            out["multiple_objects"] = G.grit_multiple_objects(
+                grit_detector, vid, multi)
+        if aux.get("spatial_relationship") and \
+                (dimensions is None or "spatial_relationship" in dims):
+            out["spatial_relationship"] = G.grit_spatial_relationship(
+                grit_detector, vid, aux["spatial_relationship"])
+        if aux.get("color") and prompt and \
+                (dimensions is None or "color" in dims):
+            # color.py:74-79 derives the object by stripping articles
+            # and the color word from the prompt
+            obj = prompt.replace("a ", "").replace("an ", "") \
+                .replace(aux["color"], "").strip()
+            c = G.grit_color(grit_detector, vid, aux["color"], obj)
+            if c is not None:
+                out["color"] = c
     return out

@@ -70,7 +70,8 @@ def evaluate_directory(videos_dir: str,
                        amt_params=None,
                        viclip_scorer=None,
                        umt_scorer=None,
-                       tag2text_captioner=None) -> Dict:
+                       tag2text_captioner=None,
+                       grit_detector=None) -> Dict:
     """Score every video in a directory; write final_results.json.
 
     With ``scorer`` (a ``CLIPScorer``) and an ``info.json`` prompt map in
@@ -95,7 +96,8 @@ def evaluate_directory(videos_dir: str,
             aux=meta.get("aux"), aesthetic_params=aesthetic_params,
             raft_params=raft_params, amt_params=amt_params,
             viclip_scorer=viclip_scorer, umt_scorer=umt_scorer,
-            tag2text_captioner=tag2text_captioner, video_name=p.name)
+            tag2text_captioner=tag2text_captioner,
+            grit_detector=grit_detector, video_name=p.name)
 
     all_dims = sorted({d for r in results.values() for d in r
                        if d != "error"})
@@ -161,7 +163,12 @@ def main(argv=None):
                          "enables the faithful scene dimension")
     ap.add_argument("--bert_vocab", default=None,
                     help="bert-base-uncased vocab.txt (required with "
-                         "--tag2text)")
+                         "--tag2text or --grit)")
+    ap.add_argument("--grit", default=None,
+                    help="GRiT checkpoint (grit_b_densecap_objectdet"
+                         ".pth); enables the faithful object_class / "
+                         "multiple_objects / spatial_relationship / "
+                         "color dimensions")
     args = ap.parse_args(argv)
     scorer = None
     aes = None
@@ -170,6 +177,19 @@ def main(argv=None):
     viclip = None
     umt = None
     tag2text = None
+    grit = None
+    if args.grit:
+        if not args.bert_vocab:
+            raise SystemExit("--grit requires --bert_vocab")
+        from videotuna_tpu.evalkit.grit import (GRiTDetector,
+                                                convert_grit_state_dict)
+        from videotuna_tpu.tools.convert_weights import \
+            load_torch_state_dict
+        with open(args.bert_vocab) as f:
+            vocab = [line.rstrip("\n") for line in f]
+        grit = GRiTDetector(
+            convert_grit_state_dict(load_torch_state_dict(args.grit)),
+            vocab)
     if args.tag2text:
         if not args.bert_vocab:
             raise SystemExit("--tag2text requires --bert_vocab")
@@ -220,7 +240,8 @@ def main(argv=None):
                                scorer=scorer, aesthetic_params=aes,
                                raft_params=raft, amt_params=amt,
                                viclip_scorer=viclip, umt_scorer=umt,
-                               tag2text_captioner=tag2text)
+                               tag2text_captioner=tag2text,
+                               grit_detector=grit)
     print(tabular_score(final))
     return final
 
