@@ -127,7 +127,7 @@ def test_evaluate_directory_all_dims(tmp_path, scorer):
     # labels; the faithful paths are gated on --raft / --amt)
     assert {"temporal_flickering", "motion_smoothness_proxy",
             "dynamic_degree_proxy",
-            "subject_consistency", "background_consistency",
+            "subject_consistency_proxy", "background_consistency",
             "imaging_quality_proxy", "aesthetic_quality_proxy",
             "aesthetic_quality", "object_class", "spatial_relationship",
             "overall_consistency"} <= dims

@@ -13,7 +13,7 @@ from videotuna_tpu.evalkit.correlation import (correlation_volume,
 from videotuna_tpu.evalkit.metrics import (dynamic_degree_proxy,
                                            evaluate_video,
                                            motion_smoothness_proxy,
-                                           subject_consistency,
+                                           subject_consistency_proxy,
                                            temporal_flickering)
 from videotuna_tpu.evalkit.runner import (evaluate_directory,
                                           save_videos_vbench, tabular_score)
@@ -83,8 +83,8 @@ class TestMetrics:
         stable = jnp.zeros((6, 32, 32, 3)) + 0.5
         noisy = jax.random.uniform(jax.random.key(1), (6, 32, 32, 3),
                                    minval=-1, maxval=1)
-        assert float(subject_consistency(stable)) > \
-            float(subject_consistency(noisy))
+        assert float(subject_consistency_proxy(stable)) > \
+            float(subject_consistency_proxy(noisy))
 
     def test_evaluate_video_all_dims(self):
         v = np.zeros((4, 32, 32, 3), np.uint8)

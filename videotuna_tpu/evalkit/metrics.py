@@ -16,8 +16,14 @@ Implemented dimensions:
                              VBench residual protocol (needs converted
                              amt-s weights)
 - motion_smoothness_proxy    2nd-order temporal difference (no weights)
-- subject_consistency        cosine similarity of per-frame features
-- background_consistency     cosine similarity of frame borders
+- subject_consistency        FAITHFUL: DINO ViT-B/16 CLS features + the
+                             VBench (prev+first)/2 clamped-cosine formula
+                             (needs converted dino_vitb16 weights)
+- subject_consistency_proxy  pooled-pixel feature cosine (no weights)
+- background_consistency     FAITHFUL: CLIP frame features + the same
+                             formula (eval/vbench/background_consistency
+                             .py:15-57; needs a converted CLIPScorer)
+- background_consistency_proxy  frame-border cosine (no weights)
 - imaging_quality_proxy      local-contrast / saturation heuristic
 - aesthetic_quality(_proxy)  LAION MLP over CLIP (real) / heuristic
 
@@ -137,17 +143,25 @@ def dynamic_degree(video: jnp.ndarray, raft_params,
     return 0.0
 
 
-def subject_consistency(video: jnp.ndarray,
-                        features: FeatureFn = default_features
-                        ) -> jnp.ndarray:
+def subject_consistency_proxy(video: jnp.ndarray,
+                              features: FeatureFn = default_features
+                              ) -> jnp.ndarray:
+    """Pooled-pixel feature cosine. NOT VBench's subject_consistency
+    (which uses DINO ViT-B/16 CLS features,
+    eval/vbench/subject_consistency.py:27-80) — use
+    ``subject_consistency`` with converted dino_vitb16 weights
+    (evalkit/dino.py) for the faithful protocol."""
     f = features(video)
     sims = _cos(f[1:], jnp.broadcast_to(f[:1], f[1:].shape))
     adj = _cos(f[1:], f[:-1])
     return jnp.clip((jnp.mean(sims) + jnp.mean(adj)) / 2.0, 0.0, 1.0)
 
 
-def background_consistency(video: jnp.ndarray,
-                           border: int = 8) -> jnp.ndarray:
+def background_consistency_proxy(video: jnp.ndarray,
+                                 border: int = 8) -> jnp.ndarray:
+    """Frame-border cosine heuristic. NOT VBench's background_consistency
+    (CLIP frame features) — use ``background_consistency`` with a
+    converted CLIPScorer for the faithful protocol."""
     edges = jnp.concatenate([
         video[:, :border].reshape(video.shape[0], -1),
         video[:, -border:].reshape(video.shape[0], -1),
@@ -156,6 +170,27 @@ def background_consistency(video: jnp.ndarray,
     ], axis=-1)
     sims = _cos(edges[1:], jnp.broadcast_to(edges[:1], edges[1:].shape))
     return jnp.clip(jnp.mean(sims), 0.0, 1.0)
+
+
+def _vbench_consistency_formula(f: np.ndarray) -> float:
+    """The shared VBench consistency score over L2-normalized per-frame
+    features: mean over i>=1 of
+    (max(0, cos(f_{i-1}, f_i)) + max(0, cos(f_0, f_i))) / 2
+    (background_consistency.py:36-51, subject_consistency.py:48-73)."""
+    if f.shape[0] < 2:
+        return 1.0
+    sim_pre = np.maximum((f[:-1] * f[1:]).sum(-1), 0.0)
+    sim_fir = np.maximum((f[:1] * f[1:]).sum(-1), 0.0)
+    return float(np.mean((sim_pre + sim_fir) / 2.0))
+
+
+def background_consistency(video: jnp.ndarray, scorer) -> float:
+    """FAITHFUL VBench background_consistency
+    (eval/vbench/background_consistency.py:15-57): CLIP frame features
+    (the 224px clip_transform lives in the scorer's preprocess), scored
+    with the clamped (prev+first)/2 cosine formula."""
+    f = np.asarray(scorer.embed_frames(video))
+    return _vbench_consistency_formula(f)
 
 
 def imaging_quality_proxy(video: jnp.ndarray) -> jnp.ndarray:
@@ -198,8 +233,8 @@ STANDARD_DIMENSIONS: Dict[str, Callable] = {
     "temporal_flickering": temporal_flickering,        # faithful protocol
     "motion_smoothness_proxy": motion_smoothness_proxy,
     "dynamic_degree_proxy": dynamic_degree_proxy,
-    "subject_consistency": subject_consistency,
-    "background_consistency": background_consistency,
+    "subject_consistency_proxy": subject_consistency_proxy,
+    "background_consistency_proxy": background_consistency_proxy,
     "imaging_quality_proxy": imaging_quality_proxy,
     "aesthetic_quality_proxy": aesthetic_quality_proxy,
 }
@@ -212,6 +247,7 @@ def evaluate_video(video: np.ndarray,
                    aesthetic_params=None,
                    raft_params=None,
                    amt_params=None,
+                   dino_params=None,
                    viclip_scorer=None,
                    umt_scorer=None,
                    tag2text_captioner=None,
@@ -243,7 +279,17 @@ def evaluate_video(video: np.ndarray,
         out["motion_smoothness"] = float(
             motion_smoothness_score(np.asarray(video), amt_params))
         out.pop("motion_smoothness_proxy", None)
+    if dino_params is not None and (dimensions is None
+                                    or "subject_consistency" in dims):
+        from videotuna_tpu.evalkit.dino import subject_consistency_score
+        out["subject_consistency"] = subject_consistency_score(
+            np.asarray(video), dino_params)
+        out.pop("subject_consistency_proxy", None)
     if scorer is not None:
+        if dimensions is None or "background_consistency" in dims:
+            out["background_consistency"] = background_consistency(
+                v, scorer)
+            out.pop("background_consistency_proxy", None)
         from videotuna_tpu.evalkit.semantic import (SEMANTIC_DIMENSIONS,
                                                     evaluate_semantics)
         sem = [d for d in dims if d in SEMANTIC_DIMENSIONS] \

@@ -68,6 +68,7 @@ def evaluate_directory(videos_dir: str,
                        aesthetic_params=None,
                        raft_params=None,
                        amt_params=None,
+                       dino_params=None,
                        viclip_scorer=None,
                        umt_scorer=None,
                        tag2text_captioner=None,
@@ -95,6 +96,7 @@ def evaluate_directory(videos_dir: str,
             video, dims, scorer=scorer, prompt=meta.get("prompt"),
             aux=meta.get("aux"), aesthetic_params=aesthetic_params,
             raft_params=raft_params, amt_params=amt_params,
+            dino_params=dino_params,
             viclip_scorer=viclip_scorer, umt_scorer=umt_scorer,
             tag2text_captioner=tag2text_captioner,
             grit_detector=grit_detector, video_name=p.name)
@@ -150,6 +152,10 @@ def main(argv=None):
     ap.add_argument("--amt", default=None,
                     help="AMT-S checkpoint (amt-s.pth); enables the "
                          "faithful motion_smoothness instead of its proxy")
+    ap.add_argument("--dino", default=None,
+                    help="DINO checkpoint (dino_vitbase16_pretrain.pth); "
+                         "enables the faithful subject_consistency "
+                         "instead of its proxy")
     ap.add_argument("--viclip", default=None,
                     help="ViCLIP checkpoint (ViClip-InternVid-10M-FLT"
                          ".pth); enables the faithful "
@@ -174,6 +180,7 @@ def main(argv=None):
     aes = None
     raft = None
     amt = None
+    dino = None
     viclip = None
     umt = None
     tag2text = None
@@ -226,6 +233,11 @@ def main(argv=None):
         from videotuna_tpu.tools.convert_weights import \
             load_torch_state_dict
         amt = convert_amt_state_dict(load_torch_state_dict(args.amt))
+    if args.dino:
+        from videotuna_tpu.evalkit.dino import convert_dino_state_dict
+        from videotuna_tpu.tools.convert_weights import \
+            load_torch_state_dict
+        dino = convert_dino_state_dict(load_torch_state_dict(args.dino))
     if args.clip_vision and args.clip_text:
         from videotuna_tpu.evalkit.semantic import CLIPScorer
         scorer = CLIPScorer.from_pretrained(args.clip_vision,
@@ -239,6 +251,7 @@ def main(argv=None):
     final = evaluate_directory(args.videos, args.dimensions, args.output,
                                scorer=scorer, aesthetic_params=aes,
                                raft_params=raft, amt_params=amt,
+                               dino_params=dino,
                                viclip_scorer=viclip, umt_scorer=umt,
                                tag2text_captioner=tag2text,
                                grit_detector=grit)

@@ -34,13 +34,11 @@ except ImportError:  # pragma: no cover
 # exceed VMEM. Shorter sequences are capped to the padded length.
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 2048
-# packed two-head d=64 kernel blocks (score block is (bq, 2·bk))
+# packed two-head d=64 kernel blocks (two (bq, bk) score blocks live)
 PACKED_BLOCK_Q = 512
 PACKED_BLOCK_K = 1024
-# softmax exp dtype inside the packed kernel: at d=64 the exp over the
-# (bq, 2·bk) score block is VPU-bound work comparable to the matmuls;
-# bf16 exp is an accuracy/throughput experiment knob (default f32)
-_PACKED_EXP_DTYPE = jnp.float32
+# (bf16 exp inside the packed kernel was measured SLOWER than f32 —
+# Mosaic upcasts for the transcendental; the win is exp2 + no masking)
 _NEG_INF = -1e30
 
 
@@ -79,14 +77,19 @@ def reference_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                   block_k: int, sm_scale: float, causal: bool, kv_len: int,
-                  q_block: int):
+                  q_block: int, kv_pad: int = 0):
     """Grid = (batch·head, q_blocks, kv_blocks); kv is the innermost
     (sequential) dim, so the online-softmax stats persist in VMEM scratch
     across kv steps while Pallas double-buffers the (block_k, d) KV tiles
     from HBM. Peak VMEM is O(block_q·d + 2·block_k·d), independent of
     sequence length — the reference keeps full KV per device and relies on
     80 GB HBM.
-    Accumulation fp32 (FlashAttention-2 recurrence)."""
+    Accumulation fp32 (FlashAttention-2 recurrence), stats in the log2
+    domain (bare exp2 transcendental — log2e is folded into the Q scale).
+    Non-causal kv padding is NOT masked per step: zero-padded keys score
+    exactly 0, so each contributes exp2(−m_final) to l (and nothing to
+    acc); the finish step removes kv_pad·exp2(−m_final) in closed form.
+    The causal mask subsumes kv padding (k_pos ≤ q_pos < kv_len)."""
     j = pl.program_id(2)
     num_kv = pl.num_programs(2)
     q_start = pl.program_id(1) * q_block
@@ -101,27 +104,23 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     # feed, so this runs at bf16 rate; explicit bf16 operands measured
     # SLOWER on-chip (packed kernel 130 ms vs 119 ms at 17.8k seq) —
     # the extra astype passes cost more than they save
-    q = q_ref[:].astype(jnp.float32) * sm_scale
+    q = q_ref[:].astype(jnp.float32) * (sm_scale * _LOG2E)
     k_blk = k_ref[:].astype(jnp.float32)
     v_blk = v_ref[:].astype(jnp.float32)
     s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
 
-    needs_pad_mask = kv_len % block_k != 0
-    if causal or needs_pad_mask:
+    if causal:
         k_pos = (j * block_k
                  + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
-        valid = k_pos < kv_len
-        if causal:
-            q_pos = (q_start
-                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
-            valid = jnp.logical_and(valid, q_pos >= k_pos)
-        s = jnp.where(valid, s, _NEG_INF)
+        q_pos = (q_start
+                 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
+        s = jnp.where(q_pos >= k_pos, s, _NEG_INF)
 
     m_i = m_ref[:]
     l_i = l_ref[:]
     m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_i - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_i - m_new)
     l_ref[:] = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
@@ -129,29 +128,46 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 
     @pl.when(j == num_kv - 1)
     def _finish():
+        l_f = l_ref[:]
+        if kv_pad and not causal:  # closed-form zero-pad key removal
+            l_f = l_f - kv_pad * jnp.exp2(-m_ref[:])
         o_ref[:] = (acc_ref[:]
-                    / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+                    / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
+
+
+_LOG2E = 1.4426950408889634
 
 
 def _flash_kernel_packed2(q_ref, k_ref, v_ref, o_ref, acc_ref,
                           m0_ref, l0_ref, m1_ref, l1_ref, *,
-                          block_k: int, sm_scale: float, kv_len: int):
+                          block_k: int, sm_scale: float, kv_len: int,
+                          kv_pad: int):
     """Two d=64 heads packed into one 128-lane stream (VERDICT r2 next-1b).
 
     q/k/v refs are (block, 128) with head 2i in lanes 0–63 and head 2i+1
     in lanes 64–127 (a free reshape of the (B,S,H,64) layout — no zero
-    padding). Per kv step the K/V tiles are lane-masked into a
-    block-diagonal (2·block_k, 128) operand, so ONE full-rate 128-deep
-    MXU contraction yields both heads' score block side by side:
+    padding). Per kv step the K tile is lane-masked into per-head halves
+    and each half contracts against the full 128-lane Q at full MXU rate:
 
-        [q0|q1] @ [[k0,0],[0,k1]]ᵀ = [q0·k0ᵀ | q1·k1ᵀ]   (bq, 2·bk)
+        s0 = [q0|q1] @ [k0|0]ᵀ ,   s1 = [q0|q1] @ [0|k1]ᵀ
 
     MXU cycles equal the zero-padded two-head path (the d=64 data simply
     does not contain 128 lanes of useful contraction), but HBM traffic
     for Q/K/V/O halves (no pad copies, K/V tiles stream once for two
-    heads) and the grid has half the programs. Online-softmax stats are
-    tracked per half. Not used for causal attention (video DiT attention
-    is non-causal; the masking interplay isn't worth the complexity)."""
+    heads) and the grid has half the programs.
+
+    VPU economies (the measured gap to the MXU floor is all VPU):
+    - online-softmax stats run in the log2 domain (log2e folded into the
+      Q scaling) so the transcendental is a bare exp2 per score;
+    - the kv-pad tail is NOT masked per step: zero-padded keys score
+      exactly 0, so after the online rescales each contributes exactly
+      exp2(−m_final) to l (and nothing to acc — V pads are zero). The
+      finish step subtracts kv_pad·exp2(−m_final) from l in closed form,
+      eliminating an iota+compare+select over every score element of
+      every kv step;
+    - no concatenated (bq, 2·bk) score/prob block: s0/s1 stay separate,
+      removing two slice copies and a 1M-element concat per step.
+    Not used for causal attention (video DiT attention is non-causal)."""
     j = pl.program_id(2)
     num_kv = pl.num_programs(2)
 
@@ -163,47 +179,43 @@ def _flash_kernel_packed2(q_ref, k_ref, v_ref, o_ref, acc_ref,
         m1_ref[:] = jnp.full_like(m1_ref, _NEG_INF)
         l1_ref[:] = jnp.zeros_like(l1_ref)
 
-    q = q_ref[:].astype(jnp.float32) * sm_scale
+    q = q_ref[:].astype(jnp.float32) * (sm_scale * _LOG2E)
     k_blk = k_ref[:].astype(jnp.float32)
     v_blk = v_ref[:].astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     mlo = (lane < 64).astype(jnp.float32)
     mhi = 1.0 - mlo
-    k_bd = jnp.concatenate([k_blk * mlo, k_blk * mhi], axis=0)
-    s_cat = jnp.dot(q, k_bd.T, preferred_element_type=jnp.float32)
+    s0 = jnp.dot(q, (k_blk * mlo).T, preferred_element_type=jnp.float32)
+    s1 = jnp.dot(q, (k_blk * mhi).T, preferred_element_type=jnp.float32)
 
-    if kv_len % block_k != 0:
-        k_pos = (j * block_k
-                 + jax.lax.broadcasted_iota(jnp.int32,
-                                            (s_cat.shape[0], block_k), 1))
-        valid = k_pos < kv_len
-        valid2 = jnp.concatenate([valid, valid], axis=1)
-        s_cat = jnp.where(valid2, s_cat, _NEG_INF)
-
-    s0 = s_cat[:, :block_k]
-    s1 = s_cat[:, block_k:]
     m0 = m0_ref[:]
     m1 = m1_ref[:]
     m0n = jnp.maximum(m0, jnp.max(s0, axis=-1, keepdims=True))
     m1n = jnp.maximum(m1, jnp.max(s1, axis=-1, keepdims=True))
-    p0 = jnp.exp((s0 - m0n).astype(_PACKED_EXP_DTYPE)).astype(jnp.float32)
-    p1 = jnp.exp((s1 - m1n).astype(_PACKED_EXP_DTYPE)).astype(jnp.float32)
-    a0 = jnp.exp(m0 - m0n)
-    a1 = jnp.exp(m1 - m1n)
+    p0 = jnp.exp2(s0 - m0n)
+    p1 = jnp.exp2(s1 - m1n)
+    a0 = jnp.exp2(m0 - m0n)
+    a1 = jnp.exp2(m1 - m1n)
     l0_ref[:] = a0 * l0_ref[:] + jnp.sum(p0, axis=-1, keepdims=True)
     l1_ref[:] = a1 * l1_ref[:] + jnp.sum(p1, axis=-1, keepdims=True)
     m0_ref[:] = m0n
     m1_ref[:] = m1n
-    v_bd = jnp.concatenate([v_blk * mlo, v_blk * mhi], axis=0)
-    p_cat = jnp.concatenate([p0, p1], axis=1)
     alpha_cat = a0 * mlo + a1 * mhi           # (bq, 128) via broadcast
-    acc_ref[:] = acc_ref[:] * alpha_cat + jnp.dot(
-        p_cat, v_bd, preferred_element_type=jnp.float32)
+    acc_ref[:] = (acc_ref[:] * alpha_cat
+                  + jnp.dot(p0, v_blk * mlo,
+                            preferred_element_type=jnp.float32)
+                  + jnp.dot(p1, v_blk * mhi,
+                            preferred_element_type=jnp.float32))
 
     @pl.when(j == num_kv - 1)
     def _finish():
-        l_cat = (jnp.maximum(l0_ref[:], 1e-30) * mlo
-                 + jnp.maximum(l1_ref[:], 1e-30) * mhi)
+        l0 = l0_ref[:]
+        l1 = l1_ref[:]
+        if kv_pad:  # closed-form removal of the zero-padded keys from l
+            l0 = l0 - kv_pad * jnp.exp2(-m0_ref[:])
+            l1 = l1 - kv_pad * jnp.exp2(-m1_ref[:])
+        l_cat = (jnp.maximum(l0, 1e-30) * mlo
+                 + jnp.maximum(l1, 1e-30) * mhi)
         o_ref[:] = (acc_ref[:] / l_cat).astype(o_ref.dtype)
 
 
@@ -235,7 +247,8 @@ def _flash_packed2(q, k, v, *, sm_scale, block_q, block_k, interpret):
         kt = jnp.pad(kt, ((0, 0), (0, sk_pad - sk), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, sk_pad - sk), (0, 0)))
     kernel = functools.partial(_flash_kernel_packed2, block_k=block_k,
-                               sm_scale=sm_scale, kv_len=sk)
+                               sm_scale=sm_scale, kv_len=sk,
+                               kv_pad=sk_pad - sk)
     kernel = _squeeze_kernel(kernel)
     out = pl.pallas_call(
         kernel,
@@ -328,7 +341,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     kernel = functools.partial(_flash_kernel, block_k=block_k,
                                sm_scale=sm_scale, causal=causal,
-                               kv_len=sk, q_block=block_q)
+                               kv_len=sk, q_block=block_q,
+                               kv_pad=sk_pad - sk)
     out = pl.pallas_call(
         kernel,
         grid=(b * h, sq_pad // block_q, sk_pad // block_k),
@@ -386,9 +400,12 @@ DEFAULT_BWD_BLOCK_K = 512
 def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                           acc_ref, m_ref, l_ref, *,
                           block_k: int, sm_scale: float, causal: bool,
-                          kv_len: int, q_block: int):
+                          kv_len: int, q_block: int, kv_pad: int = 0):
     """Forward kernel variant that also emits LSE = m + log(l) per q row
-    (needed by the fused backward). Same recurrence as _flash_kernel."""
+    (needed by the fused backward). Same recurrence as _flash_kernel:
+    log2-domain stats, closed-form zero-pad key removal from l (the
+    emitted LSE is the TRUE natural-log-sum-exp, so the backward's
+    recomputed probabilities are exact without per-step pad masks)."""
     j = pl.program_id(2)
     num_kv = pl.num_programs(2)
     q_start = pl.program_id(1) * q_block
@@ -399,24 +416,21 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale
+    q = q_ref[0].astype(jnp.float32) * (sm_scale * _LOG2E)
     k_blk = k_ref[0].astype(jnp.float32)
     v_blk = v_ref[0].astype(jnp.float32)
     s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
 
-    if causal or kv_len % block_k != 0:
+    if causal:
         k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        valid = k_pos < kv_len
-        if causal:
-            q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            valid = jnp.logical_and(valid, q_pos >= k_pos)
-        s = jnp.where(valid, s, _NEG_INF)
+        q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(q_pos >= k_pos, s, _NEG_INF)
 
     m_i = m_ref[:]
     l_i = l_ref[:]
     m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_i - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_i - m_new)
     l_ref[:] = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
@@ -424,9 +438,14 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(j == num_kv - 1)
     def _finish():
-        l_fin = jnp.maximum(l_ref[:], 1e-30)
+        l_f = l_ref[:]
+        if kv_pad and not causal:  # closed-form zero-pad key removal
+            l_f = l_f - kv_pad * jnp.exp2(-m_ref[:])
+        l_fin = jnp.maximum(l_f, 1e-30)
         o_ref[0] = (acc_ref[:] / l_fin).astype(o_ref.dtype)
-        lse = m_ref[:] + jnp.log(l_fin)            # (block_q, 1)
+        # natural-log LSE (public across the ring/SP combine API):
+        # stats are log2-domain, so scale by ln 2
+        lse = (m_ref[:] + jnp.log2(l_fin)) * (1.0 / _LOG2E)
         # lane-replicated write: Mosaic needs the last two block dims
         # (8, 128)-aligned, so the lse output is (…, block_q, 128)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
@@ -440,7 +459,8 @@ def _flash_forward_lse(qt, kt, vt, *, sm_scale, causal, sq, sk,
     sk_pad = kt.shape[1]
     kernel = functools.partial(_flash_fwd_lse_kernel, block_k=block_k,
                                sm_scale=sm_scale, causal=causal,
-                               kv_len=sk, q_block=block_q)
+                               kv_len=sk, q_block=block_q,
+                               kv_pad=sk_pad - sk)
     out, lse = pl.pallas_call(
         kernel,
         grid=(bh, sq_pad // block_q, sk_pad // block_k),
@@ -469,15 +489,25 @@ def _flash_forward_lse(qt, kt, vt, *, sm_scale, causal, sq, sk,
 
 def _bwd_masked_sT(q, k_blk, j, qq, *, sm_scale, causal, q_len, kv_len,
                    block_q, block_k):
-    """Transposed score block sT (block_k, block_q), masked to -inf where
-    out-of-range or causal-violated."""
-    sT = jnp.dot(k_blk, q.T, preferred_element_type=jnp.float32) * sm_scale
-    k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0)
-    q_pos = qq * block_q + jax.lax.broadcasted_iota(jnp.int32, sT.shape, 1)
-    valid = jnp.logical_and(k_pos < kv_len, q_pos < q_len)
+    """Transposed score block sT (block_k, block_q) in the LOG2 domain
+    (log2e folded into the scale), causal-masked to -inf.
+
+    Out-of-range (zero-padded) rows/columns are NOT masked: every pad
+    contribution to dq/dk/dv vanishes structurally — pad K rows are zero
+    (dq contracts ds against K), pad Q columns carry zero dO and zero
+    delta (dv/dk contract against dO and Q), and the garbage pad rows of
+    the outputs are sliced away by the dispatch. Skipping the two iotas
+    + compare + select per step is a measurable VPU win at video
+    sequence lengths."""
+    sT = jnp.dot(k_blk, q.T,
+                 preferred_element_type=jnp.float32) * (sm_scale * _LOG2E)
     if causal:
-        valid = jnp.logical_and(valid, q_pos >= k_pos)
-    return jnp.where(valid, sT, _NEG_INF)
+        k_pos = (j * block_k
+                 + jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0))
+        q_pos = (qq * block_q
+                 + jax.lax.broadcasted_iota(jnp.int32, sT.shape, 1))
+        sT = jnp.where(q_pos >= k_pos, sT, _NEG_INF)
+    return sT
 
 
 def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
@@ -506,8 +536,9 @@ def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
     sT = _bwd_masked_sT(q, k_blk, j, qq, sm_scale=sm_scale, causal=causal,
                         q_len=q_len, kv_len=kv_len, block_q=block_q,
                         block_k=block_k)
-    # lse clamp makes exp(-inf - lse) a true 0 even for all-masked rows
-    pT = jnp.exp(sT - lse)                    # (bk, bq)
+    # lse clamp makes exp(-inf - lse) a true 0 even for all-masked rows;
+    # sT is log2-domain so the natural-log lse scales by log2e
+    pT = jnp.exp2(sT - lse * _LOG2E)          # (bk, bq)
     dv_acc[:] += jnp.dot(pT, do, preferred_element_type=jnp.float32)
     dpT = jnp.dot(v_blk, do.T, preferred_element_type=jnp.float32)
     dsT = pT * (dpT - delta)
@@ -544,7 +575,7 @@ def _flash_bwd_dq_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
     sT = _bwd_masked_sT(q, k_blk, j, qq, sm_scale=sm_scale, causal=causal,
                         q_len=q_len, kv_len=kv_len, block_q=block_q,
                         block_k=block_k)
-    pT = jnp.exp(sT - lse)
+    pT = jnp.exp2(sT - lse * _LOG2E)
     dpT = jnp.dot(v_blk, do.T, preferred_element_type=jnp.float32)
     dsT = pT * (dpT - delta)                  # (bk, bq)
     # dq[bq, d] = Σ_bk dsT[bk, bq] · k[bk, d]  (contract sublane dims)
