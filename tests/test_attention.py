@@ -47,6 +47,19 @@ def test_flash_matches_reference(seq, block):
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.parametrize("mode", [False, True, "t"])
+@pytest.mark.parametrize("seq,sk", [(256, 256), (200, 200), (256, 448)])
+def test_flash_pack2_variants(mode, seq, sk):
+    """All three d=64 dispatches (zero-padded, packed-natural,
+    packed-transposed) agree with the oracle, incl. q/kv padding and
+    cross lengths."""
+    q, k, v = _rand_qkv(jax.random.key(7), 2, seq, 4, 64, sk=sk)
+    ref = reference_attention(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128,
+                          interpret=True, pack2=mode)
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
 def test_flash_causal_matches_reference():
     q, k, v = _rand_qkv(jax.random.key(3), 1, 256, 2, 32)
     ref = reference_attention(q, k, v, causal=True)

@@ -219,6 +219,138 @@ def _flash_kernel_packed2(q_ref, k_ref, v_ref, o_ref, acc_ref,
         o_ref[:] = (acc_ref[:] / l_cat).astype(o_ref.dtype)
 
 
+def _flash_kernel_packed2t(k_ref, qT_ref, vT_ref, o_ref, acc0_ref, acc1_ref,
+                           m0_ref, l0_ref, m1_ref, l1_ref, *,
+                           sm_scale: float, kv_pad: int):
+    """Two d=64 heads, TRANSPOSED score space — the full-rate-PV variant.
+
+    The natural-layout packed kernel above performs 2× MXU work on BOTH
+    matmuls (per-head lane masking of the 128-lane stream): ceiling
+    197/2 = 98.5 TF/s. Here only the score matmul keeps the inherent 2×
+    (d=64 data has no 128 useful contraction lanes); PV runs at exactly
+    1× by computing everything transposed:
+
+        s0ᵀ = (k·mlo) @ qᵀ          (bk, bq)   contraction 128: full rate
+        acc0ᵀ += v0ᵀ @ p0ᵀ          (64, bq)   N = bq = full lanes: 1× work
+
+    Performed-vs-useful MXU drops from 8/4 to 6/4 → ceiling 131 TF/s.
+    Side benefits: the online-softmax stats live as (1, bq) LANE vectors
+    (max/sum over the kv axis are sublane reductions; the rescale
+    broadcasts along sublanes — no lane-broadcast of a (bq,1) column),
+    and the acc rescale touches 2·(64, bq) instead of (bq, 128).
+    Same closed-form zero-pad-key correction as the natural kernel
+    (pad key rows of s*ᵀ are exactly 0 ⇒ each contributes exp2(−m_final)
+    to l). Non-causal only, like every packed path."""
+    j = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc0_ref[:] = jnp.zeros_like(acc0_ref)
+        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+        m0_ref[:] = jnp.full_like(m0_ref, _NEG_INF)
+        l0_ref[:] = jnp.zeros_like(l0_ref)
+        m1_ref[:] = jnp.full_like(m1_ref, _NEG_INF)
+        l1_ref[:] = jnp.zeros_like(l1_ref)
+
+    qT = qT_ref[:].astype(jnp.float32) * (sm_scale * _LOG2E)  # (128, bq)
+    k_blk = k_ref[:].astype(jnp.float32)                      # (bk, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    mlo = (lane < 64).astype(jnp.float32)
+    s0t = jnp.dot(k_blk * mlo, qT,
+                  preferred_element_type=jnp.float32)         # (bk, bq)
+    s1t = jnp.dot(k_blk * (1.0 - mlo), qT,
+                  preferred_element_type=jnp.float32)
+
+    m0 = m0_ref[:]                                            # (1, bq)
+    m1 = m1_ref[:]
+    m0n = jnp.maximum(m0, jnp.max(s0t, axis=0, keepdims=True))
+    m1n = jnp.maximum(m1, jnp.max(s1t, axis=0, keepdims=True))
+    p0t = jnp.exp2(s0t - m0n)
+    p1t = jnp.exp2(s1t - m1n)
+    a0 = jnp.exp2(m0 - m0n)
+    a1 = jnp.exp2(m1 - m1n)
+    l0_ref[:] = a0 * l0_ref[:] + jnp.sum(p0t, axis=0, keepdims=True)
+    l1_ref[:] = a1 * l1_ref[:] + jnp.sum(p1t, axis=0, keepdims=True)
+    m0_ref[:] = m0n
+    m1_ref[:] = m1n
+    vT = vT_ref[:].astype(jnp.float32)                        # (128, bk)
+    acc0_ref[:] = acc0_ref[:] * a0 + jnp.dot(
+        vT[:64], p0t, preferred_element_type=jnp.float32)     # (64, bq)
+    acc1_ref[:] = acc1_ref[:] * a1 + jnp.dot(
+        vT[64:], p1t, preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_kv - 1)
+    def _finish():
+        l0 = l0_ref[:]
+        l1 = l1_ref[:]
+        if kv_pad:  # closed-form removal of the zero-padded keys from l
+            l0 = l0 - kv_pad * jnp.exp2(-m0_ref[:])
+            l1 = l1 - kv_pad * jnp.exp2(-m1_ref[:])
+        o_ref[:64] = (acc0_ref[:]
+                      / jnp.maximum(l0, 1e-30)).astype(o_ref.dtype)
+        o_ref[64:] = (acc1_ref[:]
+                      / jnp.maximum(l1, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_packed2t(q, k, v, *, sm_scale, block_q, block_k, interpret):
+    """Dispatch for the transposed-score packed kernel: (B,S,H,64) →
+    packed (B·H/2, S, 128); Q and V are pre-transposed by XLA (one cheap
+    relayout each) so every in-kernel dot is in natural [M,K]@[K,N]
+    orientation; the (B·H/2, 128, Sq) output is untransposed after."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    qp = q.reshape(b, sq, h // 2, 128).transpose(0, 2, 1, 3) \
+          .reshape(b * h // 2, sq, 128)
+    kp = k.reshape(b, sk, h // 2, 128).transpose(0, 2, 1, 3) \
+          .reshape(b * h // 2, sk, 128)
+    vp = v.reshape(b, sk, h // 2, 128).transpose(0, 2, 1, 3) \
+          .reshape(b * h // 2, sk, 128)
+    if block_q == DEFAULT_BLOCK_Q:
+        block_q = PACKED_BLOCK_Q
+    if block_k == DEFAULT_BLOCK_K:
+        block_k = PACKED_BLOCK_K
+    block_q = min(block_q, _round_to(sq, 128))
+    block_k = min(block_k, _round_to(sk, 128))
+    sq_pad = _round_to(sq, block_q)
+    sk_pad = _round_to(sk, block_k)
+    if sq_pad != sq:
+        qp = jnp.pad(qp, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if sk_pad != sk:
+        kp = jnp.pad(kp, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, sk_pad - sk), (0, 0)))
+    qT = qp.transpose(0, 2, 1)                 # (BH2, 128, sq_pad)
+    vT = vp.transpose(0, 2, 1)                 # (BH2, 128, sk_pad)
+    kernel = functools.partial(_flash_kernel_packed2t, sm_scale=sm_scale,
+                               kv_pad=sk_pad - sk)
+    kernel = _squeeze_kernel(kernel)
+    outT = pl.pallas_call(
+        kernel,
+        grid=(b * h // 2, sq_pad // block_q, sk_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_k, 128), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, 128, block_q), lambda i, j, kk: (i, 0, j)),
+            pl.BlockSpec((1, 128, block_k), lambda i, j, kk: (i, 0, kk)),
+        ],
+        out_specs=pl.BlockSpec((1, 128, block_q),
+                               lambda i, j, kk: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b * h // 2, 128, sq_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((64, block_q), jnp.float32),   # acc0ᵀ
+            pltpu.VMEM((64, block_q), jnp.float32),   # acc1ᵀ
+            pltpu.VMEM((1, block_q), jnp.float32),    # m0
+            pltpu.VMEM((1, block_q), jnp.float32),    # l0
+            pltpu.VMEM((1, block_q), jnp.float32),    # m1
+            pltpu.VMEM((1, block_q), jnp.float32),    # l1
+        ] if pltpu is not None else [],
+        interpret=interpret,
+        compiler_params=_grid_params(interpret),
+    )(kp, qT, vT)
+    out = outT[:, :, :sq].reshape(b, h // 2, 128, sq) \
+        .transpose(0, 3, 1, 2)                 # (b, sq, h/2, 128)
+    return out.reshape(b, sq, h, d)
+
+
 def _flash_packed2(q, k, v, *, sm_scale, block_q, block_k, interpret):
     """Dispatch path for d=64, even heads, non-causal: (B,S,H,64) →
     packed (B·H/2, S, 128) without zero padding."""
@@ -269,6 +401,7 @@ def _flash_packed2(q, k, v, *, sm_scale, block_q, block_k, interpret):
             pltpu.VMEM((block_q, 1), jnp.float32),    # l1
         ] if pltpu is not None else [],
         interpret=interpret,
+        compiler_params=_grid_params(interpret),
     )(qt, kt, vt)
     out = out[:, :sq].reshape(b, h // 2, sq, 128).transpose(0, 2, 1, 3)
     return out.reshape(b, sq, h, d)
@@ -276,6 +409,19 @@ def _flash_packed2(q, k, v, *, sm_scale, block_q, block_k, interpret):
 
 def _round_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _grid_params(interpret: bool):
+    """Mosaic pipelining hint shared by every flash kernel here: all five
+    grids are (batch·head, output-blocks, reduction-blocks) with VMEM
+    carry only along the innermost axis, so axes 0/1 are 'parallel' and
+    the reduction axis 'arbitrary'. Without the hint Mosaic must assume
+    every axis may carry state, which constrains cross-iteration
+    prefetch scheduling."""
+    if pltpu is None or interpret:
+        return None
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"))
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q",
@@ -291,7 +437,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     ``pack2``: for d=64 / even heads / non-causal, pack head pairs into
     one 128-lane stream (no zero-pad copies, half the KV HBM streaming —
-    the CogVideoX-class path). Default: auto (on when eligible)."""
+    the CogVideoX-class path). ``"t"`` selects the transposed-score
+    variant whose PV matmul runs at full MXU rate (131 TF/s ceiling vs
+    98.5 for the natural layout). Default: auto (transposed when
+    eligible)."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     kh = k.shape[2]
@@ -300,13 +449,14 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         v = jnp.repeat(v, h // kh, axis=2)
     sm_scale = (1.0 / math.sqrt(d)) if scale is None else scale
     if pack2 is None:
-        pack2 = (d == 64 and h % 2 == 0 and not causal)
+        pack2 = "t" if (d == 64 and h % 2 == 0 and not causal) else False
     if pack2:
         assert d == 64 and h % 2 == 0 and not causal, \
             "pack2 needs d=64, even heads, non-causal"
-        return _flash_packed2(q, k, v, sm_scale=sm_scale,
-                              block_q=block_q, block_k=block_k,
-                              interpret=interpret)
+        packed = _flash_packed2t if pack2 == "t" else _flash_packed2
+        return packed(q, k, v, sm_scale=sm_scale,
+                      block_q=block_q, block_k=block_k,
+                      interpret=interpret)
 
     # Mosaic requires the lane (last) dim 128-aligned. Zero-pad head_dim:
     # scores are unchanged (zero columns contribute nothing to q·k), padded
@@ -359,6 +509,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pltpu.VMEM((block_q, 1), jnp.float32),   # l
         ] if pltpu is not None else [],
         interpret=interpret,
+        compiler_params=_grid_params(interpret),
     )(qt, kt, vt)
     out = out[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
     return out[..., :d_orig]
@@ -483,6 +634,7 @@ def _flash_forward_lse(qt, kt, vt, *, sm_scale, causal, sq, sk,
             pltpu.VMEM((block_q, 1), jnp.float32),
         ] if pltpu is not None else [],
         interpret=interpret,
+        compiler_params=_grid_params(interpret),
     )(qt, kt, vt)
     return out, lse[:, :, 0]
 
@@ -674,6 +826,7 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
             pltpu.VMEM((block_k, d), jnp.float32),
         ] if pltpu is not None else [],
         interpret=interpret,
+        compiler_params=_grid_params(interpret),
     )(qt, gt, lse8, delta8, kt, vt)
 
     dq_kernel = functools.partial(_flash_bwd_dq_kernel, **common)
@@ -695,6 +848,7 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
             pltpu.VMEM((block_q, d), jnp.float32),
         ] if pltpu is not None else [],
         interpret=interpret,
+        compiler_params=_grid_params(interpret),
     )(kt, vt, qt, gt, lse8, delta8)
 
     dq = _unpack_heads(dq_t[:, :sq], b, sq, h, d)[..., :d_orig]
