@@ -252,6 +252,7 @@ def evaluate_video(video: np.ndarray,
                    umt_scorer=None,
                    tag2text_captioner=None,
                    grit_detector=None,
+                   musiq_params=None,
                    video_name: Optional[str] = None,
                    fps: Optional[float] = None) -> Dict[str, float]:
     """video: (T, H, W, 3) uint8 or float [-1, 1]. With a CLIP ``scorer``
@@ -279,6 +280,12 @@ def evaluate_video(video: np.ndarray,
         out["motion_smoothness"] = float(
             motion_smoothness_score(np.asarray(video), amt_params))
         out.pop("motion_smoothness_proxy", None)
+    if musiq_params is not None and (dimensions is None
+                                     or "imaging_quality" in dims):
+        from videotuna_tpu.evalkit.musiq import MusiqScorer
+        out["imaging_quality"] = MusiqScorer(musiq_params).video_score(
+            np.asarray(video))
+        out.pop("imaging_quality_proxy", None)
     if dino_params is not None and (dimensions is None
                                     or "subject_consistency" in dims):
         from videotuna_tpu.evalkit.dino import subject_consistency_score

@@ -72,7 +72,8 @@ def evaluate_directory(videos_dir: str,
                        viclip_scorer=None,
                        umt_scorer=None,
                        tag2text_captioner=None,
-                       grit_detector=None) -> Dict:
+                       grit_detector=None,
+                       musiq_params=None) -> Dict:
     """Score every video in a directory; write final_results.json.
 
     With ``scorer`` (a ``CLIPScorer``) and an ``info.json`` prompt map in
@@ -99,7 +100,8 @@ def evaluate_directory(videos_dir: str,
             dino_params=dino_params,
             viclip_scorer=viclip_scorer, umt_scorer=umt_scorer,
             tag2text_captioner=tag2text_captioner,
-            grit_detector=grit_detector, video_name=p.name)
+            grit_detector=grit_detector, musiq_params=musiq_params,
+            video_name=p.name)
 
     all_dims = sorted({d for r in results.values() for d in r
                        if d != "error"})
@@ -175,6 +177,11 @@ def main(argv=None):
                          ".pth); enables the faithful object_class / "
                          "multiple_objects / spatial_relationship / "
                          "color dimensions")
+    ap.add_argument("--musiq", default=None,
+                    help="MUSIQ checkpoint (converted to this repo's "
+                         "naming — see evalkit/musiq.py HONESTY NOTE); "
+                         "enables the learned imaging_quality instead "
+                         "of its proxy")
     args = ap.parse_args(argv)
     scorer = None
     aes = None
@@ -238,6 +245,13 @@ def main(argv=None):
         from videotuna_tpu.tools.convert_weights import \
             load_torch_state_dict
         dino = convert_dino_state_dict(load_torch_state_dict(args.dino))
+    musiq = None
+    if args.musiq:
+        from videotuna_tpu.evalkit.musiq import convert_musiq_state_dict
+        from videotuna_tpu.tools.convert_weights import \
+            load_torch_state_dict
+        musiq = convert_musiq_state_dict(
+            load_torch_state_dict(args.musiq))
     if args.clip_vision and args.clip_text:
         from videotuna_tpu.evalkit.semantic import CLIPScorer
         scorer = CLIPScorer.from_pretrained(args.clip_vision,
@@ -254,7 +268,7 @@ def main(argv=None):
                                dino_params=dino,
                                viclip_scorer=viclip, umt_scorer=umt,
                                tag2text_captioner=tag2text,
-                               grit_detector=grit)
+                               grit_detector=grit, musiq_params=musiq)
     print(tabular_score(final))
     return final
 
