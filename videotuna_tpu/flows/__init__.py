@@ -11,7 +11,7 @@ from videotuna_tpu.flows.opensora import OpenSoraFlow
 __all__ = ["GenerationFlow", "OpenSoraFlow", "load_prompts", "savename"]
 
 for _mod in ("videocrafter", "cogvideo", "hunyuan", "wan", "stepvideo",
-             "flux", "mochi"):
+             "flux", "mochi", "v2v"):
     try:  # registry side effects for families as they land
         __import__(f"videotuna_tpu.flows.{_mod}")
     except ImportError:
