@@ -874,6 +874,48 @@ def _suite():
     return results
 
 
+def _merge(names):
+    """Re-run a subset of suite benches (own subprocesses, like --suite)
+    and merge the results into the existing BENCH_SUITE.json, recomputing
+    the derived e2e entry. Lets a kernel change refresh only the benches
+    it affects instead of hours of unaffected re-runs on the degraded
+    remote compiler."""
+    import os
+    import subprocess
+    try:
+        with open("BENCH_SUITE.json") as f:
+            results = json.load(f)
+    except Exception:
+        results = {}
+    for name in names:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True, timeout=10800, text=True)
+            line = proc.stdout.strip().splitlines()[-1] if \
+                proc.stdout.strip() else ""
+            if proc.returncode == 0 and line.startswith("{"):
+                results[name] = json.loads(line)
+            else:
+                results[name] = {"error":
+                                 (proc.stderr or proc.stdout)[-300:]}
+            print(f"merge[{name}]: {results[name]}", file=sys.stderr)
+        except Exception as e:
+            results[name] = {"error": str(e)[:300]}
+            print(f"merge[{name}] FAILED: {e}", file=sys.stderr)
+    cog = results.get("cogvideox5b", {})
+    vae = results.get("vae_decode", {})
+    if "value" in cog and "value" in vae:
+        per_video = 50.0 / cog["value"] + vae["value"]
+        results["e2e_videos_per_min_49f_480p"] = {
+            "value": round(60.0 / per_video, 3),
+            "unit": "videos/min (50 steps + VAE decode)",
+            "vs_baseline": round((60.0 / per_video) / 0.5, 3)}
+    with open("BENCH_SUITE.json", "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
 def main():
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -882,6 +924,10 @@ def main():
     if "--one" in sys.argv:
         name = sys.argv[sys.argv.index("--one") + 1]
         print(json.dumps(SUITE_BENCHES[name]()))
+        return
+    if "--merge" in sys.argv:
+        names = sys.argv[sys.argv.index("--merge") + 1].split(",")
+        _merge(names)
         return
     if "--suite" in sys.argv:
         _suite()
