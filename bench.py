@@ -236,6 +236,87 @@ def _bench_hunyuan13b(double: int = 5, single: int = 10, n_steps: int = 4,
             "full_depth_steps_per_sec": round(full_sps, 4)}
 
 
+def _bench_hunyuan_breakdown(frames: int = 17, hh: int = 60, ww: int = 80,
+                             dim: int = 3072, heads: int = 24,
+                             n_iters: int = 4):
+    """Diagnosis for the hunyuan13b_class MFU gap (39.4% measured vs the
+    ~61% the d=128 kernel and ~78% the MLP matmuls reach in isolation):
+    times ONE double block end-to-end against its two compute kernels in
+    isolation at the same geometry. block_ms − attn_ms − matmul_ms =
+    glue (RoPE, qk-norms, modulation, txt/img concat, residuals)."""
+    from videotuna_tpu.kernels.attention import flash_attention
+    from videotuna_tpu.models.hunyuan.dit import HYVideoDiT
+    seq = frames * (hh // 2) * (ww // 2) + 256
+    b = 1
+
+    # (1) one full double block via the stage API
+    model = HYVideoDiT(dim=dim, heads=heads, double_blocks=1,
+                       single_blocks=1, dtype=jnp.bfloat16,
+                       scan_blocks=True)
+    x = jnp.zeros((b, frames, hh, ww, 16))
+    t = jnp.zeros((b,))
+    y = jnp.zeros((b, 256, 4096))
+    pooled = jnp.zeros((b, 768))
+    mask = jnp.ones((b, 256), bool)
+    params = _bf16_params(model, x, t, y, pooled, mask)
+    grid = (frames, hh // 2, ww // 2)
+    import functools
+    e_fn = jax.jit(functools.partial(model.apply, stage="embed"))
+    img, txt, vec, vec_tr = jax.block_until_ready(
+        e_fn({"params": params}, x, t, y, pooled, mask))
+    d_fn = jax.jit(functools.partial(model.apply, stage="double",
+                                     grid=grid))
+
+    def timed(fn, *args):
+        _sync(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn(*args)
+        _sync(out)
+        return (time.perf_counter() - t0) / n_iters * 1e3
+
+    block_ms = timed(lambda p: d_fn({"params": p}, img=img, txt=txt,
+                                    vec=vec, vec_tr=vec_tr), params)
+
+    # (2) the attention kernel alone at the block's exact shapes
+    hd = dim // heads
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (b, seq, heads, hd), jnp.bfloat16)
+    k = jax.random.normal(k2, (b, seq, heads, hd), jnp.bfloat16)
+    v = jax.random.normal(k3, (b, seq, heads, hd), jnp.bfloat16)
+    attn_fn = jax.jit(lambda a, b_, c: flash_attention(a, b_, c))
+    attn_ms = timed(attn_fn, q, k, v)
+
+    # (3) the block's matmuls alone (img qkv+out+mlp, txt side ~1% extra)
+    h = jnp.zeros((seq, dim), jnp.bfloat16)
+    w_qkv = jnp.zeros((dim, 3 * dim), jnp.bfloat16)
+    w_out = jnp.zeros((dim, dim), jnp.bfloat16)
+    w_up = jnp.zeros((dim, 4 * dim), jnp.bfloat16)
+    w_dn = jnp.zeros((4 * dim, dim), jnp.bfloat16)
+
+    @jax.jit
+    def mm(h, w_qkv, w_out, w_up, w_dn):
+        a = h @ w_qkv
+        o = a[:, :dim] @ w_out
+        m = jax.nn.gelu(h @ w_up) @ w_dn
+        return o + m
+    matmul_ms = timed(mm, h, w_qkv, w_out, w_up, w_dn)
+
+    glue_ms = block_ms - attn_ms - matmul_ms
+    attn_tf = 4.0 * b * seq * seq * dim / (attn_ms / 1e3) / 1e12
+    mm_flops = 2.0 * seq * dim * dim * (3 + 1 + 8)
+    mm_tf = mm_flops / (matmul_ms / 1e3) / 1e12
+    return {"metric": "hunyuan_double_block_breakdown_ms",
+            "value": round(block_ms, 2),
+            "unit": f"ms/block (seq {seq}, dim {dim}, d=128, bf16)",
+            "attn_ms": round(attn_ms, 2),
+            "matmul_ms": round(matmul_ms, 2),
+            "glue_ms": round(glue_ms, 2),
+            "attn_tf_s": round(attn_tf, 1),
+            "matmul_tf_s": round(mm_tf, 1),
+            "vs_baseline": None}
+
+
 def _bench_vae_decode(frames: int = 13, hh: int = 30, ww: int = 45,
                       n_reps: int = 3, tiles: int = 4):
     """Causal-3D VAE decode at the 49f 480×720 north-star geometry,
@@ -833,6 +914,12 @@ SUITE_BENCHES = {
     "hunyuan_lora_train": lambda: _bench_hunyuan_lora_train(),
 }
 
+# diagnosis-only benches: reachable via --one / --merge, excluded from
+# the --suite sweep (they measure breakdowns, not headline metrics)
+DIAG_BENCHES = {
+    "hunyuan_breakdown": lambda: _bench_hunyuan_breakdown(),
+}
+
 
 def _suite():
     """North-star suite → BENCH_SUITE.json; derives end-to-end videos/min
@@ -923,7 +1010,8 @@ def main():
         pass
     if "--one" in sys.argv:
         name = sys.argv[sys.argv.index("--one") + 1]
-        print(json.dumps(SUITE_BENCHES[name]()))
+        fn = SUITE_BENCHES.get(name) or DIAG_BENCHES[name]
+        print(json.dumps(fn()))
         return
     if "--merge" in sys.argv:
         names = sys.argv[sys.argv.index("--merge") + 1].split(",")
