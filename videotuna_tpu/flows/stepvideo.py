@@ -62,8 +62,12 @@ class StepVideoFlow(GenerationFlow):
                 self.latent_channels)
 
     def denoise_apply(self, params: Params, x, t, cond):
+        # y2 = optional CLIP states concatenated before the caption tokens;
+        # y_mask = caption attention mask (reference video_pipeline.py
+        # passes encoder_hidden_states_2 + encoder_attention_mask)
         return self.denoiser.apply({"params": params["denoiser"]},
-                                   x, t, cond["y"])
+                                   x, t, cond["y"], cond.get("y2"),
+                                   cond.get("y_mask"))
 
     def shard_for_tp(self, mesh) -> None:
         """Place denoiser params with TP(+FSDP) shardings."""

@@ -61,6 +61,13 @@ FAMILIES = {
     "llama": (lambda a: cw.llama_map(heads=a.heads,
                                      kv_heads=a.kv_heads), None),
     "stepllm": (lambda a: cw.stepllm_map(), None),
+    "stepvideo": (lambda a: cw.stepvideo_map(heads=a.heads),
+                  lambda sd, a: cw.preprocess_split_headwise(
+                      cw.preprocess_split_headwise(
+                          sd, r"attn1\.wqkv", "wqkv",
+                          ("wq", "wk", "wv"), heads=a.heads),
+                      r"attn2\.wkv", "wkv", ("wk", "wv"),
+                      heads=a.heads)),
     "aesthetic": (lambda a: cw.aesthetic_map(), None),
     "llava_projector": (lambda a: cw.llava_projector_map(), None),
     "lvdm": (lambda a: cw.lvdm_map(addition_attention=True), None),
@@ -77,7 +84,9 @@ def cmd_convert(args) -> None:
                          f"available: {sorted(FAMILIES)}")
     builder, preprocess = FAMILIES[args.family]
     if preprocess is not None:
-        sd = preprocess(sd)
+        import inspect
+        n_params = len(inspect.signature(preprocess).parameters)
+        sd = preprocess(sd, args) if n_params == 2 else preprocess(sd)
     cmap = builder(args)
     tree = cmap.convert(sd, strict=args.strict)
     if args.scan_layout:

@@ -1279,6 +1279,95 @@ def stepllm_map() -> ConversionMap:
     ])
 
 
+def preprocess_split_headwise(sd: Dict[str, np.ndarray],
+                              pattern: str, token: str,
+                              names: Sequence[str],
+                              heads: int) -> Dict[str, np.ndarray]:
+    """Split PER-HEAD-INTERLEAVED fused projections (StepVideo model.py
+    :485-495 / :536-539: ``view(..., heads, n·hd)`` then ``split(hd)`` —
+    output rows ordered head-major as [q|k|v] chunks within each head,
+    unlike the block layout preprocess_split_fused handles)."""
+    rx = re.compile(pattern)
+    n = len(names)
+    out: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        if rx.search(key) and token in key:
+            hd = val.shape[0] // (heads * n)
+            parts = val.reshape(heads, n, hd, *val.shape[1:])
+            for i, name in enumerate(names):
+                out[key.replace(token, name)] = np.ascontiguousarray(
+                    parts[:, i].reshape(heads * hd, *val.shape[1:]))
+        else:
+            out[key] = val
+    return out
+
+
+def _t_conv2d_to_patch3d(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d (out, in, kh, kw) → flax 3D patch kernel
+    (1, kh, kw, in, out) (StepVideo patchfy runs the 2D PatchEmbed per
+    frame, model.py:816-819 — temporally a 1-kernel)."""
+    return t_conv(w)[None]
+
+
+def stepvideo_map(heads: int = 48) -> ConversionMap:
+    """StepVideoModel (modules/model.py:738-920) torch names → our
+    StepVideoModel tree. Run :func:`preprocess_split_headwise` on
+    ``attn1.wqkv`` → (wq, wk, wv) and ``attn2.wkv`` → (wk, wv) first."""
+    dg = t_dense_general(heads)
+    blk = r"transformer_blocks\.(\d+)\."
+    return ConversionMap([
+        (r"pos_embed\.proj\.weight", r"patch_embed/kernel",
+         _t_conv2d_to_patch3d),
+        (r"pos_embed\.proj\.bias", r"patch_embed/bias", None),
+        (r"adaln_single\.emb\.timestep_embedder\.linear_1\.weight",
+         r"t_embedder/fc1/kernel", t_linear),
+        (r"adaln_single\.emb\.timestep_embedder\.linear_1\.bias",
+         r"t_embedder/fc1/bias", None),
+        (r"adaln_single\.emb\.timestep_embedder\.linear_2\.weight",
+         r"t_embedder/fc2/kernel", t_linear),
+        (r"adaln_single\.emb\.timestep_embedder\.linear_2\.bias",
+         r"t_embedder/fc2/bias", None),
+        (r"adaln_single\.linear\.weight", r"t_block/kernel", t_linear),
+        (r"adaln_single\.linear\.bias", r"t_block/bias", None),
+        (r"caption_projection\.linear_1\.weight", r"caption_fc1/kernel",
+         t_linear),
+        (r"caption_projection\.linear_1\.bias", r"caption_fc1/bias", None),
+        (r"caption_projection\.linear_2\.weight", r"caption_fc2/kernel",
+         t_linear),
+        (r"caption_projection\.linear_2\.bias", r"caption_fc2/bias", None),
+        (r"clip_projection\.weight", r"clip_proj/kernel", t_linear),
+        (r"clip_projection\.bias", r"clip_proj/bias", None),
+        (rf"{blk}norm1\.weight", r"block_\1/norm1/scale", None),
+        (rf"{blk}norm1\.bias", r"block_\1/norm1/bias", None),
+        (rf"{blk}norm2\.weight", r"block_\1/norm2/scale", None),
+        (rf"{blk}norm2\.bias", r"block_\1/norm2/bias", None),
+        (rf"{blk}attn1\.wq\.weight", r"block_\1/self_q/kernel", dg),
+        (rf"{blk}attn1\.wk\.weight", r"block_\1/self_k/kernel", dg),
+        (rf"{blk}attn1\.wv\.weight", r"block_\1/self_v/kernel", dg),
+        (rf"{blk}attn1\.wo\.weight", r"block_\1/self_out/kernel",
+         t_linear),
+        (rf"{blk}attn1\.q_norm\.weight", r"block_\1/q_norm/scale", None),
+        (rf"{blk}attn1\.k_norm\.weight", r"block_\1/k_norm/scale", None),
+        (rf"{blk}attn2\.wq\.weight", r"block_\1/cross_q/kernel", dg),
+        (rf"{blk}attn2\.wk\.weight", r"block_\1/cross_k/kernel", dg),
+        (rf"{blk}attn2\.wv\.weight", r"block_\1/cross_v/kernel", dg),
+        (rf"{blk}attn2\.wo\.weight", r"block_\1/cross_out/kernel",
+         t_linear),
+        (rf"{blk}attn2\.q_norm\.weight", r"block_\1/cross_q_norm/scale",
+         None),
+        (rf"{blk}attn2\.k_norm\.weight", r"block_\1/cross_k_norm/scale",
+         None),
+        (rf"{blk}ff\.net\.0\.proj\.weight", r"block_\1/ffn1/kernel",
+         t_linear),
+        (rf"{blk}ff\.net\.2\.weight", r"block_\1/ffn2/kernel", t_linear),
+        (rf"{blk}scale_shift_table", r"block_\1/scale_shift_table",
+         _identity),
+        (r"^scale_shift_table$", r"final_scale_shift_table", _identity),
+        (r"proj_out\.weight", r"final_proj/kernel", t_linear),
+        (r"proj_out\.bias", r"final_proj/bias", None),
+    ])
+
+
 def llava_projector_map() -> ConversionMap:
     """HF LLaVA ``multi_modal_projector`` (linear_1 → GELU → linear_2) →
     videotuna_tpu LlavaProjector tree."""
