@@ -808,6 +808,144 @@ def _bench_wan14b_fp8(n_steps: int = 2, frames: int = 21, hh: int = 60,
             "vs_baseline": round(sps / (50.0 / 1920.0), 3)}
 
 
+def _mixed_fp8_params(model, args, block_names, **init_kw):
+    """Host-fabricated param tree with the big block KERNELS in fp8 and
+    everything else bf16, device_put once. flax modules with an explicit
+    ``dtype`` cast params to it at use sites; inside ``nn.scan`` the cast
+    consumes the per-iteration dynamic-slice of the stacked fp8 params, so
+    XLA cannot hoist it — each layer dequantizes transiently in-loop.
+    This is the zero-model-change form of the hunyuan fp8 chunked-stage
+    bench (fp8 weights resident, bf16 compute — the reference's fp8
+    deployment mode, hyvideo fp8_optimization.py)."""
+    import functools
+
+    import jax.tree_util as jtu
+    import numpy as np
+    from ml_dtypes import bfloat16 as np_bf16
+    from ml_dtypes import float8_e4m3fn as np_fp8
+    shapes = jax.eval_shape(
+        functools.partial(model.init, jax.random.key(0), **init_kw),
+        *args)["params"]
+
+    def mk(path, s):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        is_fp8 = keys and keys[-1] == "kernel" and \
+            any(k in block_names for k in keys)
+        return np.zeros(s.shape, np_fp8 if is_fp8 else np_bf16)
+
+    host = jtu.tree_map_with_path(mk, shapes)
+    return jax.device_put(host)
+
+
+def _bench_stepvideo_class(layers: int = 20, n_steps: int = 3,
+                           frames: int = 7, hh: int = 34, ww: int = 62):
+    """StepVideo-30B class (BASELINE README.md:173: 51f 544×992, 8 min /
+    61 GB on H800): dim 6144 / 48 heads / ffn 24576 geometry with
+    ``layers`` of the 48 blocks fp8-resident (full depth = 30 GB fp8,
+    beyond one v5e's 16 GB HBM — per-layer time is depth-independent
+    since every block is identical; full-depth needs the tp=4 mesh in
+    configs/009_stepvideo). CFG-doubled batch, 320 caption + 77 CLIP
+    context tokens, 7×34×62 latents."""
+    from videotuna_tpu.models.stepvideo.dit import StepVideoModel
+    b, d, s_ctx = 2, 6144, 320 + 77
+    model = StepVideoModel(in_channels=64, out_channels=64, dim=d,
+                           ffn_dim=4 * d, num_layers=layers, heads=48,
+                           text_dim=6144, clip_dim=1024,
+                           dtype=jnp.bfloat16, scan_blocks=True)
+    x = jnp.zeros((b, frames, hh, ww, 64))
+    t = jnp.zeros((b,))
+    cap = jnp.zeros((b, 320, 6144))
+    clip = jnp.zeros((b, 77, 1024))
+    params = _mixed_fp8_params(model, (x, t, cap, clip), ("blocks",))
+    resident = sum(a.nbytes for a in jax.tree.leaves(params))
+
+    fn = jax.jit(lambda p, xx: model.apply({"params": p}, xx, t, cap,
+                                           clip))
+    sps = _chain_and_time(lambda xx: fn(params, xx), x, n_steps)
+    seq = frames * hh * ww
+    per_layer = (8 + 16) * seq * d * d + 4 * seq * seq * d \
+        + 4 * seq * d * d + 4 * s_ctx * d * d + 4 * seq * s_ctx * d
+    mfu = b * layers * per_layer * sps / V5E_PEAK_BF16
+    return {"metric": "stepvideo30b_class_denoise_steps_per_sec",
+            "value": round(sps, 4),
+            "unit": f"steps/s MEASURED ({layers}/48 layers dim {d} fp8-"
+                    f"resident {resident / 1e9:.1f} GB, in-scan bf16 "
+                    f"dequant, CFG-doubled 7x34x62 latents)",
+            "mfu": round(mfu, 4),
+            "fp8_resident_gb": round(resident / 1e9, 1),
+            "ms_per_layer": round(1e3 / (sps * layers), 2),
+            # H800 row: 50 steps in 8 min at FULL 48-layer depth
+            "vs_baseline_at_measured_depth": round(
+                sps / (50.0 / 480.0 * 48.0 / layers), 3)}
+
+
+def _bench_mochi_fp8(n_steps: int = 3, frames: int = 14, hh: int = 60,
+                     ww: int = 106):
+    """Mochi-1 10B (BASELINE README.md:174: 84f 480×848, 2 min / 26 GB on
+    H800): FULL-depth AsymmDiT (48 layers, dim 3072/1536) fp8-resident
+    (~10 GB), true-CFG doubled batch, 14×60×106 latents (6× temporal /
+    8× spatial VAE), 256 T5 tokens."""
+    from videotuna_tpu.models.mochi.dit import MochiDiT
+    b = 2
+    model = MochiDiT(in_channels=12, dim=3072, dim_y=1536, depth=48,
+                     heads=24, patch_size=2, caption_channels=4096,
+                     dtype=jnp.bfloat16, scan_blocks=True)
+    x = jnp.zeros((b, frames, hh, ww, 12))
+    t = jnp.zeros((b,))
+    y = jnp.zeros((b, 256, 4096))
+    mask = jnp.ones((b, 256), bool)
+    params = _mixed_fp8_params(model, (x, t, y, mask),
+                               ("blocks", "block_47"))
+    resident = sum(a.nbytes for a in jax.tree.leaves(params))
+
+    fn = jax.jit(lambda p, xx: model.apply({"params": p}, xx, t, y, mask))
+    sps = _chain_and_time(lambda xx: fn(params, xx), x, n_steps)
+    seq = frames * (hh // 2) * (ww // 2)
+    mfu = _dit_flops(seq, 3072, 48, b) * sps / V5E_PEAK_BF16
+    return {"metric": "mochi10b_full_depth_fp8_denoise_steps_per_sec",
+            "value": round(sps, 4),
+            "unit": "steps/s MEASURED (48 layers fp8-resident, in-scan "
+                    "bf16 dequant, CFG-doubled 14x60x106 latents)",
+            "mfu": round(mfu, 4),
+            "fp8_resident_gb": round(resident / 1e9, 1),
+            # H800 row: 64 flow steps in 2 min
+            "vs_baseline": round(sps / (64.0 / 120.0), 3)}
+
+
+def _bench_flux_fp8(n_steps: int = 6, hh: int = 48, ww: int = 85):
+    """Flux-dev 12B T2I (BASELINE README.md:202: 768×1360 in 4 s / 37 GB
+    on H800 ⇒ ~12.5 steps/s at 50 steps): FULL 19-double + 38-single
+    stack fp8-resident (~12 GB), guidance-distilled (no CFG doubling),
+    48×85 packed latent tokens + 512 T5 tokens."""
+    from videotuna_tpu.models.flux.dit import FluxModel
+    b = 1
+    model = FluxModel(dim=3072, heads=24, double_blocks=19,
+                      single_blocks=38, dtype=jnp.bfloat16,
+                      scan_blocks=True)
+    x = jnp.zeros((b, hh, ww, 64))
+    t = jnp.full((b,), 0.5)
+    y = jnp.zeros((b, 512, 4096))
+    pooled = jnp.zeros((b, 768))
+    g = jnp.full((b,), 3.5)
+    params = _mixed_fp8_params(model, (x, t, y, pooled, g),
+                               ("double_blocks", "single_blocks"))
+    resident = sum(a.nbytes for a in jax.tree.leaves(params))
+
+    fn = jax.jit(lambda p, xx: model.apply({"params": p}, xx, t, y,
+                                           pooled, g))
+    sps = _chain_and_time(lambda xx: fn(params, xx), x, n_steps)
+    seq = hh * ww + 512
+    eq_depth = 19 + 38 // 2        # single blocks ≈ half a double block
+    mfu = _dit_flops(seq, 3072, eq_depth, b) * sps / V5E_PEAK_BF16
+    return {"metric": "flux_dev_fp8_denoise_steps_per_sec",
+            "value": round(sps, 4),
+            "unit": "steps/s MEASURED (19dbl+38sgl fp8-resident, in-scan "
+                    "bf16 dequant, 768x1360 = 4080+512 tokens)",
+            "mfu": round(mfu, 4),
+            "fp8_resident_gb": round(resident / 1e9, 1),
+            "vs_baseline": round(sps / 12.5, 4)}
+
+
 def _bench_vc2_unet(n_steps: int = 10, frames: int = 16, hh: int = 40,
                     ww: int = 64):
     """VideoCrafter2 UNet3D inference step (16f 320×512 latents 40×64,
@@ -910,6 +1048,9 @@ SUITE_BENCHES = {
     "hunyuan13b_full_fp8": lambda: _bench_hunyuan13b_fp8(),
     "wan14b": lambda: _bench_wan14b(),
     "wan14b_fp8": lambda: _bench_wan14b_fp8(),
+    "stepvideo_class": lambda: _bench_stepvideo_class(),
+    "mochi_fp8": lambda: _bench_mochi_fp8(),
+    "flux_fp8": lambda: _bench_flux_fp8(),
     "vc2_unet": lambda: _bench_vc2_unet(),
     "hunyuan_lora_train": lambda: _bench_hunyuan_lora_train(),
 }
