@@ -147,3 +147,47 @@ class TestViCLIPWiring:
         assert tok.decode([i for i in ids[0]
                            if i not in (tok.sot_id, tok.eot_id, 0)]) == \
             "a photo of a cat"
+
+
+class TestLeaderboardScore:
+    """Faithful VBench leaderboard scaling (reference tabular_score.py)."""
+
+    def test_all_at_max_gives_total_one(self):
+        from videotuna_tpu.evalkit.runner import (NORMALIZE_DIC,
+                                                  leaderboard_score)
+        summary = {d.replace(" ", "_"): hi
+                   for d, (lo, hi) in NORMALIZE_DIC.items()}
+        lb = leaderboard_score(summary)
+        assert abs(lb["quality score"] - 1.0) < 1e-9
+        assert abs(lb["semantic score"] - 1.0) < 1e-9
+        assert abs(lb["total score"] - 1.0) < 1e-9
+
+    def test_minmax_weight_and_total_formula(self):
+        from videotuna_tpu.evalkit.runner import (NORMALIZE_DIC,
+                                                  leaderboard_score)
+        # midpoint of every range → scaled 0.5·weight; quality mean stays
+        # 0.5 (dynamic degree's 0.5 weight divides out), total = 0.5
+        summary = {d.replace(" ", "_"): (lo + hi) / 2
+                   for d, (lo, hi) in NORMALIZE_DIC.items()}
+        lb = leaderboard_score(summary)
+        assert abs(lb["subject consistency"] - 0.5) < 1e-9
+        assert abs(lb["dynamic degree"] - 0.25) < 1e-9   # ×0.5 weight
+        assert abs(lb["quality score"] - 0.5) < 1e-9
+        assert abs(lb["total score"] - 0.5) < 1e-9
+
+    def test_proxy_dims_flagged_and_partial_aggregates(self):
+        from videotuna_tpu.evalkit.runner import leaderboard_score
+        lb = leaderboard_score({"imaging_quality_proxy": 0.7,
+                                "subject_consistency": 1.0})
+        assert "imaging quality" in lb
+        assert lb["_proxy_dimensions"] == ["imaging quality"]
+        assert "quality score" not in lb        # incomplete member set
+        assert "total score" not in lb
+
+    def test_tabular_includes_leaderboard_block(self):
+        from videotuna_tpu.evalkit.runner import (NORMALIZE_DIC,
+                                                  tabular_score)
+        summary = {d.replace(" ", "_"): hi
+                   for d, (lo, hi) in NORMALIZE_DIC.items()}
+        txt = tabular_score({"summary": summary})
+        assert "total score" in txt and "100.00%" in txt

@@ -110,6 +110,7 @@ def evaluate_directory(videos_dir: str,
         vals = [r[d] for r in results.values() if d in r]
         summary[d] = float(np.mean(vals)) if vals else None
     final = {"per_video": results, "summary": summary,
+             "leaderboard": leaderboard_score(summary),
              "num_videos": len(files)}
     out = output_path or str(vdir / "final_results.json")
     with open(out, "w") as f:
@@ -117,9 +118,79 @@ def evaluate_directory(videos_dir: str,
     return final
 
 
+# VBench leaderboard constants (reference eval/scripts/tabular_score.py
+# :10-68 — published normalization bounds and dimension weights)
+QUALITY_LIST = ["subject consistency", "background consistency",
+                "temporal flickering", "motion smoothness",
+                "aesthetic quality", "imaging quality", "dynamic degree"]
+SEMANTIC_LIST = ["object class", "multiple objects", "human action",
+                 "color", "spatial relationship", "scene",
+                 "appearance style", "temporal style",
+                 "overall consistency"]
+NORMALIZE_DIC = {
+    "subject consistency": (0.1462, 1.0),
+    "background consistency": (0.2615, 1.0),
+    "temporal flickering": (0.6293, 1.0),
+    "motion smoothness": (0.706, 0.9975),
+    "dynamic degree": (0.0, 1.0),
+    "aesthetic quality": (0.0, 1.0),
+    "imaging quality": (0.0, 1.0),
+    "object class": (0.0, 1.0),
+    "multiple objects": (0.0, 1.0),
+    "human action": (0.0, 1.0),
+    "color": (0.0, 1.0),
+    "spatial relationship": (0.0, 1.0),
+    "scene": (0.0, 0.8222),
+    "appearance style": (0.0009, 0.2855),
+    "temporal style": (0.0, 0.364),
+    "overall consistency": (0.0, 0.364),
+}
+DIM_WEIGHT = {d: 1.0 for d in NORMALIZE_DIC}
+DIM_WEIGHT["dynamic degree"] = 0.5
+QUALITY_WEIGHT, SEMANTIC_WEIGHT = 4.0, 1.0
+
+
+def leaderboard_score(summary: Dict[str, float]) -> Dict[str, float]:
+    """VBench leaderboard scaling (tabular_score.py:93-124): per-dimension
+    min-max normalization × dimension weight, then weighted quality /
+    semantic means and the 4:1 total. ``*_proxy`` dimensions scale under
+    their base name but flag the result as partial; quality/semantic/total
+    appear only when every member dimension was evaluated."""
+    scaled: Dict[str, float] = {}
+    proxies = []
+    for key, val in summary.items():
+        if val is None:
+            continue
+        base = key[:-6] if key.endswith("_proxy") else key
+        dim = base.replace("_", " ")
+        if dim not in NORMALIZE_DIC:
+            continue
+        lo, hi = NORMALIZE_DIC[dim]
+        scaled[dim] = (float(val) - lo) / (hi - lo) * DIM_WEIGHT[dim]
+        if key.endswith("_proxy"):
+            proxies.append(dim)
+    out: Dict[str, float] = dict(scaled)
+    if all(d in scaled for d in QUALITY_LIST):
+        out["quality score"] = (sum(scaled[d] for d in QUALITY_LIST)
+                                / sum(DIM_WEIGHT[d] for d in QUALITY_LIST))
+    if all(d in scaled for d in SEMANTIC_LIST):
+        out["semantic score"] = (sum(scaled[d] for d in SEMANTIC_LIST)
+                                 / sum(DIM_WEIGHT[d]
+                                       for d in SEMANTIC_LIST))
+    if "quality score" in out and "semantic score" in out:
+        out["total score"] = (
+            out["quality score"] * QUALITY_WEIGHT
+            + out["semantic score"] * SEMANTIC_WEIGHT
+        ) / (QUALITY_WEIGHT + SEMANTIC_WEIGHT)
+    if proxies:
+        out["_proxy_dimensions"] = proxies
+    return out
+
+
 def tabular_score(final_results: Dict) -> str:
     """Aligned text table of dimension scores (eval/scripts/
-    tabular_score.py analogue)."""
+    tabular_score.py analogue), followed by the leaderboard-scaled
+    quality/semantic/total block when all member dimensions exist."""
     rows = [(k, v) for k, v in final_results["summary"].items()
             if v is not None]
     width = max((len(k) for k, _ in rows), default=10) + 2
@@ -131,6 +202,16 @@ def tabular_score(final_results: Dict) -> str:
         mean = float(np.mean([v for _, v in rows]))
         lines.append("-" * (width + 6))
         lines.append(f"{'mean'.ljust(width)}{mean:.4f}")
+    lb = leaderboard_score(final_results["summary"])
+    picks = [k for k in ("total score", "quality score", "semantic score")
+             if k in lb]
+    if picks:
+        lines.append("-" * (width + 6))
+        for k in picks:
+            lines.append(f"{k.ljust(width)}{lb[k] * 100:.2f}%")
+        if lb.get("_proxy_dimensions"):
+            lines.append("(proxy dims in aggregate: "
+                         + ", ".join(lb["_proxy_dimensions"]) + ")")
     return "\n".join(lines)
 
 
