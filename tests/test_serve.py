@@ -195,3 +195,76 @@ class TestBackpressure:
         assert {"requests_served", "requests_rejected",
                 "requests_timed_out", "queue_depth",
                 "max_queue"} <= set(m)
+
+
+class TestContinuousBatching:
+    """HTTP-level continuous batching: requests board the rolling denoise
+    batch mid-flight (serving/continuous.py engine behind the service)."""
+
+    def _service(self, tmp_path, slots=2):
+        import jax
+        import jax.numpy as jnp
+        from videotuna_tpu.cli.serve import ContinuousBatchingService
+        from videotuna_tpu.schedulers import FlowMatchSchedule
+
+        class TinyFlow:
+            latent_channels = 4
+            scheduler = FlowMatchSchedule.create(num_steps=3, shift=1.0)
+            params = {}
+
+            def latent_shape(self, b, f, h, w):
+                return (b, f, h // 8, w // 8, 4)
+
+            def denoise_apply(self, params, x, t, cond):
+                y = cond["y"].mean(axis=(1, 2))
+                return jnp.tanh(x) + y.reshape(-1, 1, 1, 1, 1) * 0.1
+
+            def encode_text(self, params, texts):
+                v = float(len(texts[0]))
+                return {"y": jnp.full((1, 2, 4), v / 100.0)}
+
+            def decode_latents(self, params, z):
+                # tiny 'VAE': upsample to pixels in [0,1]
+                z = jnp.clip(z * 0.1 + 0.5, 0, 1)
+                return jnp.repeat(jnp.repeat(z[..., :3], 8, 2), 8, 3)
+
+        cfg = {"inference": {"height": 32, "width": 32, "frames": 2,
+                             "savedir": str(tmp_path),
+                             "unconditional_guidance_scale": 3.0}}
+        return ContinuousBatchingService(cfg, slots=slots, flow=TinyFlow())
+
+    def test_concurrent_requests_complete(self, tmp_path):
+        import threading
+        svc = self._service(tmp_path, slots=2)
+        results, errors = {}, {}
+
+        def worker(i):
+            try:
+                results[i] = svc.generate(
+                    {"prompt": f"prompt {i}", "seed": i})
+            except Exception as e:  # noqa: BLE001
+                errors[i] = e
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]            # 4 requests > 2 slots
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        svc.shutdown()
+        assert not errors, errors
+        assert sorted(results) == [0, 1, 2, 3]
+        for r in results.values():
+            assert r["continuous"] and len(r["videos"]) == 1
+        import os
+        assert all(os.path.exists(r["videos"][0])
+                   for r in results.values())
+
+    def test_geometry_mismatch_rejected(self, tmp_path):
+        svc = self._service(tmp_path)
+        try:
+            import pytest
+            with pytest.raises(ValueError, match="fixed geometry"):
+                svc.generate({"prompt": "x", "height": 64})
+        finally:
+            svc.shutdown()

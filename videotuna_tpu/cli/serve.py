@@ -43,16 +43,19 @@ class InferenceService:
     backpressure — VERDICT r2 weak-6)."""
 
     def __init__(self, config: Dict[str, Any], max_queue: int = 32,
-                 request_timeout_s: float = 600.0):
+                 request_timeout_s: float = 600.0, flow: Any = None):
         populate()
         self.config = config
-        self.flow = instantiate(config["flow"])
-        ckpt = config["flow"].get("pretrained")
-        if ckpt:
-            self.flow.from_pretrained(ckpt)
+        if flow is not None:
+            self.flow = flow               # pre-built (tests, embedding)
         else:
-            self.flow.init_params(
-                seed=int(config.get("inference", {}).get("seed", 0)))
+            self.flow = instantiate(config["flow"])
+            ckpt = config["flow"].get("pretrained")
+            if ckpt:
+                self.flow.from_pretrained(ckpt)
+            else:
+                self.flow.init_params(
+                    seed=int(config.get("inference", {}).get("seed", 0)))
         self.lock = threading.Lock()
         self.max_queue = max_queue
         self.request_timeout = request_timeout_s
@@ -237,6 +240,145 @@ class BatchingInferenceService(InferenceService):
         return self.flow.inference(cfg)
 
 
+class ContinuousBatchingService(InferenceService):
+    """STEP-LEVEL continuous batching (serving/continuous.py): requests
+    board the rolling denoise batch at the next step boundary instead of
+    waiting for a whole batch run — the chip never idles while slots are
+    free. Geometry (height/width/frames/cfg) is fixed per deployment from
+    the config, so one compiled step program serves every arrival
+    pattern; mismatched-geometry requests are rejected with 400."""
+
+    def __init__(self, config: Dict[str, Any], slots: int = 4,
+                 max_queue: int = 32, request_timeout_s: float = 600.0,
+                 flow: Any = None):
+        super().__init__(config, max_queue=max_queue,
+                         request_timeout_s=request_timeout_s, flow=flow)
+        import collections
+
+        from videotuna_tpu.serving import ContinuousBatchEngine
+        inf = dict(self.config.get("inference", {}))
+        self.geometry = {
+            "height": int(inf.get("height", 256)),
+            "width": int(inf.get("width", 256)),
+            "frames": int(inf.get("frames", 16)),
+        }
+        self.cfg_scale = float(inf.get("unconditional_guidance_scale", 7.5))
+        self.fps = int(inf.get("fps", 8))
+        self.savedir = inf.get("savedir", "results/serve")
+        self.engine = ContinuousBatchEngine(
+            self.flow, slots=slots, frames=self.geometry["frames"],
+            height=self.geometry["height"], width=self.geometry["width"],
+            cfg_scale=self.cfg_scale)
+        self._uncond1 = None
+        self._pending: Any = collections.deque()
+        self._slot_items: Dict[int, Dict[str, Any]] = {}
+        self._cv = threading.Condition()
+        self._running = True
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    @property
+    def queue_depth(self) -> int:
+        return len(self._pending) + self.engine.n_active
+
+    def shutdown(self):
+        with self._cv:
+            self._running = False
+            self._cv.notify_all()
+        self._worker.join(timeout=10)
+
+    def generate(self, request: Dict[str, Any]) -> Dict[str, Any]:
+        for k, v in self.geometry.items():
+            if k in request and int(request[k]) != v:
+                raise ValueError(
+                    f"continuous serving runs fixed geometry "
+                    f"{self.geometry}; got {k}={request[k]}")
+        item = {"req": request, "event": threading.Event(),
+                "result": None, "error": None, "t0": time.perf_counter()}
+        with self._cv:
+            if len(self._pending) >= self.max_queue:
+                self.requests_rejected += 1
+                raise ServiceBusy(
+                    f"queue full ({len(self._pending)}/{self.max_queue})")
+            self._pending.append(item)
+            self._cv.notify()
+        if not item["event"].wait(timeout=self.request_timeout):
+            self.requests_timed_out += 1
+            raise ServiceTimeout(
+                f"request exceeded {self.request_timeout}s deadline")
+        if item["error"] is not None:
+            raise RuntimeError(item["error"])
+        return item["result"]
+
+    def _admit(self):
+        """Board pending requests onto free slots (text encode happens
+        here, serialized with the step loop — single chip)."""
+        import jax
+        import jax.numpy as jnp
+        while self._pending and self.engine.n_active < self.engine.slots:
+            with self._cv:
+                if not self._pending:
+                    return
+                item = self._pending.popleft()
+            try:
+                req = item["req"]
+                prompt = str(req.get("prompt", ""))
+                cond = self.flow.encode_text(self.flow.params, [prompt])
+                if self._uncond1 is None:
+                    neg = str(req.get("negative_prompt", ""))
+                    self._uncond1 = self.flow.encode_text(
+                        self.flow.params, [neg])
+                seed = int(req.get("seed", 0))
+                shape1 = self.flow.latent_shape(
+                    1, self.geometry["frames"], self.geometry["height"],
+                    self.geometry["width"])
+                x_t = jax.random.normal(jax.random.key(seed), shape1)
+                slot = self.engine.submit(x_t, cond, self._uncond1)
+                assert slot is not None
+                item["prompt"] = prompt
+                self._slot_items[slot] = item
+            except Exception as e:  # noqa: BLE001 — fail just this item
+                item["error"] = str(e)
+                item["event"].set()
+
+    def _finish(self, slot: int, latents):
+        from videotuna_tpu.data.video_io import save_video
+        from videotuna_tpu.flows.generation import savename
+        import numpy as np
+        import os
+        item = self._slot_items.pop(slot)
+        try:
+            vid = self.flow.decode_latents(self.flow.params, latents)
+            vid = np.asarray(vid)[0]
+            os.makedirs(self.savedir, exist_ok=True)
+            name = savename(item.get("prompt", ""), self.requests_served, 0)
+            path = save_video(vid, os.path.join(self.savedir, name),
+                              fps=self.fps)
+            self.requests_served += 1
+            item["result"] = {
+                "videos": [path],
+                "time_sec": round(time.perf_counter() - item["t0"], 3),
+                "continuous": True}
+        except Exception as e:  # noqa: BLE001
+            item["error"] = str(e)
+        finally:
+            item["event"].set()
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while self._running and not self._pending \
+                        and not self.engine.n_active:
+                    self._cv.wait()
+                if not self._running:
+                    return
+            self._admit()
+            if self.engine.n_active:
+                self.engine.step()
+                for slot, z in self.engine.poll_completed():
+                    self._finish(slot, z)
+
+
 def make_handler(service: InferenceService):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -300,9 +442,14 @@ def make_handler(service: InferenceService):
 def serve(config: Dict[str, Any], port: int = 8000,
           host: str = "127.0.0.1", max_batch: int = 1,
           max_wait_ms: float = 50.0, max_queue: int = 32,
-          request_timeout_s: float = 600.0) -> ThreadingHTTPServer:
-    if max_batch > 1:
-        service: InferenceService = BatchingInferenceService(
+          request_timeout_s: float = 600.0,
+          continuous_slots: int = 0) -> ThreadingHTTPServer:
+    if continuous_slots > 0:
+        service: InferenceService = ContinuousBatchingService(
+            config, slots=continuous_slots, max_queue=max_queue,
+            request_timeout_s=request_timeout_s)
+    elif max_batch > 1:
+        service = BatchingInferenceService(
             config, max_batch=max_batch, max_wait_ms=max_wait_ms,
             max_queue=max_queue, request_timeout_s=request_timeout_s)
     else:
@@ -326,13 +473,16 @@ def main(argv=None):
                          "HTTP 429")
     ap.add_argument("--request_timeout_s", type=float, default=600.0,
                     help="per-request deadline → HTTP 504")
+    ap.add_argument("--continuous_slots", type=int, default=0,
+                    help=">0 enables STEP-LEVEL continuous batching with "
+                         "this many rolling slots (fixed geometry)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
     config = apply_inference_mapping(load_configs(args.config,
                                                   args.overrides))
     server = serve(config, args.port, args.host, args.max_batch,
                    args.max_wait_ms, args.max_queue,
-                   args.request_timeout_s)
+                   args.request_timeout_s, args.continuous_slots)
     print(f"[videotuna-tpu] serving {config['flow']['target']} "
           f"on {args.host}:{args.port}")
     server.serve_forever()
