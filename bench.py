@@ -1054,6 +1054,58 @@ def _bench_hunyuan_lora_train(double: int = 5, single: int = 10,
                     "bf16+remat)",
             "vs_baseline": None}
 
+def _bench_cogvideox_lora_train(depth: int = 42, n_steps: int = 3,
+                                frames: int = 13, hh: int = 60,
+                                ww: int = 90, dim: int = 3072,
+                                heads: int = 48, rank: int = 32):
+    """CogVideoX-5B LoRA fine-tune step at FULL depth and the north-star
+    49f 480×720 geometry (BASELINE README.md:218: 'CogVideoX LoRA, 1
+    GPU'): fwd+bwd+adamw on rank-32 deltas over frozen bf16 base params
+    (10 GB — fits resident), remat'd blocks, no CFG doubling (training)."""
+    import optax
+    from videotuna_tpu.models.cogvideo.mmdit import CogVideoXTransformer
+    from videotuna_tpu.training.lora import (default_match, init_lora,
+                                             merge_lora)
+    model = CogVideoXTransformer(dim=dim, num_layers=depth, heads=heads,
+                                 dtype=jnp.bfloat16, scan_blocks=True,
+                                 remat=True)
+    b = 1
+    x = jnp.zeros((b, frames, hh, ww, 16))
+    t = jnp.zeros((b,), jnp.int32)
+    y = jnp.zeros((b, 226, 4096))
+    base = _bf16_params(model, x, t, y)
+    lora = init_lora(base, rank=rank, match=default_match,
+                     dtype=jnp.bfloat16)
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(lora)
+
+    def loss_fn(lr, bp, xx):
+        merged = merge_lora(bp, lr, 1.0)
+        out = model.apply({"params": merged}, xx, t, y)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    @jax.jit
+    def train_step(lr, bp, os_, xx):
+        loss, g = jax.value_and_grad(loss_fn)(lr, bp, xx)
+        upd, os2 = opt.update(g, os_, lr)
+        return optax.apply_updates(lr, upd), os2, loss
+
+    lora, opt_state, loss = train_step(lora, base, opt_state, x)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        lora, opt_state, loss = train_step(lora, base, opt_state, x)
+    _ = float(loss)
+    sps = n_steps / (time.perf_counter() - t0)
+    n_lora = sum(int(a.size) for a in jax.tree.leaves(lora))
+    return {"metric": "cogvideox_lora_train_steps_per_sec",
+            "value": round(sps, 3),
+            "unit": f"train steps/s (FULL depth {depth}, rank {rank} LoRA "
+                    f"= {n_lora / 1e6:.0f}M deltas, 13x60x90 latents, "
+                    "bf16+remat)",
+            "vs_baseline": None}
+
+
 SUITE_BENCHES = {
     "stdit": lambda: dict(zip(("value", "unit"), _bench_partitioned())),
     "stdit_train": lambda: _bench_train_stdit(),
@@ -1072,6 +1124,7 @@ SUITE_BENCHES = {
     "flux_fp8": lambda: _bench_flux_fp8(),
     "vc2_unet": lambda: _bench_vc2_unet(),
     "hunyuan_lora_train": lambda: _bench_hunyuan_lora_train(),
+    "cogvideox_lora_train": lambda: _bench_cogvideox_lora_train(),
 }
 
 # diagnosis-only benches: reachable via --one / --merge, excluded from
