@@ -75,3 +75,38 @@ class TestCkptCLI:
         main(["inspect", "--path", str(tmp_path)])
         out = capsys.readouterr().out
         assert "denoiser" in out and "tensors" in out
+
+
+class TestVriptConverter:
+    def test_vript_layout_to_csv(self, tmp_path):
+        import json
+        from videotuna_tpu.tools.dataset_tools import \
+            convert_vript_annotations
+
+        root = tmp_path / "clips"
+        clip_dir = root / "batch_0" / "vid_a"
+        clip_dir.mkdir(parents=True)
+        frames = (np.random.rand(6, 16, 16, 3) * 255).astype(np.uint8)
+        save_video(frames / 255.0, str(clip_dir / "vid_a-Scene-001.mp4"),
+                   fps=4)
+        (clip_dir / "vid_a_cut_meta.json").write_text(json.dumps(
+            {"clips": [{"clip_id": "vid_a-Scene-001.mp4"}]}))
+        # a clip dir without meta must be skipped, not crash
+        (root / "batch_0" / "empty").mkdir()
+
+        anno = tmp_path / "captions.jsonl"
+        anno.write_text(
+            json.dumps({"clip_id": "vid_a-Scene-001",
+                        "caption": {"content": "a cat runs",
+                                    "shot": "wide shot."}}) + "\n"
+            + json.dumps({"clip_id": "missing", "caption": {}}) + "\n")
+
+        out = tmp_path / "out.csv"
+        n = convert_vript_annotations(str(anno), str(out), str(root))
+        assert n == 1
+        import csv as csvmod
+        rows = list(csvmod.DictReader(open(out)))
+        assert rows[0]["caption"] == "a cat runs. wide shot. "
+        assert rows[0]["path"].endswith("vid_a-Scene-001.mp4")
+        assert int(rows[0]["frames"]) == 6
+        assert int(rows[0]["height"]) == 16

@@ -106,3 +106,67 @@ def combine_videos_side_by_side(video_paths: Sequence[str], out_path: str,
         norm.append(v)
     grid = video_grid(norm, ncols=ncols or len(norm))
     return save_video(grid, out_path, fps=fps)
+
+
+def convert_vript_annotations(input_jsonl: str, output_csv: str,
+                              video_root: str) -> int:
+    """Vript dataset annotations → training CSV (reference
+    tools/vript_anno_converter.py:1-94): scan the two-level clip layout
+    for ``<name>_cut_meta.json`` files, read per-clip video metadata with
+    cv2, join against the captions jsonl (captions concatenated with
+    period normalization), and write the standard columns
+    path,caption,fps,frames,height,width. Returns the row count."""
+    import json
+
+    import cv2
+
+    root = Path(video_root)
+    video_dict = {}
+    for sub in sorted(p for p in root.iterdir() if p.is_dir()):
+        for clip_dir in sorted(p for p in sub.iterdir() if p.is_dir()):
+            meta_file = clip_dir / f"{clip_dir.name}_cut_meta.json"
+            if not meta_file.exists():
+                continue
+            try:
+                with open(meta_file) as f:
+                    video_meta = json.load(f)
+                for clip in video_meta.get("clips", []):
+                    vpath = clip_dir / clip["clip_id"]
+                    cap = cv2.VideoCapture(str(vpath))
+                    meta = {
+                        "path": str(vpath.relative_to(root)),
+                        "fps": cap.get(cv2.CAP_PROP_FPS),
+                        "frames": int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+                        "height": int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+                        "width": int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                    }
+                    cap.release()
+                    video_dict[os.path.splitext(clip["clip_id"])[0]] = meta
+            except Exception:  # noqa: BLE001 — skip broken clip dirs
+                continue
+
+    rows = []
+    with open(input_jsonl) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            data = json.loads(line)
+            meta = video_dict.get(data.get("clip_id"))
+            if meta is None:
+                continue
+            caption = ""
+            for text in data.get("caption", {}).values():
+                text = str(text)
+                if not text.endswith("."):
+                    text += "."
+                caption += text + " "
+            rows.append({**meta, "caption": caption})
+
+    cols = ["path", "caption", "fps", "frames", "height", "width"]
+    with open(output_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        for r in rows:
+            w.writerow({k: r[k] for k in cols})
+    return len(rows)
