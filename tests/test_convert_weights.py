@@ -171,3 +171,26 @@ class TestLoraConversion:
         assert set(out) == {"unet.attn.q", "unet.attn.k"}
         assert out["unet.attn.q"]["a"].shape == (64, 4)
         assert out["unet.attn.q"]["b"].shape == (4, 64)
+
+
+def test_split_lightning_components():
+    """Monolithic Lightning ckpt → per-component sub-dicts (the reference
+    tools/videocrafter_checkpoint_converter.py semantics)."""
+    import numpy as np
+    from videotuna_tpu.tools.convert_weights import \
+        split_lightning_components
+    sd = {
+        "model.diffusion_model.input_blocks.0.weight": np.zeros(2),
+        "first_stage_model.encoder.conv_in.weight": np.zeros(3),
+        "cond_stage_model.transformer.h.0.weight": np.zeros(4),
+        "img_cond_stage_model.visual.proj": np.zeros(5),
+        "betas": np.zeros(6),
+    }
+    comps = split_lightning_components(sd)
+    assert set(comps) == {"denoiser", "first_stage", "cond_stage",
+                          "cond_stage_2", "other"}
+    assert list(comps["denoiser"]) == ["input_blocks.0.weight"]
+    assert list(comps["first_stage"]) == ["encoder.conv_in.weight"]
+    assert list(comps["cond_stage"]) == ["transformer.h.0.weight"]
+    assert list(comps["cond_stage_2"]) == ["visual.proj"]
+    assert list(comps["other"]) == ["betas"]

@@ -79,6 +79,15 @@ FAMILIES = {
 def cmd_convert(args) -> None:
     sd = cw.load_torch_state_dict(args.src)
     print(f"loaded {len(sd)} torch tensors from {args.src}")
+    if getattr(args, "split_source", None):
+        comps = cw.split_lightning_components(sd)
+        if args.split_source not in comps:
+            raise SystemExit(
+                f"--split-source {args.split_source!r} not found; "
+                f"components present: {sorted(comps)}")
+        sd = comps[args.split_source]
+        print(f"split monolithic checkpoint: using component "
+              f"{args.split_source!r} ({len(sd)} tensors)")
     if args.family not in FAMILIES:
         raise SystemExit(f"unknown family {args.family!r}; "
                          f"available: {sorted(FAMILIES)}")
@@ -139,6 +148,10 @@ def main(argv=None) -> None:
     c.add_argument("--kv_heads", type=int, default=None)
     c.add_argument("--strict", action="store_true")
     c.add_argument("--scan-layout", action="store_true")
+    c.add_argument("--split-source", default=None, dest="split_source",
+                   help="for monolithic Lightning checkpoints: pick one "
+                        "component (denoiser/first_stage/cond_stage) "
+                        "before mapping")
     i = sub.add_parser("inspect")
     i.add_argument("--path", required=True)
     args = ap.parse_args(argv)

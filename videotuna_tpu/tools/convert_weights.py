@@ -69,6 +69,34 @@ def strip_prefixes(sd: Dict[str, np.ndarray],
     return out
 
 
+LIGHTNING_COMPONENT_PREFIXES = {
+    "denoiser": ("model.diffusion_model.", "denoiser."),
+    "first_stage": ("first_stage_model.", "first_stage."),
+    "cond_stage": ("cond_stage_model.", "cond_stage."),
+    "cond_stage_2": ("img_cond_stage_model.", "cond_stage_2."),
+}
+
+
+def split_lightning_components(sd: Dict[str, np.ndarray]
+                               ) -> Dict[str, Dict[str, np.ndarray]]:
+    """Split a MONOLITHIC Lightning checkpoint (VideoCrafter-style
+    ``model.ckpt`` holding denoiser + VAE + text encoder in one state
+    dict) into per-component sub-dicts with prefixes stripped — the
+    reference ships a dedicated script for this
+    (tools/videocrafter_checkpoint_converter.py:1-50). Keys matching no
+    known component land under ``"other"``."""
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, val in sd.items():
+        for comp, prefixes in LIGHTNING_COMPONENT_PREFIXES.items():
+            hit = next((p for p in prefixes if key.startswith(p)), None)
+            if hit is not None:
+                out.setdefault(comp, {})[key[len(hit):]] = val
+                break
+        else:
+            out.setdefault("other", {})[key] = val
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Layout transforms
 # ---------------------------------------------------------------------------
