@@ -106,3 +106,36 @@ def test_fsdp_train_step_allgather_bounded(devices8):
     assert ag <= 4 * pbytes + 1_000_000, (
         f"all-gather {ag / 1e6:.2f} MB > 4× params {pbytes / 1e6:.2f} MB: "
         f"{format_stats(stats)}")
+
+
+@pytest.mark.usefixtures("devices8")
+def test_ulysses_sp_alltoall_volume_is_qkvo(devices8):
+    """Ulysses SP's only communication is the head<->sequence resharding:
+    one all-to-all each for q, k, v and one for the output — total bytes
+    ~= 4x one activation tensor, NOT O(seq^2) and NOT param-sized. Pins
+    the resharding volume so an accidental gather/replicate in the SP
+    path shows up as a test failure."""
+    from videotuna_tpu.core.mesh import MeshConfig, make_mesh
+    from videotuna_tpu.parallel.sequence import sp_attention
+
+    mesh = make_mesh(MeshConfig(dp=2, sp=4), devices=jax.devices()[:8])
+    b, s, h, d = 2, 64, 8, 16
+    ks = jax.random.split(jax.random.key(0), 3)
+    q, k, v = (jax.random.normal(kk, (b, s, h, d)) for kk in ks)
+
+    with mesh:
+        fn = jax.jit(lambda q, k, v: sp_attention(
+            mesh, q, k, v, ulysses_axis="sp", batch_axes=("dp",)))
+        hlo = fn.lower(q, k, v).compile().as_text()
+    stats = collective_stats(hlo)
+    tensor_bytes = q.size * 4
+    a2a = stats.get("all-to-all", {"bytes": 0})["bytes"]
+    assert a2a > 0, f"no all-to-all found: {format_stats(stats)}"
+    # per-shard payload summed over 4 reshards; allow 2x slack for
+    # duplicated tuple shapes in the HLO text
+    assert a2a <= 2 * 4 * tensor_bytes, (
+        f"ulysses all-to-all {a2a / 1e6:.3f} MB > expected ~"
+        f"{4 * tensor_bytes / 1e6:.3f} MB: {format_stats(stats)}")
+    ag = stats.get("all-gather", {"bytes": 0})["bytes"]
+    assert ag <= tensor_bytes, (
+        f"unexpected all-gather in SP path: {format_stats(stats)}")
