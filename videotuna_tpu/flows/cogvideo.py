@@ -133,6 +133,18 @@ class CogVideoXFlow(GenerationFlow):
                                       timesteps=self.scheduler.timesteps)
         return self.scheduler.sample(denoise, shape, key)
 
+    def prepare_image_cond(self, params, cond, uncond, images, frames,
+                           height, width, key):
+        """i2v: first-frame latents concatenated on channels; the
+        reference's CFG pair shares the same image latents (text CFG
+        only, cogvideo_i2v pipeline)."""
+        lat = self.latent_shape(images.shape[0], frames, height, width)[1]
+        il = self.prepare_image_latents(params, images, lat, key)
+        cond = dict(cond, image_latents=il)
+        if uncond is not None:
+            uncond = dict(uncond, image_latents=il)
+        return cond, uncond
+
     def prepare_image_latents(self, params: Params, image: jnp.ndarray,
                               num_latent_frames: int,
                               key: jax.Array) -> jnp.ndarray:

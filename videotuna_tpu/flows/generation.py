@@ -159,6 +159,20 @@ class GenerationFlow:
         """Raw denoiser application; subclasses adapt the cond signature."""
         raise NotImplementedError
 
+    def prepare_image_cond(self, params: Params, cond: Dict[str, Any],
+                           uncond: Optional[Dict[str, Any]],
+                           images: jnp.ndarray, frames: int, height: int,
+                           width: int, key: jax.Array
+                           ) -> Tuple[Dict[str, Any],
+                                      Optional[Dict[str, Any]]]:
+        """Attach image conditioning to (cond, uncond) for i2v inference;
+        ``images``: (B, H, W, 3) in [-1, 1] at video resolution. Flows
+        with an i2v path override (the reference equivalent is each
+        pipeline's own image plumbing behind load_inputs_i2v)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support image-conditioned "
+            "(i2v) inference")
+
     # --------------------------------------------------------------- training
     def training_loss(self, params: Params, batch: Dict[str, Any],
                       key: jax.Array) -> Tuple[jnp.ndarray, Dict[str, Any]]:
@@ -234,7 +248,16 @@ class GenerationFlow:
         reference base/inference_base.py:17-258)."""
         inf = config.get("inference", config)
         savedir = inf.get("savedir", "results/run")
-        prompts = load_prompts(inf)
+        # i2v: a directory of (image, prompt) pairs (reference
+        # load_inputs_i2v protocol) routes through prepare_image_cond
+        input_dir = inf.get("input_dir") or inf.get("image_dir")
+        i2v_images = None
+        if input_dir:
+            _, i2v_images, prompts = load_inputs_i2v(
+                input_dir, (int(inf.get("height", 256)),
+                            int(inf.get("width", 256))))
+        else:
+            prompts = load_prompts(inf)
         bs = int(inf.get("bs", 1))
         n_samples = int(inf.get("n_samples_prompt", 1))
         height = int(inf.get("height", 256))
@@ -286,6 +309,10 @@ class GenerationFlow:
                 uncond = jax.tree.map(
                     lambda x: jnp.repeat(x, len(chunk), axis=0)
                     if hasattr(x, "ndim") and x.ndim >= 1 else x, uncond1)
+            if i2v_images is not None:
+                cond, uncond = self.prepare_image_cond(
+                    params, cond, uncond, i2v_images[i:i + len(chunk)],
+                    frames, height, width, keys("img_cond"))
             for s in range(n_samples):
                 videos = sample_fn(cond, uncond, keys("sample"))
                 videos = np.asarray(jax.device_get(videos))
@@ -313,6 +340,44 @@ class GenerationFlow:
                    "per_prompt_sec": per_prompt}
         save_metrics(metrics, savedir, config)
         return {"videos": results, "metrics": metrics}
+
+
+def load_inputs_i2v(input_dir: str, video_size: Tuple[int, int]
+                    ) -> Tuple[list, "jnp.ndarray", list]:
+    """(filenames, images, prompts) from an i2v input directory — the
+    reference protocol (utils/inference_utils.py:78-125): ONE .txt of
+    prompts (first sorted wins), images sorted by name and paired by
+    index, each short-side-resized + center-cropped to ``video_size`` and
+    normalized to [-1, 1]. Returns images channel-last (N, H, W, 3)."""
+    import cv2
+    import numpy as np
+
+    d = sorted(os.listdir(input_dir))
+    txts = [f for f in d if f.endswith(".txt")]
+    if not txts:
+        raise ValueError(f"found NO prompt .txt in {input_dir}")
+    with open(os.path.join(input_dir, txts[0])) as f:
+        prompts = [l.strip() for l in f if l.strip()]
+    img_files = [f for f in d if f.lower().endswith(
+        (".png", ".jpg", ".jpeg", ".webp"))]
+    if len(img_files) < len(prompts):
+        raise ValueError(
+            f"{len(prompts)} prompts but only {len(img_files)} images "
+            f"in {input_dir}")
+    hh, ww = video_size
+    images, names = [], []
+    for fname in img_files[:len(prompts)]:
+        img = cv2.imread(os.path.join(input_dir, fname))
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        h0, w0 = img.shape[:2]
+        scale = max(hh / h0, ww / w0)        # short-side resize
+        img = cv2.resize(img, (round(w0 * scale), round(h0 * scale)))
+        y0 = (img.shape[0] - hh) // 2
+        x0 = (img.shape[1] - ww) // 2
+        img = img[y0:y0 + hh, x0:x0 + ww]
+        images.append(img.astype(np.float32) / 127.5 - 1.0)
+        names.append(os.path.splitext(fname)[0])
+    return names, jnp.asarray(np.stack(images)), prompts
 
 
 def load_prompts(inf_config: Dict[str, Any]) -> list[str]:

@@ -147,6 +147,26 @@ class HunyuanVideoFlow(GenerationFlow):
         return {"y": jnp.asarray(y), "mask": jnp.asarray(np.asarray(mask)),
                 "pooled": pooled}
 
+    def prepare_image_cond(self, params, cond, uncond, images, frames,
+                           height, width, key):
+        """HunyuanVideo-I2V latent_concat conditioning: first-frame
+        latents zero-padded over latent time, concatenated on channels
+        (i2v_mode doubles the DiT's in_channels; token_replace i2v
+        additionally flows through the model's vec_tr path)."""
+        if not self.i2v_mode:
+            raise NotImplementedError(
+                "HunyuanVideoFlow i2v inference needs i2v_mode=true")
+        lat = self.latent_shape(images.shape[0], frames, height, width)[1]
+        vid = images[:, None]
+        z0 = self.encode_video(params, vid, key)
+        pad = jnp.zeros((z0.shape[0], lat - z0.shape[1], *z0.shape[2:]),
+                        z0.dtype)
+        il = jnp.concatenate([z0, pad], axis=1)
+        cond = dict(cond, image_latents=il)
+        if uncond is not None:
+            uncond = dict(uncond, image_latents=il)
+        return cond, uncond
+
     def denoise_apply(self, params: Params, x, t, cond,
                       temporal_rope_scale=None):
         if self.i2v_mode and cond.get("image_latents") is not None:

@@ -51,14 +51,18 @@ class VideocrafterFlow(GenerationFlow):
             if self.cond_stage is not None else 1024
         img_tokens = jnp.zeros((1, 4, ctx_dim)) if self.i2v_mode else None
         fps = jnp.ones((1,)) if self.fps_cond else None
+        in_ch = getattr(self.denoiser, "in_channels",
+                        self.latent_channels)
         ex = {
-            "denoiser": (jnp.zeros((1, 2, 16, 16, self.latent_channels)),
+            "denoiser": (jnp.zeros((1, 2, 16, 16, in_ch)),
                          jnp.zeros((1,), jnp.int32),
                          jnp.zeros((1, 8, ctx_dim)),
                          img_tokens, fps),
             "first_stage": (jnp.zeros((1, 1, 32, 32, 3)),),
             "cond_stage": (jnp.zeros((1, 8), jnp.int32),),
         }
+        if self.cond_stage_2 is not None:
+            ex["cond_stage_2"] = (jnp.zeros((1, 32, 32, 3)),)
         return ex
 
     # --------------------------------------------------------------- encoders
@@ -79,8 +83,37 @@ class VideocrafterFlow(GenerationFlow):
             kwargs["fps"] = cond["fps"]
         if cond.get("context_img") is not None:
             kwargs["context_img"] = cond["context_img"]
+        if cond.get("img_latents") is not None:
+            # DynamiCrafter concat conditioning: the cond-frame latent is
+            # repeated per frame on channels (in_channels 8 = 4 + 4)
+            x = jnp.concatenate([x, cond["img_latents"]], axis=-1)
         return self.denoiser.apply({"params": params["denoiser"]},
                                    x, t, cond["y"], **kwargs)
+
+    def prepare_image_cond(self, params, cond, uncond, images, frames,
+                           height, width, key):
+        """DynamiCrafter / VC1-i2v conditioning: CLIP→resampler context
+        tokens for the UNet's image cross-attention, plus (when the UNet
+        takes 2× latent channels) the cond-frame latent repeated over
+        time. The image-uncond branch is handled separately by
+        multicond_cfg_denoise; the TEXT-uncond branch keeps the image."""
+        cond = dict(cond)
+        if self.cond_stage_2 is not None:
+            cond["context_img"] = self.cond_stage_2.apply(
+                {"params": params["cond_stage_2"]}, images)
+        in_ch = getattr(self.denoiser, "in_channels",
+                        self.latent_channels)
+        if in_ch > self.latent_channels:
+            z0 = self.encode_video(params, images[:, None], key)
+            lat = self.latent_shape(images.shape[0], frames, height,
+                                    width)[1]
+            cond["img_latents"] = jnp.repeat(z0, lat, axis=1)
+        if uncond is not None:
+            uncond = dict(uncond)
+            for k in ("context_img", "img_latents"):
+                if k in cond:
+                    uncond[k] = cond[k]
+        return cond, uncond
 
     # --------------------------------------------------------------- training
     def training_loss(self, params: Params, batch: Dict[str, Any],

@@ -57,7 +57,8 @@ class WanVideoFlow(GenerationFlow):
                     num_inference_steps, flow_shift)
 
     def example_inputs(self) -> Dict[str, Any]:
-        zc = self.latent_channels
+        # i2v DiTs take x + [mask ; first-frame latents] on channels
+        zc = getattr(self.denoiser, "in_channels", self.latent_channels)
         td = getattr(self.cond_stage, "dim", 4096) \
             if self.cond_stage is not None else 4096
         ex = {
@@ -71,6 +72,8 @@ class WanVideoFlow(GenerationFlow):
         if self.i2v_mode and getattr(self.denoiser, "img_dim", None):
             ex["denoiser"] = ex["denoiser"] + (
                 jnp.zeros((1, 4, self.denoiser.img_dim)),)
+        if self.cond_stage_2 is not None:
+            ex["cond_stage_2"] = (jnp.zeros((1, 32, 32, 3)),)
         return ex
 
     def latent_shape(self, batch, num_frames, height, width):
@@ -81,9 +84,43 @@ class WanVideoFlow(GenerationFlow):
                 self.latent_channels)
 
     def denoise_apply(self, params: Params, x, t, cond):
+        if cond.get("first_frame_latents") is not None:
+            # WanI2V channel concat: [mask ; padded first-frame latents]
+            # appended to x (reference image2video.py:373 y=concat(msk, y))
+            x = jnp.concatenate([x, cond["first_frame_latents"]], axis=-1)
         return self.denoiser.apply({"params": params["denoiser"]},
                                    x, t, cond["y"],
                                    cond.get("image_features"))
+
+    def prepare_image_cond(self, params, cond, uncond, images, frames,
+                           height, width, key):
+        """WanI2V: CLIP patch features for the blocks' image cross-attn +
+        masked first-frame latents concatenated on channels when the DiT
+        takes extra input channels (in_dim 36 = 16 x + 4 mask + 16 y)."""
+        cond = dict(cond)
+        if self.cond_stage_2 is not None:
+            cond["image_features"] = self.prepare_image_features(params,
+                                                                 images)
+        in_ch = getattr(self.denoiser, "in_channels",
+                        self.latent_channels)
+        extra = in_ch - self.latent_channels
+        if extra > 0:
+            lat = self.latent_shape(images.shape[0], frames, height,
+                                    width)[1]
+            ffl = self.prepare_first_frame_latents(params, images, lat,
+                                                   key)
+            n_mask = extra - ffl.shape[-1]
+            if n_mask > 0:
+                mask = jnp.zeros((*ffl.shape[:-1], n_mask), ffl.dtype)
+                mask = mask.at[:, 0].set(1.0)     # first frame known
+                ffl = jnp.concatenate([mask, ffl], axis=-1)
+            cond["first_frame_latents"] = ffl
+        if uncond is not None:
+            uncond = dict(uncond)
+            for k in ("image_features", "first_frame_latents"):
+                if k in cond:
+                    uncond[k] = cond[k]
+        return cond, uncond
 
     # ------------------------------------------------------------------ vae
     # The weight-faithful WanVAE standardizes latents with per-channel

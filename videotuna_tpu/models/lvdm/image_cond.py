@@ -145,3 +145,43 @@ class ImageProjModel(nn.Module):
         x = x.reshape(b, self.clip_extra_context_tokens,
                       self.cross_attention_dim)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+
+
+@register("videotuna_tpu.models.lvdm.ImageConditioner")
+class ImageConditioner(nn.Module):
+    """DynamiCrafter image-conditioning tower: OpenCLIP ViT patch tokens →
+    Perceiver-resampler queries, composed as ONE module (the reference
+    Lightning module wires FrozenOpenCLIPImageEmbedderV2 + the separate
+    ``image_proj_model`` Resampler; condition.py + ip_resampler.py:106).
+    Making it a single cond_stage_2 lets the flow treat image conditioning
+    uniformly (encode → context_img tokens for the UNet's image
+    cross-attention)."""
+    image_size: int = 224
+    clip_dim: int = 1280
+    clip_heads: int = 16
+    clip_layers: int = 32
+    dim: int = 1024
+    depth: int = 4
+    heads: int = 12
+    num_queries: int = 16
+    output_dim: int = 1024
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images: (B, H, W, 3) in [-1, 1]; resized to the CLIP grid here
+        so callers can pass video-resolution frames. → (B, nq, out_dim)."""
+        if images.shape[1] != self.image_size or \
+                images.shape[2] != self.image_size:
+            images = jax.image.resize(
+                images, (images.shape[0], self.image_size,
+                         self.image_size, images.shape[3]), "bilinear")
+        tokens = CLIPImageEmbedder(
+            image_size=self.image_size, dim=self.clip_dim,
+            heads=self.clip_heads, num_layers=self.clip_layers,
+            dtype=self.dtype, name="clip")(images)
+        return Resampler(dim=self.dim, depth=self.depth, heads=self.heads,
+                         num_queries=self.num_queries,
+                         embedding_dim=self.clip_dim,
+                         output_dim=self.output_dim, dtype=self.dtype,
+                         name="resampler")(tokens)
