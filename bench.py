@@ -1127,10 +1127,74 @@ SUITE_BENCHES = {
     "cogvideox_lora_train": lambda: _bench_cogvideox_lora_train(),
 }
 
+def _bench_dataloader(n_clips: int = 24, frames: int = 16, src_hw=(360,
+                      640), dst_hw=(256, 448), seconds: float = 6.0):
+    """Host data-pipeline throughput (SURVEY §7 hard-part 6: video decode
+    keeping the chip fed): synthesize mp4 clips, then measure
+    decode→crop→resize→normalize clips/s through the python path vs the
+    native C++ path (native/frameproc.cpp std::thread pool). CPU-side —
+    runs anywhere; a v5e needs ~0.2 clips/s/chip at the CogVideoX
+    north-star (0.147 steps/s × 50 steps per 49f clip) so double-digit
+    clips/s means the host pipeline is never the bottleneck."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from videotuna_tpu.data import native_loader
+    from videotuna_tpu.data.video_io import load_video, save_video
+
+    tmp = tempfile.mkdtemp(prefix="benchdata_")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n_clips):
+        clip = rng.random((frames, src_hw[0], src_hw[1], 3),
+                          dtype=np.float32)
+        p = os.path.join(tmp, f"clip_{i}.mp4")
+        save_video(clip, p, fps=8)
+        paths.append(p)
+
+    def run(use_native: bool):
+        done = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < seconds:
+            p = paths[done % n_clips]
+            frames_u8 = load_video(p, num_frames=frames)
+            if use_native and native_loader.native_available():
+                _ = native_loader.crop_resize_normalize(frames_u8, dst_hw)
+            else:
+                f32 = frames_u8.astype(np.float32) / 127.5 - 1.0
+                h0, w0 = f32.shape[1:3]
+                s = max(dst_hw[0] / h0, dst_hw[1] / w0)
+                import cv2
+                rs = np.stack([cv2.resize(fr, (round(w0 * s),
+                                               round(h0 * s)))
+                               for fr in f32])
+                y0 = (rs.shape[1] - dst_hw[0]) // 2
+                x0 = (rs.shape[2] - dst_hw[1]) // 2
+                _ = rs[:, y0:y0 + dst_hw[0], x0:x0 + dst_hw[1]]
+            done += 1
+        return done / (time.perf_counter() - t0)
+
+    py_cps = run(False)
+    nat_cps = run(True) if native_loader.native_available() else None
+    out = {"metric": "dataloader_clips_per_sec",
+           "value": round(nat_cps or py_cps, 2),
+           "unit": f"clips/s ({frames}f {src_hw[0]}x{src_hw[1]} → "
+                   f"{dst_hw[0]}x{dst_hw[1]}, decode+crop+resize+norm)",
+           "python_clips_per_sec": round(py_cps, 2),
+           "vs_baseline": None}
+    if nat_cps is not None:
+        out["native_clips_per_sec"] = round(nat_cps, 2)
+        out["native_speedup"] = round(nat_cps / py_cps, 2)
+    return out
+
+
 # diagnosis-only benches: reachable via --one / --merge, excluded from
 # the --suite sweep (they measure breakdowns, not headline metrics)
 DIAG_BENCHES = {
     "hunyuan_breakdown": lambda: _bench_hunyuan_breakdown(),
+    "dataloader": lambda: _bench_dataloader(),
 }
 
 
