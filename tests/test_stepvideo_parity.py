@@ -166,3 +166,51 @@ def test_stepvideo_scan_matches_loop(ref_step):
     out_scan = scanned.apply({"params": stacked}, x, t, cap)
     np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_loop),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_stepvideo_flow_dual_encoder_inference(tmp_path):
+    """StepVideoFlow end-to-end with BOTH text towers (reference
+    encode_prompt: Step-1 LLM + HunyuanClip, clip states concatenated
+    before caption tokens inside the model) through the unified
+    inference() to an mp4."""
+    from videotuna_tpu.flows.stepvideo import StepVideoFlow
+
+    flow = StepVideoFlow(
+        denoiser_config={
+            "target": "videotuna_tpu.models.stepvideo.StepVideoModel",
+            "params": dict(in_channels=8, out_channels=8, dim=64,
+                           ffn_dim=128, num_layers=2, heads=2,
+                           text_dim=16, clip_dim=12)},
+        scheduler_config={
+            "target": "videotuna_tpu.schedulers.FlowMatchSchedule",
+            "params": dict(num_steps=3, shift=3.0)},
+        first_stage_config={
+            "target": "videotuna_tpu.models.CausalVAE3D",
+            "params": dict(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                           z_channels=8, embed_dim=8)},
+        cond_stage_config={
+            "target": "videotuna_tpu.models.StepLLMEncoder",
+            "params": dict(vocab_size=30002, dim=16, heads=2, groups=1,
+                           num_layers=1)},
+        cond_stage_2_config={
+            "target": "videotuna_tpu.models.CLIPTextEncoder",
+            "params": dict(vocab_size=30002, dim=12, heads=2,
+                           num_layers=1, max_len=8)},
+        num_inference_steps=3, model_max_length=8)
+    # tiny geometry: align the flow's latent contract with the tiny VAE
+    flow.latent_channels = 8
+    flow.vae_spatial_ratio = 2
+    flow.vae_temporal_ratio = 2
+    flow.init_params(seed=0)
+
+    cond = flow.encode_text(flow.params, ["a cat"])
+    assert "y2" in cond and cond["y2"].shape[-1] == 12
+    assert cond["y_mask"] is not None
+
+    cfg = {"inference": {"savedir": str(tmp_path), "prompt": "a cat",
+                         "bs": 1, "height": 16, "width": 16, "frames": 4,
+                         "seed": 1, "unconditional_guidance_scale": 2.0}}
+    result = flow.inference(cfg)
+    assert len(result["videos"]) == 1
+    import os
+    assert os.path.exists(result["videos"][0])

@@ -45,14 +45,21 @@ class StepVideoFlow(GenerationFlow):
         td = getattr(self.cond_stage, "dim", 6144) \
             if self.cond_stage is not None else 6144
         zc = getattr(self.denoiser, "in_channels", self.latent_channels)
-        return {
-            "denoiser": (jnp.zeros((1, 2, 8, 8, zc)),
-                         jnp.zeros((1,)),
-                         jnp.zeros((1, 8, td))),
+        den_args = [jnp.zeros((1, 2, 8, 8, zc)), jnp.zeros((1,)),
+                    jnp.zeros((1, 8, td))]
+        if self.cond_stage_2 is not None:
+            cd = getattr(self.denoiser, "clip_dim", None) or \
+                getattr(self.cond_stage_2, "dim", 1024)
+            den_args += [jnp.zeros((1, 4, cd)), jnp.ones((1, 8), bool)]
+        ex = {
+            "denoiser": tuple(den_args),
             "first_stage": (jnp.zeros((1, 9, 32, 32, 3)),),
             "cond_stage": (jnp.zeros((1, 8), jnp.int32),
                            jnp.ones((1, 8), bool)),
         }
+        if self.cond_stage_2 is not None:
+            ex["cond_stage_2"] = (jnp.zeros((1, 8), jnp.int32),)
+        return ex
 
     def latent_shape(self, batch, num_frames, height, width):
         return (batch,
@@ -60,6 +67,22 @@ class StepVideoFlow(GenerationFlow):
                 height // self.vae_spatial_ratio,
                 width // self.vae_spatial_ratio,
                 self.latent_channels)
+
+    def encode_text(self, params: Params, texts):
+        """Dual-tower conditioning (reference video_pipeline.py:575
+        encode_prompt: Step-1 LLM states + HunyuanClip sequence states,
+        clip tokens concatenated BEFORE the captions inside the model):
+        y = StepLLM states, y2 = CLIP states, y_mask = caption mask."""
+        out = super().encode_text(params, texts)
+        out["y_mask"] = out.get("mask")
+        if self.cond_stage_2 is not None:
+            from videotuna_tpu.models.text_encoders import tokenize
+            max2 = getattr(self.cond_stage_2, "max_len", 77)
+            ids2, _ = tokenize(texts, pretrained=self.tokenizer,
+                               max_length=max2)
+            out["y2"] = self.cond_stage_2.apply(
+                {"params": params["cond_stage_2"]}, jnp.asarray(ids2))
+        return out
 
     def denoise_apply(self, params: Params, x, t, cond):
         # y2 = optional CLIP states concatenated before the caption tokens;
