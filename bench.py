@@ -225,7 +225,10 @@ def _bench_hunyuan13b(double: int = 5, single: int = 10, n_steps: int = 4,
     # linearly in equivalent depth (blocks dominate the step)
     full_sps = sps * (double + single / 2) / (20 + 40 / 2)
     seq = frames * (hh // 2) * (ww // 2) + 256
-    mfu = _dit_flops(seq, dim, double + single // 2, b) * sps \
+    # FLOPs: a single-stream block runs the FULL concat sequence through
+    # one 12d^2-param stream = the SAME 24*S*d^2 + 4*S^2*d as a double
+    # block (half the PARAMS, equal FLOPs) -> depth is double + single
+    mfu = _dit_flops(seq, dim, double + single, b) * sps \
         / V5E_PEAK_BF16
     return {"metric": "hunyuan13b_class_denoise_steps_per_sec_per_chip",
             "value": round(sps, 3),
@@ -529,7 +532,8 @@ def _bench_hunyuan13b_full(n_steps: int = 2, frames: int = 17,
 
     sps = _chain_and_time(one_step, x, n_steps)
     seq = frames * (hh // 2) * (ww // 2) + 256
-    eq_depth = double + single // 2
+    # single blocks: half the params, EQUAL flops (full concat seq)
+    eq_depth = double + single
     mfu = _dit_flops(seq, dim, eq_depth, b) * sps / V5E_PEAK_BF16
     implied_gbs = bytes_streamed * sps / 1e9
     return {"metric": "hunyuan13b_FULL_depth_denoise_steps_per_sec",
@@ -647,7 +651,8 @@ def _bench_hunyuan13b_fp8(n_steps: int = 3, frames: int = 17,
 
     sps = _chain_and_time(one_step, x, n_steps)
     seq = frames * (hh // 2) * (ww // 2) + 256
-    eq_depth = double + single // 2
+    # single blocks: half the params, EQUAL flops (full concat seq)
+    eq_depth = double + single
     mfu = _dit_flops(seq, dim, eq_depth, b) * sps / V5E_PEAK_BF16
     return {"metric": "hunyuan13b_FULL_depth_fp8_denoise_steps_per_sec",
             "value": round(sps, 4),
@@ -952,7 +957,7 @@ def _bench_flux_fp8(n_steps: int = 6, hh: int = 48, ww: int = 85):
                                            pooled, g))
     sps = _chain_and_time(lambda xx: fn(params, xx), x, n_steps)
     seq = hh * ww + 512
-    eq_depth = 19 + 38 // 2        # single blocks ≈ half a double block
+    eq_depth = 19 + 38     # single blocks: half params, EQUAL flops
     mfu = _dit_flops(seq, 3072, eq_depth, b) * sps / V5E_PEAK_BF16
     return {"metric": "flux_dev_fp8_denoise_steps_per_sec",
             "value": round(sps, 4),
