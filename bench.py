@@ -223,7 +223,9 @@ def _bench_hunyuan13b(double: int = 5, single: int = 10, n_steps: int = 4,
     sps = _chain_and_time(step, x, n_steps)
     # single-stream blocks cost ≈ half a double block; extrapolate steps/s
     # linearly in equivalent depth (blocks dominate the step)
-    full_sps = sps * (double + single / 2) / (20 + 40 / 2)
+    # time scales with FLOPs, and a single block costs the SAME flops as a
+    # double block (full concat seq through one stream)
+    full_sps = sps * (double + single) / (20 + 40)
     seq = frames * (hh // 2) * (ww // 2) + 256
     # FLOPs: a single-stream block runs the FULL concat sequence through
     # one 12d^2-param stream = the SAME 24*S*d^2 + 4*S^2*d as a double
@@ -1168,16 +1170,12 @@ def _bench_dataloader(n_clips: int = 24, frames: int = 16, src_hw=(360,
             if use_native and native_loader.native_available():
                 _ = native_loader.crop_resize_normalize(frames_u8, dst_hw)
             else:
-                f32 = frames_u8.astype(np.float32) / 127.5 - 1.0
-                h0, w0 = f32.shape[1:3]
-                s = max(dst_hw[0] / h0, dst_hw[1] / w0)
-                import cv2
-                rs = np.stack([cv2.resize(fr, (round(w0 * s),
-                                               round(h0 * s)))
-                               for fr in f32])
-                y0 = (rs.shape[1] - dst_hw[0]) // 2
-                x0 = (rs.shape[2] - dst_hw[1]) // 2
-                _ = rs[:, y0:y0 + dst_hw[0], x0:x0 + dst_hw[1]]
+                # apples-to-apples python baseline: resize uint8 FIRST
+                # (like the native path), normalize last — the repo's own
+                # transform pipeline order
+                from videotuna_tpu.data.transforms import (CenterCropResize,
+                                                           Normalize)
+                _ = Normalize()(CenterCropResize(dst_hw)(frames_u8))
             done += 1
         return done / (time.perf_counter() - t0)
 

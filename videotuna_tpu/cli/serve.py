@@ -37,6 +37,11 @@ class ServiceTimeout(RuntimeError):
     """Raised when a request exceeds the per-request deadline — HTTP 504."""
 
 
+class ServiceBadRequest(ValueError):
+    """Raised for client errors (e.g. geometry mismatch in continuous
+    mode) — HTTP 400, not a server fault."""
+
+
 class InferenceService:
     """Owns the flow + compiled sampler; thread-safe generate() with
     bounded in-flight depth and a per-request deadline (production
@@ -265,11 +270,17 @@ class ContinuousBatchingService(InferenceService):
         self.cfg_scale = float(inf.get("unconditional_guidance_scale", 7.5))
         self.fps = int(inf.get("fps", 8))
         self.savedir = inf.get("savedir", "results/serve")
+        if getattr(self.flow, "use_dynamic_cfg", False):
+            raise NotImplementedError(
+                "continuous batching applies a FIXED guidance scale per "
+                "step; this flow's dynamic (cosine) CFG would silently "
+                "diverge from batch inference — disable use_dynamic_cfg "
+                "or use --max_batch micro-batching")
         self.engine = ContinuousBatchEngine(
             self.flow, slots=slots, frames=self.geometry["frames"],
             height=self.geometry["height"], width=self.geometry["width"],
             cfg_scale=self.cfg_scale)
-        self._uncond1 = None
+        self._uncond_cache: Dict[str, Any] = {}
         self._pending: Any = collections.deque()
         self._slot_items: Dict[int, Dict[str, Any]] = {}
         self._cv = threading.Condition()
@@ -290,11 +301,12 @@ class ContinuousBatchingService(InferenceService):
     def generate(self, request: Dict[str, Any]) -> Dict[str, Any]:
         for k, v in self.geometry.items():
             if k in request and int(request[k]) != v:
-                raise ValueError(
+                raise ServiceBadRequest(
                     f"continuous serving runs fixed geometry "
                     f"{self.geometry}; got {k}={request[k]}")
         item = {"req": request, "event": threading.Event(),
-                "result": None, "error": None, "t0": time.perf_counter()}
+                "result": None, "error": None, "abandoned": False,
+                "t0": time.perf_counter()}
         with self._cv:
             if len(self._pending) >= self.max_queue:
                 self.requests_rejected += 1
@@ -303,6 +315,7 @@ class ContinuousBatchingService(InferenceService):
             self._pending.append(item)
             self._cv.notify()
         if not item["event"].wait(timeout=self.request_timeout):
+            item["abandoned"] = True       # _admit skips it; no chip time
             self.requests_timed_out += 1
             raise ServiceTimeout(
                 f"request exceeded {self.request_timeout}s deadline")
@@ -320,20 +333,25 @@ class ContinuousBatchingService(InferenceService):
                 if not self._pending:
                     return
                 item = self._pending.popleft()
+            if item["abandoned"]:
+                continue
             try:
                 req = item["req"]
                 prompt = str(req.get("prompt", ""))
                 cond = self.flow.encode_text(self.flow.params, [prompt])
-                if self._uncond1 is None:
-                    neg = str(req.get("negative_prompt", ""))
-                    self._uncond1 = self.flow.encode_text(
-                        self.flow.params, [neg])
+                neg = str(req.get("negative_prompt", ""))
+                uncond = self._uncond_cache.get(neg)
+                if uncond is None:
+                    uncond = self.flow.encode_text(self.flow.params,
+                                                   [neg])
+                    if len(self._uncond_cache) < 64:
+                        self._uncond_cache[neg] = uncond
                 seed = int(req.get("seed", 0))
                 shape1 = self.flow.latent_shape(
                     1, self.geometry["frames"], self.geometry["height"],
                     self.geometry["width"])
                 x_t = jax.random.normal(jax.random.key(seed), shape1)
-                slot = self.engine.submit(x_t, cond, self._uncond1)
+                slot = self.engine.submit(x_t, cond, uncond)
                 assert slot is not None
                 item["prompt"] = prompt
                 self._slot_items[slot] = item
@@ -433,6 +451,8 @@ def make_handler(service: InferenceService):
                 self.wfile.write(body)
             except ServiceTimeout as e:
                 self._json(504, {"error": str(e)})
+            except ServiceBadRequest as e:
+                self._json(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — report, keep serving
                 self._json(500, {"error": str(e)})
 

@@ -364,18 +364,14 @@ def load_inputs_i2v(input_dir: str, video_size: Tuple[int, int]
         raise ValueError(
             f"{len(prompts)} prompts but only {len(img_files)} images "
             f"in {input_dir}")
-    hh, ww = video_size
+    from videotuna_tpu.data.transforms import CenterCropResize, Normalize
+    crop = CenterCropResize(video_size)
+    norm = Normalize()
     images, names = [], []
     for fname in img_files[:len(prompts)]:
         img = cv2.imread(os.path.join(input_dir, fname))
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        h0, w0 = img.shape[:2]
-        scale = max(hh / h0, ww / w0)        # short-side resize
-        img = cv2.resize(img, (round(w0 * scale), round(h0 * scale)))
-        y0 = (img.shape[0] - hh) // 2
-        x0 = (img.shape[1] - ww) // 2
-        img = img[y0:y0 + hh, x0:x0 + ww]
-        images.append(img.astype(np.float32) / 127.5 - 1.0)
+        images.append(norm(crop(img[None]))[0])
         names.append(os.path.splitext(fname)[0])
     return names, jnp.asarray(np.stack(images)), prompts
 

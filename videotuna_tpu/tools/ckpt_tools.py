@@ -62,18 +62,37 @@ FAMILIES = {
                                      kv_heads=a.kv_heads), None),
     "stepllm": (lambda a: cw.stepllm_map(), None),
     "stepvideo": (lambda a: cw.stepvideo_map(heads=a.heads),
-                  lambda sd, a: cw.preprocess_split_headwise(
-                      cw.preprocess_split_headwise(
-                          sd, r"attn1\.wqkv", "wqkv",
-                          ("wq", "wk", "wv"), heads=a.heads),
-                      r"attn2\.wkv", "wkv", ("wk", "wv"),
-                      heads=a.heads)),
+                  lambda sd, a: _stepvideo_preprocess(sd, a)),
     "aesthetic": (lambda a: cw.aesthetic_map(), None),
     "llava_projector": (lambda a: cw.llava_projector_map(), None),
     "lvdm": (lambda a: cw.lvdm_map(addition_attention=True), None),
     "lvdm_vc1": (lambda a: cw.lvdm_map(addition_attention=True,
                                        use_relative_position=True), None),
 }
+
+
+def _stepvideo_preprocess(sd, args):
+    """Self-calibrating headwise split: the checkpoint's per-head
+    q_norm.weight length IS the head_dim, so heads is derived from the
+    fused wqkv rows instead of trusting --heads (a wrong value would
+    reshape cleanly and corrupt the interleave silently)."""
+    qn = next((v for k, v in sd.items()
+               if k.endswith("attn1.q_norm.weight")), None)
+    wq = next((v for k, v in sd.items()
+               if k.endswith("attn1.wqkv.weight")), None)
+    heads = args.heads
+    if qn is not None and wq is not None:
+        hd = int(qn.shape[0])
+        derived = wq.shape[0] // (3 * hd)
+        if derived != heads:
+            print(f"[stepvideo] deriving heads={derived} from the "
+                  f"checkpoint (head_dim {hd}); ignoring --heads {heads}")
+            heads = derived
+            args.heads = derived          # the map builder uses it too
+    sd = cw.preprocess_split_headwise(sd, r"attn1\.wqkv", "wqkv",
+                                      ("wq", "wk", "wv"), heads=heads)
+    return cw.preprocess_split_headwise(sd, r"attn2\.wkv", "wkv",
+                                        ("wk", "wv"), heads=heads)
 
 
 def cmd_convert(args) -> None:

@@ -1320,7 +1320,16 @@ def preprocess_split_headwise(sd: Dict[str, np.ndarray],
     out: Dict[str, np.ndarray] = {}
     for key, val in sd.items():
         if rx.search(key) and token in key:
+            if val.shape[0] % (heads * n):
+                raise ValueError(
+                    f"{key}: {val.shape[0]} output rows not divisible by "
+                    f"heads({heads})×{n} — wrong --heads? (StepVideo-30B "
+                    f"uses 48)")
             hd = val.shape[0] // (heads * n)
+            if hd % 2:
+                raise ValueError(
+                    f"{key}: implied head_dim {hd} is odd — wrong --heads "
+                    f"(StepVideo-30B uses 48, head_dim 128)")
             parts = val.reshape(heads, n, hd, *val.shape[1:])
             for i, name in enumerate(names):
                 out[key.replace(token, name)] = np.ascontiguousarray(

@@ -133,10 +133,17 @@ def convert_vript_annotations(input_jsonl: str, output_csv: str,
                 for clip in video_meta.get("clips", []):
                     vpath = clip_dir / clip["clip_id"]
                     cap = cv2.VideoCapture(str(vpath))
+                    frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+                    if not cap.isOpened() or frames <= 0:
+                        # missing/corrupt clip: VideoCapture never raises,
+                        # it just reports zeros — skip instead of writing
+                        # a frames=0 row that breaks training samplers
+                        cap.release()
+                        continue
                     meta = {
                         "path": str(vpath.relative_to(root)),
                         "fps": cap.get(cv2.CAP_PROP_FPS),
-                        "frames": int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+                        "frames": frames,
                         "height": int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
                         "width": int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
                     }
