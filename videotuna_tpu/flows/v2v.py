@@ -55,11 +55,8 @@ class V2VEnhanceFlow(VideocrafterFlow):
         self.t_aug_frac = t_aug_frac
         self.upscale = upscale
 
-    def example_inputs(self) -> Dict[str, Any]:
-        ex = super().example_inputs()
-        x, t, y, img, fps = ex["denoiser"]
-        ex["denoiser"] = (jnp.concatenate([x, x], axis=-1), t, y, img, fps)
-        return ex
+    # example_inputs: the base class already sizes the init x to the
+    # UNet's in_channels (= 2 × latent_channels here)
 
     def denoise_apply(self, params: Params, x, t, cond):
         z_cond = cond.get("z_cond")
