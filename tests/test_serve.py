@@ -268,3 +268,37 @@ class TestContinuousBatching:
                 svc.generate({"prompt": "x", "height": 64})
         finally:
             svc.shutdown()
+
+    def test_per_request_negative_prompt_honored(self, tmp_path):
+        """Review fix: the uncond cache is keyed by negative_prompt, so a
+        later request's negative prompt actually changes its guidance."""
+        import numpy as np
+        svc = self._service(tmp_path, slots=1)
+        try:
+            r1 = svc.generate({"prompt": "same", "seed": 7,
+                               "negative_prompt": "aa"})
+            r2 = svc.generate({"prompt": "same", "seed": 7,
+                               "negative_prompt": "aaaaaaaaaa"})
+            from videotuna_tpu.data.video_io import load_video
+            v1 = load_video(r1["videos"][0]).astype(np.float32)
+            v2 = load_video(r2["videos"][0]).astype(np.float32)
+            assert float(np.abs(v1 - v2).max()) > 1.0   # uint8 scale
+        finally:
+            svc.shutdown()
+
+    def test_abandoned_requests_never_board(self, tmp_path):
+        """Review fix: a timed-out (abandoned) request is skipped by
+        _admit and never consumes a slot or chip time."""
+        import threading
+        svc = self._service(tmp_path, slots=2)
+        try:
+            dead = {"req": {"prompt": "dead", "seed": 0},
+                    "event": threading.Event(), "result": None,
+                    "error": None, "abandoned": True, "t0": 0.0}
+            with svc._cv:
+                svc._pending.append(dead)
+            svc._admit()
+            assert svc.engine.n_active == 0
+            assert not svc._slot_items
+        finally:
+            svc.shutdown()
