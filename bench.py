@@ -1325,7 +1325,22 @@ def main():
             print(f"bench attempt {attempt + 1} failed: {e}",
                   file=sys.stderr)
             time.sleep(30)
-    raise last_err
+    # backend hard-down (the axon tunnel outages last hours): emit an
+    # HONESTLY-LABELED line carrying the last measured suite instead of
+    # nothing — value=None marks that no fresh number was taken this run
+    out = {"metric": "stdit_xl2_denoise_steps_per_sec_per_chip",
+           "value": None,
+           "unit": "NO FRESH MEASUREMENT — TPU backend unavailable; "
+                   "suite payload is the last measured BENCH_SUITE.json",
+           "error": str(last_err)[:300],
+           "vs_baseline": None}
+    try:
+        with open("BENCH_SUITE.json") as f:
+            out["suite"] = json.load(f)
+    except Exception:
+        pass
+    print(json.dumps(out))
+    sys.exit(3)
 
 
 if __name__ == "__main__":
