@@ -33,7 +33,12 @@ SUB_DEPTH = 4                          # layers per compiled sub-stack
 
 
 def _sync(x) -> float:
-    return float(jnp.sum(x.astype(jnp.float32)))
+    # float(...) forces a device->host fetch, which is the only reliable
+    # sync through the axon tunnel (block_until_ready can return early).
+    # Accept pytrees: stage APIs return (img, txt, ...) tuples.
+    leaves = [l for l in jax.tree_util.tree_leaves(x)
+              if hasattr(l, "astype")]
+    return float(sum(jnp.sum(l.astype(jnp.float32)) for l in leaves))
 
 
 def _bench_partitioned():
@@ -439,6 +444,126 @@ def _bench_attn_d64(seq: int = 17776, heads: int = 48, batch: int = 2,
                 tf_packed / (V5E_PEAK_BF16 / 1e12 * 0.5), 3),
             "vs_baseline": round(t_padded / best, 3)}
 
+
+def _bench_attn_d64_sweep(seq: int = 17776, heads: int = 48,
+                          batch: int = 2, n_iters: int = 4):
+    """Block-size sweep for the transposed packed d=64 kernel at the
+    CogVideoX-5B geometry. The (512, 1024) packed defaults were tuned for
+    the NATURAL-layout packed kernel; the transposed variant has a
+    different VMEM footprint (two f32 accumulators of (128, bq) plus a
+    (bk, bq) score block), so its optimum may differ — the d=128 kernel
+    gained 1.8× from the analogous sweep."""
+    from videotuna_tpu.kernels.attention import flash_attention
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (batch, seq, heads, 64), jnp.bfloat16)
+    k = jax.random.normal(k2, (batch, seq, heads, 64), jnp.bfloat16)
+    v = jax.random.normal(k3, (batch, seq, heads, 64), jnp.bfloat16)
+    flops = 4.0 * batch * heads * seq * seq * 64
+
+    def timed(bq, bk):
+        fn = jax.jit(lambda a, b_, c: flash_attention(
+            a, b_, c, pack2="t", block_q=bq, block_k=bk))
+        try:
+            _sync(fn(q, k, v))
+        except Exception as e:  # VMEM overflow at large blocks
+            return None, str(e)[:80]
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn(q, k, v)
+        _sync(out)
+        return (time.perf_counter() - t0) / n_iters, None
+
+    grid_ms = {}
+    best = (None, float("inf"))
+    for bq in (256, 512, 1024, 2048):
+        for bk in (256, 512, 1024, 2048):
+            t, err = timed(bq, bk)
+            key = f"{bq}x{bk}"
+            grid_ms[key] = round(t * 1e3, 2) if t is not None else err
+            if t is not None and t < best[1]:
+                best = (key, t)
+    return {"metric": "attn_d64_packed_t_block_sweep",
+            "value": round(best[1] * 1e3, 2),
+            "unit": f"ms (best blocks {best[0]}, seq {seq}, heads "
+                    f"{heads}, batch {batch})",
+            "best_blocks": best[0],
+            "best_tf_s": round(flops / best[1] / 1e12, 1),
+            "grid_ms": grid_ms}
+
+
+def _bench_cogvideox_breakdown(frames: int = 13, hh: int = 60,
+                               ww: int = 90, dim: int = 3072,
+                               heads: int = 48, n_iters: int = 4):
+    """Diagnosis for the CogVideoX-5B step-time split (52.7% MFU measured):
+    times ONE joint block end-to-end against its two compute kernels in
+    isolation at the same geometry. block_ms − attn_ms − matmul_ms = glue
+    (per-modality adaLN selects, qk-layernorms, RoPE, residuals). The
+    attention share tells whether further d=64 kernel work or matmul/glue
+    fusion is the next lever."""
+    from videotuna_tpu.kernels.attention import flash_attention
+    from videotuna_tpu.models.cogvideo.mmdit import CogVideoXBlock
+    b = 2                          # CFG-doubled
+    lt = 226
+    seq = frames * (hh // 2) * (ww // 2) + lt
+    hd = dim // heads
+
+    def timed(fn, *args):
+        _sync(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn(*args)
+        _sync(out)
+        return (time.perf_counter() - t0) / n_iters * 1e3
+
+    # (1) one full joint block
+    block = CogVideoXBlock(dim=dim, heads=heads, text_len=lt,
+                           dtype=jnp.bfloat16)
+    x = jnp.zeros((b, seq, dim), jnp.bfloat16)
+    temb = jnp.zeros((b, dim), jnp.bfloat16)
+    cos = jnp.ones((seq - lt, hd // 2), jnp.bfloat16)
+    sin = jnp.zeros((seq - lt, hd // 2), jnp.bfloat16)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16),
+        block.init(jax.random.key(0), x, temb, cos, sin)["params"])
+    b_fn = jax.jit(lambda p, x: block.apply({"params": p}, x, temb,
+                                            cos, sin))
+    block_ms = timed(b_fn, params, x)
+
+    # (2) the packed_t attention kernel alone at the block's shapes
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (b, seq, heads, hd), jnp.bfloat16)
+    k = jax.random.normal(k2, (b, seq, heads, hd), jnp.bfloat16)
+    v = jax.random.normal(k3, (b, seq, heads, hd), jnp.bfloat16)
+    attn_fn = jax.jit(lambda a, b_, c: flash_attention(a, b_, c))
+    attn_ms = timed(attn_fn, q, k, v)
+
+    # (3) the block's matmuls alone (q/k/v/out + ff1/ff2 = 12·d² weights)
+    h = jnp.zeros((b * seq, dim), jnp.bfloat16)
+    ws = [jnp.zeros((dim, dim), jnp.bfloat16) for _ in range(4)] + \
+         [jnp.zeros((dim, 4 * dim), jnp.bfloat16),
+          jnp.zeros((4 * dim, dim), jnp.bfloat16)]
+
+    @jax.jit
+    def mm(h, wq, wk, wv, wo, w1, w2):
+        a = (h @ wq) + (h @ wk) + (h @ wv)
+        a = a @ wo
+        z = a @ w1
+        return z @ w2
+    mm_ms = timed(mm, h, *ws)
+
+    mm_flops = 2.0 * b * seq * 12 * dim * dim
+    attn_flops = 4.0 * b * heads * seq * seq * hd
+    return {"metric": "cogvideox_block_breakdown_ms",
+            "value": round(block_ms, 2),
+            "unit": f"ms one joint block (b=2, seq {seq}, dim {dim}, "
+                    f"{heads} heads d=64, bf16)",
+            "attn_ms": round(attn_ms, 2),
+            "matmul_ms": round(mm_ms, 2),
+            "glue_ms": round(block_ms - attn_ms - mm_ms, 2),
+            "attn_tf_s": round(attn_flops / attn_ms / 1e9, 1),
+            "matmul_tf_s": round(mm_flops / mm_ms / 1e9, 1),
+            "attn_frac": round(attn_ms / block_ms, 3),
+            "full_step_extrapolated_s": round(block_ms * 42 / 1e3, 2)}
 
 
 def _bench_hunyuan13b_full(n_steps: int = 2, frames: int = 17,
@@ -1197,6 +1322,8 @@ def _bench_dataloader(n_clips: int = 24, frames: int = 16, src_hw=(360,
 # the --suite sweep (they measure breakdowns, not headline metrics)
 DIAG_BENCHES = {
     "hunyuan_breakdown": lambda: _bench_hunyuan_breakdown(),
+    "cogvideox_breakdown": lambda: _bench_cogvideox_breakdown(),
+    "attn_d64_sweep": lambda: _bench_attn_d64_sweep(),
     "dataloader": lambda: _bench_dataloader(),
 }
 
