@@ -167,3 +167,75 @@ def test_entrypoint_bias_and_shapes():
     v2 = v.at[:, 10:].set(123.0)
     out2 = dot_product_attention(q, k, v2, bias=mask_bias)
     np.testing.assert_allclose(out, out2, atol=1e-5)
+
+
+def _rand_mask(key, b, s, min_valid=1):
+    m = jax.random.bernoulli(key, 0.75, (b, s))
+    # ensure at least one valid key per batch row
+    return m.at[:, 0].set(True)
+
+
+@pytest.mark.parametrize("seq,sk", [(256, 256), (200, 200), (256, 448)])
+def test_masked_flash_matches_reference(seq, sk):
+    """kv_valid masked flash (dynamic-pad kernel) vs the additive-bias
+    oracle: arbitrary (not just trailing) masked key positions, unaligned
+    lengths, cross lengths."""
+    q, k, v = _rand_qkv(jax.random.key(21), 2, seq, 2, 64, sk=sk)
+    mask = _rand_mask(jax.random.key(22), 2, sk)
+    bias = jnp.where(mask, 0.0, -1e30)[:, None, None, :]
+    ref = reference_attention(q, k, v, bias=bias)
+    out = flash_attention(q, k, v, block_q=128, block_k=128,
+                          interpret=True, kv_valid=mask)
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_masked_flash_all_but_one_masked():
+    """Degenerate rows (single valid key) stay exact — the closed-form
+    l correction must not blow up when nearly everything is masked."""
+    q, k, v = _rand_qkv(jax.random.key(23), 1, 128, 2, 64, sk=256)
+    mask = jnp.zeros((1, 256), bool).at[:, 5].set(True)
+    bias = jnp.where(mask, 0.0, -1e30)[:, None, None, :]
+    ref = reference_attention(q, k, v, bias=bias)
+    out = flash_attention(q, k, v, block_q=128, block_k=128,
+                          interpret=True, kv_valid=mask)
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_masked_flash_grads_match_reference():
+    """Masked flash VJP: dq exact via structural vanish (zeroed K rows),
+    dk/dv garbage zeroed by the outer mask multiply — compare end-to-end
+    grads THROUGH dot_product_attention(kv_valid=...) against autodiff
+    through the bias-path reference."""
+    import videotuna_tpu.kernels.attention as A
+    q, k, v = _rand_qkv(jax.random.key(25), 2, 192, 2, 64)
+    mask = _rand_mask(jax.random.key(26), 2, 192)
+    bias = jnp.where(mask, 0.0, -1e30)[:, None, None, :]
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v, bias=bias) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    old = A._FA_INTERPRET
+    A._FA_INTERPRET = True
+    try:
+        def loss_flash(q, k, v):
+            return jnp.sum(dot_product_attention(q, k, v,
+                                                 kv_valid=mask) ** 2)
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        A._FA_INTERPRET = old
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_masked_entrypoint_reference_fallback():
+    """Off-TPU (no interpret flag) the kv_valid path must fold into an
+    additive bias and agree with the oracle."""
+    q, k, v = _rand_qkv(jax.random.key(27), 2, 160, 2, 32)
+    mask = _rand_mask(jax.random.key(28), 2, 160)
+    bias = jnp.where(mask, 0.0, -1e30)[:, None, None, :]
+    ref = reference_attention(q, k, v, bias=bias)
+    out = dot_product_attention(q, k, v, kv_valid=mask)
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)

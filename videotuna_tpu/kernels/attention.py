@@ -432,7 +432,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
                     interpret: bool = False,
-                    pack2: Optional[bool] = None) -> jnp.ndarray:
+                    pack2: Optional[bool] = None,
+                    kv_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Pallas flash attention. q,k,v: (B, S, H, D) → (B, Sq, H, D).
 
     ``pack2``: for d=64 / even heads / non-causal, pack head pairs into
@@ -440,7 +441,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     the CogVideoX-class path). ``"t"`` selects the transposed-score
     variant whose PV matmul runs at full MXU rate (131 TF/s ceiling vs
     98.5 for the natural layout). Default: auto (transposed when
-    eligible)."""
+    eligible).
+
+    ``kv_valid``: optional (B, Sk) bool key-validity mask (ragged text
+    padding). Non-causal only; runs the dynamic-pad kernel — masked rows
+    are zeroed and removed from the softmax sum in closed form, no
+    per-step masking cost."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     kh = k.shape[2]
@@ -448,6 +454,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         k = jnp.repeat(k, h // kh, axis=2)
         v = jnp.repeat(v, h // kh, axis=2)
     sm_scale = (1.0 / math.sqrt(d)) if scale is None else scale
+    if kv_valid is not None:
+        assert not causal, "kv_valid is for non-causal attention"
+        pack2 = False  # masked path uses the plain kernel
+        vm = kv_valid[:, :, None, None]
+        k = k * vm.astype(k.dtype)
+        v = v * vm.astype(v.dtype)
     if pack2 is None:
         pack2 = "t" if (d == 64 and h % 2 == 0 and not causal) else False
     if pack2:
@@ -488,6 +500,18 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # KV via `kv_len`.
         kt = jnp.pad(kt, ((0, 0), (0, sk_pad - sk), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, sk_pad - sk), (0, 0)))
+
+    if kv_valid is not None:
+        # zero-key count per batch = masked rows + alignment padding
+        counts = (sk_pad
+                  - jnp.sum(kv_valid.astype(jnp.float32), axis=1))
+        cnt = jnp.broadcast_to(jnp.repeat(counts, h)[:, None],
+                               (b * h, 128)).astype(jnp.float32)
+        out = _flash_dynpad(qt, kt, vt, cnt, sm_scale=sm_scale,
+                            block_q=block_q, block_k=block_k,
+                            emit_lse=False, interpret=interpret)
+        out = out[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+        return out[..., :d_orig]
 
     kernel = functools.partial(_flash_kernel, block_k=block_k,
                                sm_scale=sm_scale, causal=causal,
@@ -637,6 +661,104 @@ def _flash_forward_lse(qt, kt, vt, *, sm_scale, causal, sq, sk,
         compiler_params=_grid_params(interpret),
     )(qt, kt, vt)
     return out, lse[:, :, 0]
+
+
+def _flash_kernel_dynpad(q_ref, k_ref, v_ref, cnt_ref, *refs,
+                         sm_scale: float, emit_lse: bool):
+    """Non-causal flash forward with a PER-(batch·head) DYNAMIC zero-key
+    count — the masked-attention (ragged caption / kv_valid) kernel.
+
+    Masked K/V rows are zeroed OUTSIDE the kernel (a traced elementwise
+    multiply, so autodiff also zeroes their dk/dv); inside, every all-zero
+    key scores exactly 0 and therefore contributes exactly exp2(−m_final)
+    to l after the online rescales (and nothing to acc — its V row is
+    zero). The finish step removes cnt·exp2(−m) in closed form, where cnt
+    counts BOTH masked rows and block-alignment padding. This keeps the
+    steady-state loop identical to _flash_kernel — no per-step iota /
+    compare / select over the score block, which at video sequence
+    lengths is a measurable VPU cost.
+
+    Replaces the reference's additive key-padding bias
+    (e.g. mochi joint attention, stepvideo ragged captions) that would
+    otherwise force the O(S²) XLA path."""
+    j = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+    if emit_lse:
+        o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        o_ref, acc_ref, m_ref, l_ref = refs
+        lse_ref = None
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32) * (sm_scale * _LOG2E)
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+
+    m_i = m_ref[:]
+    m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_i - m_new)
+    l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p, v_blk, preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_kv - 1)
+    def _finish():
+        cnt = cnt_ref[0, 0]
+        l_f = l_ref[:] - cnt * jnp.exp2(-m_ref[:])
+        l_fin = jnp.maximum(l_f, 1e-30)
+        o_ref[0] = (acc_ref[:] / l_fin).astype(o_ref.dtype)
+        if emit_lse:
+            lse = (m_ref[:] + jnp.log2(l_fin)) * (1.0 / _LOG2E)
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _flash_dynpad(qt, kt, vt, cnt, *, sm_scale, block_q, block_k,
+                  emit_lse, interpret):
+    """qt/kt/vt: (BH, S_pad, D) padded+packed; cnt: (BH, 128) f32
+    lane-replicated zero-key counts (masked + alignment pad). Returns
+    out (BH, Sq_pad, D) and, when emit_lse, lse (BH, Sq_pad) fp32."""
+    bh, sq_pad, d = qt.shape
+    sk_pad = kt.shape[1]
+    kernel = functools.partial(_flash_kernel_dynpad, sm_scale=sm_scale,
+                               emit_lse=emit_lse)
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0))]
+    out_shape = [jax.ShapeDtypeStruct((bh, sq_pad, d), qt.dtype)]
+    if emit_lse:
+        out_specs.append(pl.BlockSpec((1, block_q, 128),
+                                      lambda i, j, kk: (i, j, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((bh, sq_pad, 128),
+                                              jnp.float32))
+    res = pl.pallas_call(
+        kernel,
+        grid=(bh, sq_pad // block_q, sk_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, 128), lambda i, j, kk: (i, 0)),
+        ],
+        out_specs=out_specs if emit_lse else out_specs[0],
+        out_shape=out_shape if emit_lse else out_shape[0],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),   # acc
+            pltpu.VMEM((block_q, 1), jnp.float32),   # m
+            pltpu.VMEM((block_q, 1), jnp.float32),   # l
+        ] if pltpu is not None else [],
+        interpret=interpret,
+        compiler_params=_grid_params(interpret),
+    )(qt, kt, vt, cnt)
+    if emit_lse:
+        out, lse = res
+        return out, lse[:, :, 0]
+    return res
 
 
 def _bwd_masked_sT(q, k_blk, j, qq, *, sm_scale, causal, q_len, kv_len,
@@ -930,6 +1052,64 @@ def _fa_bwd(causal, scale, res, g):
 flash_attention_diff.defvjp(_fa_fwd, _fa_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_diff_masked(q, k, v, counts, scale=None):
+    """Differentiable masked flash: k/v must arrive with masked key rows
+    ALREADY zeroed (the caller's mask multiply — its backprop zeroes the
+    garbage dk/dv those rows get from the unmasked backward kernels);
+    ``counts`` is the f32 (B,) number of zeroed key rows per batch.
+
+    Gradients are exact with the UNCHANGED backward kernels: dq contracts
+    ds against the zeroed K rows (structural vanish), and dk/dv garbage
+    lands only in rows the outer mask multiply zeroes. The forward's
+    closed-form l correction makes the saved LSE the true masked
+    log-sum-exp, so the backward's recomputed probabilities are exact for
+    every VALID key. Non-causal only."""
+    out, _ = _fa_masked_fwd(q, k, v, counts, scale)
+    return out
+
+
+def _fa_masked_fwd(q, k, v, counts, scale):
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    sm_scale = (1.0 / math.sqrt(d)) if scale is None else scale
+    d_pad = _round_to(d, 128)
+    qp, kp, vp = q, k, v
+    if d_pad != d:
+        pad = ((0, 0), (0, 0), (0, 0), (0, d_pad - d))
+        qp, kp, vp = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    block_q = min(DEFAULT_BLOCK_Q, _round_to(sq, 128))
+    block_k = min(DEFAULT_BLOCK_K, _round_to(sk, 128))
+    sq_pad = _round_to(sq, block_q)
+    sk_pad = _round_to(sk, block_k)
+    qt = _pack_heads(qp, b, sq, h, d_pad)
+    kt = _pack_heads(kp, b, sk, h, d_pad)
+    vt = _pack_heads(vp, b, sk, h, d_pad)
+    if sq_pad != sq:
+        qt = jnp.pad(qt, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if sk_pad != sk:
+        kt = jnp.pad(kt, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, sk_pad - sk), (0, 0)))
+    cnt = jnp.broadcast_to(
+        jnp.repeat(counts + (sk_pad - sk), h)[:, None],
+        (b * h, 128)).astype(jnp.float32)
+    out_t, lse = _flash_dynpad(qt, kt, vt, cnt, sm_scale=sm_scale,
+                               block_q=block_q, block_k=block_k,
+                               emit_lse=True, interpret=_FA_INTERPRET)
+    out = _unpack_heads(out_t[:, :sq], b, sq, h, d_pad)[..., :d]
+    return out, (q, k, v, counts, out, lse)
+
+
+def _fa_masked_bwd(scale, res, g):
+    q, k, v, counts, out, lse = res
+    dq, dk, dv = flash_attention_bwd(q, k, v, out, lse, g, causal=False,
+                                     scale=scale, interpret=_FA_INTERPRET)
+    return dq, dk, dv, jnp.zeros_like(counts)
+
+
+_flash_diff_masked.defvjp(_fa_masked_fwd, _fa_masked_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Sequence-parallel routing context
 # ---------------------------------------------------------------------------
@@ -996,13 +1176,21 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: Optional[jnp.ndarray] = None,
                           causal: bool = False,
                           scale: Optional[float] = None,
-                          force_reference: bool = False) -> jnp.ndarray:
+                          force_reference: bool = False,
+                          kv_valid: Optional[jnp.ndarray] = None
+                          ) -> jnp.ndarray:
     """Attention entry point used by every model in the zoo.
 
     q,k,v: (..., seq, heads, head_dim); leading dims are flattened to batch.
     Uses the Pallas kernel on TPU when there is no additive bias (the common
     case); otherwise falls back to the XLA reference path (which XLA still
     fuses well).
+
+    ``kv_valid``: optional (B, Sk) bool key-validity mask (ragged caption
+    padding — mochi joint attention, stepvideo cross-attn). Unlike an
+    additive ``bias`` (arbitrary values, e.g. T5 relative positions) a
+    pure validity mask stays on the flash path: masked keys are zeroed
+    and removed from the softmax in closed form, forward and backward.
     """
     orig_shape = q.shape
     if q.ndim > 4:
@@ -1010,8 +1198,11 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         q = q.reshape(lead, *orig_shape[-3:])
         k = k.reshape(lead, *k.shape[-3:])
         v = v.reshape(lead, *v.shape[-3:])
+        assert kv_valid is None, "kv_valid needs 4D (B, S, H, D) inputs"
     elif q.ndim == 3:
         q, k, v = q[None], k[None], v[None]
+        if kv_valid is not None:
+            kv_valid = kv_valid[None] if kv_valid.ndim == 1 else kv_valid
 
     # GQA/MQA (e.g. LLaMA text encoder with kv_heads < heads): broadcast KV
     # heads once here so every downstream path — reference einsum, Pallas
@@ -1024,7 +1215,8 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         k = jnp.repeat(k, h // kh, axis=-2)
         v = jnp.repeat(v, h // kh, axis=-2)
 
-    sp_out = _maybe_sp(q, k, v, bias, causal)
+    sp_out = None if kv_valid is not None else _maybe_sp(q, k, v, bias,
+                                                         causal)
     if sp_out is not None:
         return sp_out.reshape(orig_shape)
 
@@ -1034,8 +1226,23 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # Mosaic compile service is unavailable; XLA attention is also the
         # better choice for short/medium sequences)
         force_reference = True
-    use_pallas = (_on_tpu() and not force_reference and bias is None
-                  and q.shape[-1] <= 256 and q.shape[1] >= 128)
+    use_pallas = ((_on_tpu() or _FA_INTERPRET) and not force_reference
+                  and bias is None and q.shape[-1] <= 256
+                  and q.shape[1] >= 128)
+    if kv_valid is not None:
+        kv_valid = kv_valid.astype(bool)
+        if use_pallas and not causal:
+            vm = kv_valid[:, :, None, None]
+            k = k * vm.astype(k.dtype)
+            v = v * vm.astype(v.dtype)
+            counts = jnp.sum(1.0 - kv_valid.astype(jnp.float32), axis=1)
+            out = _flash_diff_masked(q, k, v, counts, scale)
+            return out.reshape(orig_shape)
+        kb = jnp.where(kv_valid, 0.0, _NEG_INF)[:, None, None, :]
+        bias = kb if bias is None else bias + kb
+        out = reference_attention(q, k, v, bias=bias, causal=causal,
+                                  scale=scale)
+        return out.reshape(orig_shape)
     if use_pallas:
         out = flash_attention_diff(q, k, v, causal, scale)
     else:

@@ -277,11 +277,9 @@ class Attention(nn.Module):
             cos, sin = rope
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-        bias = None
-        if mask is not None:
-            # mask: (B, Sk) bool → additive bias (B, 1, 1, Sk)
-            bias = jnp.where(mask[:, None, None, :], 0.0, -1e30)
-        out = dot_product_attention(q, k, v, bias=bias)
+        # mask: (B, Sk) bool key-validity — flash-path masked softmax
+        # (falls back to an additive bias off-TPU / short sequences)
+        out = dot_product_attention(q, k, v, kv_valid=mask)
         out = out.reshape(*out.shape[:-2], inner)
         return nn.Dense(dim, use_bias=self.out_bias, dtype=self.dtype,
                         name="out")(out)

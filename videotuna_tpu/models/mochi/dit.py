@@ -179,13 +179,15 @@ class MochiBlock(nn.Module):
         q = jnp.concatenate([qx, qy], axis=1)
         k = jnp.concatenate([kx, ky], axis=1)
         v = jnp.concatenate([vx, vy], axis=1)
-        bias = None
+        kv_valid = None
         if txt_mask is not None:
             sx = x.shape[1]
-            full = jnp.concatenate(
+            # key-validity mask (ragged captions) — stays on the flash
+            # path (closed-form masked softmax) instead of an additive
+            # bias that would force the O(S²) reference attention
+            kv_valid = jnp.concatenate(
                 [jnp.ones((x.shape[0], sx), bool), txt_mask], axis=1)
-            bias = jnp.where(full, 0.0, -jnp.inf)[:, None, None, :]
-        att = dot_product_attention(q, k, v, bias=bias)
+        att = dot_product_attention(q, k, v, kv_valid=kv_valid)
         att = att.reshape(att.shape[0], -1, self.dim_x)
         ax, ay = att[:, :x.shape[1]], att[:, x.shape[1]:]
 

@@ -56,7 +56,7 @@ class StepVideoBlock(nn.Module):
     as_cell: bool = False
 
     @nn.compact
-    def __call__(self, x, t6, ctx, rope_tables, ctx_bias=None):
+    def __call__(self, x, t6, ctx, rope_tables, ctx_valid=None):
         d = self.dim
         hd = d // self.heads
         table = self.param("scale_shift_table",
@@ -90,7 +90,7 @@ class StepVideoBlock(nn.Module):
         k, v = dg("cross_k")(ctx), dg("cross_v")(ctx)
         q = RMSNorm(dtype=self.dtype, name="cross_q_norm")(q)
         k = RMSNorm(dtype=self.dtype, name="cross_k_norm")(k)
-        out = dot_product_attention(q, k, v, bias=ctx_bias)
+        out = dot_product_attention(q, k, v, kv_valid=ctx_valid)
         x = x + nn.Dense(d, use_bias=False, dtype=self.dtype,
                          name="cross_out")(out.reshape(x.shape[0], -1, d))
 
@@ -166,14 +166,15 @@ class StepVideoModel(nn.Module):
             clip = nn.Dense(d, dtype=self.dtype,
                             name="clip_proj")(context_2.astype(self.dtype))
             ctx = jnp.concatenate([clip, ctx], axis=1)
-        ctx_bias = None
+        ctx_valid = None
         if context_mask is not None:
-            m = context_mask.astype(bool)
+            # raw key-validity mask (ragged captions): flash-path masked
+            # softmax instead of an additive bias → reference fallback
+            ctx_valid = context_mask.astype(bool)
             if context_2 is not None:
-                m = jnp.concatenate(
-                    [jnp.ones((b, context_2.shape[1]), bool), m], axis=1)
-            ctx_bias = jnp.where(m, 0.0, -1e9)[:, None, None, :] \
-                .astype(jnp.float32)
+                ctx_valid = jnp.concatenate(
+                    [jnp.ones((b, context_2.shape[1]), bool), ctx_valid],
+                    axis=1)
 
         hd = d // self.heads
         rope_dims = (STEPVIDEO_ROPE_DIMS if hd == sum(STEPVIDEO_ROPE_DIMS)
@@ -193,12 +194,12 @@ class StepVideoModel(nn.Module):
                                length=self.num_layers)
             tok, _ = scan_cls(d, self.heads, self.ffn_dim, rope_dims,
                               dtype=self.dtype, as_cell=True, name="blocks")(
-                tok, t6, ctx, tables, ctx_bias)
+                tok, t6, ctx, tables, ctx_valid)
         else:
             for i in range(self.num_layers):
                 tok = StepVideoBlock(d, self.heads, self.ffn_dim, rope_dims,
                                      dtype=self.dtype, name=f"block_{i}")(
-                    tok, t6, ctx, tables, ctx_bias)
+                    tok, t6, ctx, tables, ctx_valid)
 
         # final modulation from embedded_timestep (NOT t6) + (2, d) table;
         # chunk order shift-then-scale (model.py:898-901)
