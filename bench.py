@@ -1179,21 +1179,32 @@ def _bench_hunyuan_lora_train(double: int = 5, single: int = 10,
     _ = float(loss)
     sps = n_steps / (time.perf_counter() - t0)
     n_lora = sum(int(a.size) for a in jax.tree.leaves(lora))
+    # single blocks have EQUAL FLOPs to double blocks (full concat seq
+    # through one 12d² stream) — extrapolate to 20dbl+40sgl by FLOPs
+    full_sps = sps * (double + single) / 60.0
     return {"metric": "hunyuan_lora_train_steps_per_sec",
             "value": round(sps, 3),
-            "unit": f"train steps/s ({double}dbl+{single}sgl, rank {rank} "
-                    f"LoRA = {n_lora / 1e6:.0f}M deltas, 9x45x60 latents, "
-                    "bf16+remat)",
+            "unit": f"train steps/s ({double}dbl+{single}sgl incl. "
+                    f"block-kernel LoRA, rank {rank} = "
+                    f"{n_lora / 1e6:.0f}M deltas, 9x45x60 latents, "
+                    f"bf16+remat; full-depth extrapolation "
+                    f"{round(full_sps, 3)} steps/s)",
+            "full_depth_steps_per_sec": round(full_sps, 4),
             "vs_baseline": None}
 
-def _bench_cogvideox_lora_train(depth: int = 42, n_steps: int = 3,
+def _bench_cogvideox_lora_train(depth: int = 21, n_steps: int = 3,
                                 frames: int = 13, hh: int = 60,
                                 ww: int = 90, dim: int = 3072,
                                 heads: int = 48, rank: int = 32):
-    """CogVideoX-5B LoRA fine-tune step at FULL depth and the north-star
-    49f 480×720 geometry (BASELINE README.md:218: 'CogVideoX LoRA, 1
-    GPU'): fwd+bwd+adamw on rank-32 deltas over frozen bf16 base params
-    (10 GB — fits resident), remat'd blocks, no CFG doubling (training)."""
+    """CogVideoX-5B LoRA fine-tune step at the north-star 49f 480×720
+    geometry (BASELINE README.md:218: 'CogVideoX LoRA, 1 GPU'):
+    fwd+bwd+adamw on rank-32 deltas (incl. the scan-stacked block
+    attention/MLP kernels) over frozen bf16 base params, remat'd blocks,
+    no CFG doubling (training). Depth-reduced to fit 16 GB HBM — the
+    merge-based LoRA costs base + delta stack + dW stack; full 42-layer
+    steps/s is the uniform per-block extrapolation (single-chip full
+    depth is an fsdp multi-chip workload, validated on the virtual
+    mesh)."""
     import optax
     from videotuna_tpu.models.cogvideo.mmdit import CogVideoXTransformer
     from videotuna_tpu.training.lora import (default_match, init_lora,
@@ -1230,11 +1241,14 @@ def _bench_cogvideox_lora_train(depth: int = 42, n_steps: int = 3,
     _ = float(loss)
     sps = n_steps / (time.perf_counter() - t0)
     n_lora = sum(int(a.size) for a in jax.tree.leaves(lora))
+    full_sps = sps * depth / 42.0
     return {"metric": "cogvideox_lora_train_steps_per_sec",
             "value": round(sps, 3),
-            "unit": f"train steps/s (FULL depth {depth}, rank {rank} LoRA "
-                    f"= {n_lora / 1e6:.0f}M deltas, 13x60x90 latents, "
-                    "bf16+remat)",
+            "unit": f"train steps/s ({depth}/42 layers incl. block-kernel "
+                    f"LoRA, rank {rank} = {n_lora / 1e6:.0f}M deltas, "
+                    f"13x60x90 latents, bf16+remat; full-depth "
+                    f"extrapolation {round(full_sps, 3)} steps/s)",
+            "full_depth_steps_per_sec": round(full_sps, 4),
             "vs_baseline": None}
 
 
@@ -1255,8 +1269,13 @@ SUITE_BENCHES = {
     "mochi_fp8": lambda: _bench_mochi_fp8(),
     "flux_fp8": lambda: _bench_flux_fp8(),
     "vc2_unet": lambda: _bench_vc2_unet(),
-    "hunyuan_lora_train": lambda: _bench_hunyuan_lora_train(),
-    "cogvideox_lora_train": lambda: _bench_cogvideox_lora_train(),
+    "hunyuan_lora_train": lambda: _bench_with_oom_fallback(
+        _bench_hunyuan_lora_train,
+        [{"double": 5, "single": 10}, {"double": 3, "single": 6},
+         {"double": 2, "single": 4}]),
+    "cogvideox_lora_train": lambda: _bench_with_oom_fallback(
+        _bench_cogvideox_lora_train,
+        [{"depth": 21}, {"depth": 14}, {"depth": 10}]),
 }
 
 def _bench_dataloader(n_clips: int = 24, frames: int = 16, src_hw=(360,

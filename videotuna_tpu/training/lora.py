@@ -28,12 +28,35 @@ Params = Any
 MatchFn = Callable[[Tuple[str, ...], jnp.ndarray], bool]
 
 
+# nn.scan module names across the zoo (plural by convention; the
+# non-scan per-layer modules are block_0, block_1, … and never match)
+_SCAN_STACKS = ("blocks", "double_blocks", "single_blocks")
+
+
+def _is_stacked(path: Tuple[str, ...]) -> bool:
+    """True for params under an nn.scan stack — their kernels carry a
+    leading depth axis: Dense (depth, din, dout), DenseGeneral
+    (depth, din, heads, hd)."""
+    return any(c in _SCAN_STACKS for c in path)
+
+
+def _matchable(path: Tuple[str, ...], leaf: jnp.ndarray) -> bool:
+    if path[-1] != "kernel":
+        return False
+    if leaf.ndim == 2:
+        return True
+    # scan-stacked projections (the attention/MLP kernels of every
+    # scan_blocks=True DiT). DiT blocks contain no convs, so 3D/4D
+    # under a stack is always (depth, din, …out).
+    return _is_stacked(path) and leaf.ndim in (3, 4)
+
+
 def lora_target(*name_patterns: str) -> MatchFn:
-    """Match 2D kernels whose path contains any of the given substrings
-    (e.g. 'q','k','v','out','fc1','fc2' — the reference's default
-    target_modules are the attention/MLP projections)."""
+    """Match projection kernels whose path contains any of the given
+    substrings (e.g. 'q','k','v','out','fc1','fc2' — the reference's
+    default target_modules are the attention/MLP projections)."""
     def match(path: Tuple[str, ...], leaf: jnp.ndarray) -> bool:
-        if leaf.ndim != 2 or path[-1] != "kernel":
+        if not _matchable(path, leaf):
             return False
         joined = "/".join(path)
         return any(p in joined for p in name_patterns)
@@ -41,7 +64,7 @@ def lora_target(*name_patterns: str) -> MatchFn:
 
 
 def default_match(path: Tuple[str, ...], leaf: jnp.ndarray) -> bool:
-    return leaf.ndim == 2 and path[-1] == "kernel"
+    return _matchable(path, leaf)
 
 
 def _iter_tree(tree: Any, prefix: Tuple[str, ...] = ()):
@@ -65,11 +88,19 @@ def init_lora(params: Params, rank: int = 16,
     for path, leaf in _iter_tree(params):
         if match(path, leaf):
             key, sub = jax.random.split(key)
-            din, dout = leaf.shape
+            if leaf.ndim == 2:
+                din = leaf.shape[0]
+                a_shape = (din, rank)
+                b_shape = (rank,) + leaf.shape[1:]
+            else:
+                # scan stack: (depth, din, *out) — per-depth a/b pairs
+                depth, din = leaf.shape[:2]
+                a_shape = (depth, din, rank)
+                b_shape = (depth, rank) + leaf.shape[2:]
             flat[path] = {
-                "a": (jax.random.normal(sub, (din, rank), dtype)
+                "a": (jax.random.normal(sub, a_shape, dtype)
                       / jnp.sqrt(rank)),
-                "b": jnp.zeros((rank, dout), dtype),
+                "b": jnp.zeros(b_shape, dtype),
             }
     # rebuild nested
     out: Dict[str, Any] = {}
@@ -87,7 +118,15 @@ def merge_lora(params: Params, lora: Dict[str, Any],
     def rec(p: Any, l: Any):
         if isinstance(l, dict) and "a" in l and "b" in l and not \
                 isinstance(p, dict):
-            delta = (l["a"] @ l["b"]).astype(p.dtype)
+            a, b = l["a"], l["b"]
+            r = a.shape[-1]
+            # flatten b's output dims (DenseGeneral (r, heads, hd) or a
+            # scan stack's (depth, r, *out)) so the contraction is a
+            # plain / batched matmul, then restore the kernel shape
+            lead = a.ndim - 2   # 0 plain, 1 scan-stacked
+            bf = b.reshape(b.shape[:lead] + (r, -1)) \
+                if b.ndim > a.ndim else b
+            delta = (a @ bf).reshape(p.shape).astype(p.dtype)
             return p + alpha * delta
         if isinstance(p, dict):
             return {k: rec(v, l[k]) if isinstance(l, dict) and k in l else v
