@@ -491,6 +491,48 @@ def _bench_attn_d64_sweep(seq: int = 17776, heads: int = 48,
             "grid_ms": grid_ms}
 
 
+def _bench_attn_d64_staticmax(seq: int = 17776, heads: int = 48,
+                              batch: int = 2, n_iters: int = 6):
+    """A/B: packed-t online softmax vs packed-t STATIC-MAX (no running
+    max, no rescales — valid for qk-normed attention) at the CogVideoX
+    geometry. Also checks on-chip numerical agreement of the two paths
+    (the flow-level opt-in gate: wire static_max into CogVideoX only if
+    this shows both a win and agreement)."""
+    from videotuna_tpu.kernels.attention import flash_attention
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (batch, seq, heads, 64), jnp.bfloat16)
+    k = jax.random.normal(k2, (batch, seq, heads, 64), jnp.bfloat16)
+    v = jax.random.normal(k3, (batch, seq, heads, 64), jnp.bfloat16)
+    flops = 4.0 * batch * heads * seq * seq * 64
+
+    def timed(fn):
+        _sync(fn(q, k, v))
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn(q, k, v)
+        _sync(out)
+        return (time.perf_counter() - t0) / n_iters
+
+    online = jax.jit(lambda a, b_, c: flash_attention(a, b_, c, pack2="t"))
+    static = jax.jit(lambda a, b_, c: flash_attention(a, b_, c, pack2="t",
+                                                      static_max=16.0))
+    t_on = timed(online)
+    t_st = timed(static)
+    # numerical agreement on-chip (bf16 inputs, f32 accum)
+    err = float(jnp.max(jnp.abs(
+        online(q, k, v).astype(jnp.float32)
+        - static(q, k, v).astype(jnp.float32))))
+    return {"metric": "attn_d64_staticmax_speedup",
+            "value": round(t_on / t_st, 3),
+            "unit": f"speedup (static-max / online), d=64 seq {seq} "
+                    f"heads {heads}",
+            "online_ms": round(t_on * 1e3, 2),
+            "static_ms": round(t_st * 1e3, 2),
+            "online_tf_s": round(flops / t_on / 1e12, 1),
+            "static_tf_s": round(flops / t_st / 1e12, 1),
+            "max_abs_diff": err}
+
+
 def _bench_cogvideox_breakdown(frames: int = 13, hh: int = 60,
                                ww: int = 90, dim: int = 3072,
                                heads: int = 48, n_iters: int = 4):
@@ -943,8 +985,15 @@ def _bench_wan14b_fp8(n_steps: int = 2, frames: int = 21, hh: int = 60,
 def _bench_with_oom_fallback(fn, attempts):
     """Run ``fn(**attempts[0])``; on HBM exhaustion retry with the next
     (smaller) config — TPU windows on the degraded tunnel are too scarce
-    to waste on a sizing miss."""
-    last = None
+    to waste on a sizing miss.
+
+    Holding the raised exception (``last = e``) would keep its traceback
+    frames — and the failed attempt's multi-GB device arrays — alive
+    through the retries, so each fallback would run with the previous
+    attempt's memory still resident and OOM in turn. Keep only the
+    message and gc between attempts."""
+    import gc
+    last_msg = None
     for kw in attempts:
         try:
             return fn(**kw)
@@ -953,8 +1002,12 @@ def _bench_with_oom_fallback(fn, attempts):
             if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in \
                     msg and "out of memory" not in msg:
                 raise
-            last = e
-    raise last
+            last_msg = msg[-2000:]
+            del e
+        gc.collect()
+        jax.clear_caches()  # drop the failed step's live executables too
+    raise RuntimeError(f"all fallback configs exhausted HBM; last: "
+                       f"{last_msg}")
 
 
 def _mixed_fp8_params(model, args, block_names, **init_kw):
@@ -1343,6 +1396,7 @@ DIAG_BENCHES = {
     "hunyuan_breakdown": lambda: _bench_hunyuan_breakdown(),
     "cogvideox_breakdown": lambda: _bench_cogvideox_breakdown(),
     "attn_d64_sweep": lambda: _bench_attn_d64_sweep(),
+    "attn_d64_staticmax": lambda: _bench_attn_d64_staticmax(),
     "dataloader": lambda: _bench_dataloader(),
 }
 
@@ -1400,6 +1454,7 @@ def _merge(names):
             results = json.load(f)
     except Exception:
         results = {}
+    failed = []
     for name in names:
         try:
             proc = subprocess.run(
@@ -1410,11 +1465,20 @@ def _merge(names):
             if proc.returncode == 0 and line.startswith("{"):
                 results[name] = json.loads(line)
             else:
-                results[name] = {"error":
-                                 (proc.stderr or proc.stdout)[-300:]}
+                err = {"error": (proc.stderr or proc.stdout)[-300:]}
+                failed.append(name)
+                # never clobber a previously measured value with an error
+                if "value" in results.get(name, {}):
+                    results[name]["last_error"] = err["error"]
+                else:
+                    results[name] = err
             print(f"merge[{name}]: {results[name]}", file=sys.stderr)
         except Exception as e:
-            results[name] = {"error": str(e)[:300]}
+            failed.append(name)
+            if "value" in results.get(name, {}):
+                results[name]["last_error"] = str(e)[:300]
+            else:
+                results[name] = {"error": str(e)[:300]}
             print(f"merge[{name}] FAILED: {e}", file=sys.stderr)
     cog = results.get("cogvideox5b", {})
     vae = results.get("vae_decode", {})
@@ -1426,7 +1490,7 @@ def _merge(names):
             "vs_baseline": round((60.0 / per_video) / 0.5, 3)}
     with open("BENCH_SUITE.json", "w") as f:
         json.dump(results, f, indent=2)
-    return results
+    return results, failed
 
 
 def main():
@@ -1441,7 +1505,11 @@ def main():
         return
     if "--merge" in sys.argv:
         names = sys.argv[sys.argv.index("--merge") + 1].split(",")
-        _merge(names)
+        _, failed = _merge(names)
+        if failed:  # nonzero so retry loops re-run the failed subset
+            print(f"merge failed for: {','.join(failed)}",
+                  file=sys.stderr)
+            sys.exit(4)
         return
     if "--suite" in sys.argv:
         _suite()

@@ -239,3 +239,19 @@ def test_masked_entrypoint_reference_fallback():
     ref = reference_attention(q, k, v, bias=bias)
     out = dot_product_attention(q, k, v, kv_valid=mask)
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_static_max_packed2t_matches_reference():
+    """Static-max softmax (no running max / rescales) must match the
+    online-softmax oracle up to f32 rounding on bounded inputs,
+    including kv padding (closed-form 2^-M pad removal)."""
+    q, k, v = _rand_qkv(jax.random.key(31), 2, 200, 4, 64)
+    ref = reference_attention(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128,
+                          interpret=True, pack2="t", static_max=12.0)
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+    # a deliberately large M (probabilities ~2^-40) must stay exact:
+    # f32 relative precision is scale-free
+    out2 = flash_attention(q, k, v, block_q=128, block_k=128,
+                           interpret=True, pack2="t", static_max=40.0)
+    np.testing.assert_allclose(out2, ref, atol=2e-3, rtol=2e-3)

@@ -221,7 +221,8 @@ def _flash_kernel_packed2(q_ref, k_ref, v_ref, o_ref, acc_ref,
 
 def _flash_kernel_packed2t(k_ref, qT_ref, vT_ref, o_ref, acc0_ref, acc1_ref,
                            m0_ref, l0_ref, m1_ref, l1_ref, *,
-                           sm_scale: float, kv_pad: int):
+                           sm_scale: float, kv_pad: int,
+                           static_max: Optional[float] = None):
     """Two d=64 heads, TRANSPOSED score space — the full-rate-PV variant.
 
     The natural-layout packed kernel above performs 2× MXU work on BOTH
@@ -262,38 +263,62 @@ def _flash_kernel_packed2t(k_ref, qT_ref, vT_ref, o_ref, acc0_ref, acc1_ref,
     s1t = jnp.dot(k_blk * (1.0 - mlo), qT,
                   preferred_element_type=jnp.float32)
 
-    m0 = m0_ref[:]                                            # (1, bq)
-    m1 = m1_ref[:]
-    m0n = jnp.maximum(m0, jnp.max(s0t, axis=0, keepdims=True))
-    m1n = jnp.maximum(m1, jnp.max(s1t, axis=0, keepdims=True))
-    p0t = jnp.exp2(s0t - m0n)
-    p1t = jnp.exp2(s1t - m1n)
-    a0 = jnp.exp2(m0 - m0n)
-    a1 = jnp.exp2(m1 - m1n)
-    l0_ref[:] = a0 * l0_ref[:] + jnp.sum(p0t, axis=0, keepdims=True)
-    l1_ref[:] = a1 * l1_ref[:] + jnp.sum(p1t, axis=0, keepdims=True)
-    m0_ref[:] = m0n
-    m1_ref[:] = m1n
     vT = vT_ref[:].astype(jnp.float32)                        # (128, bk)
-    acc0_ref[:] = acc0_ref[:] * a0 + jnp.dot(
-        vT[:64], p0t, preferred_element_type=jnp.float32)     # (64, bq)
-    acc1_ref[:] = acc1_ref[:] * a1 + jnp.dot(
-        vT[64:], p1t, preferred_element_type=jnp.float32)
+    if static_max is not None:
+        # STATIC-MAX softmax (opt-in, qk-normed attention only): the
+        # caller guarantees |log2-scores| ≤ static_max, so the running
+        # max, the alpha rescales, and the acc/l rescale multiplies all
+        # drop — per kv step only sub+exp2+sum touch the score block.
+        # Mathematically identical to online softmax (the final divide
+        # normalizes away the common 2^−M factor); f32 relative
+        # precision is scale-free so accuracy matches the online path
+        # as long as scores stay within (M−126, M+127) of exp2's range.
+        p0t = jnp.exp2(s0t - static_max)
+        p1t = jnp.exp2(s1t - static_max)
+        l0_ref[:] = l0_ref[:] + jnp.sum(p0t, axis=0, keepdims=True)
+        l1_ref[:] = l1_ref[:] + jnp.sum(p1t, axis=0, keepdims=True)
+        acc0_ref[:] = acc0_ref[:] + jnp.dot(
+            vT[:64], p0t, preferred_element_type=jnp.float32)
+        acc1_ref[:] = acc1_ref[:] + jnp.dot(
+            vT[64:], p1t, preferred_element_type=jnp.float32)
+    else:
+        m0 = m0_ref[:]                                        # (1, bq)
+        m1 = m1_ref[:]
+        m0n = jnp.maximum(m0, jnp.max(s0t, axis=0, keepdims=True))
+        m1n = jnp.maximum(m1, jnp.max(s1t, axis=0, keepdims=True))
+        p0t = jnp.exp2(s0t - m0n)
+        p1t = jnp.exp2(s1t - m1n)
+        a0 = jnp.exp2(m0 - m0n)
+        a1 = jnp.exp2(m1 - m1n)
+        l0_ref[:] = a0 * l0_ref[:] + jnp.sum(p0t, axis=0, keepdims=True)
+        l1_ref[:] = a1 * l1_ref[:] + jnp.sum(p1t, axis=0, keepdims=True)
+        m0_ref[:] = m0n
+        m1_ref[:] = m1n
+        acc0_ref[:] = acc0_ref[:] * a0 + jnp.dot(
+            vT[:64], p0t, preferred_element_type=jnp.float32) # (64, bq)
+        acc1_ref[:] = acc1_ref[:] * a1 + jnp.dot(
+            vT[64:], p1t, preferred_element_type=jnp.float32)
 
     @pl.when(j == num_kv - 1)
     def _finish():
         l0 = l0_ref[:]
         l1 = l1_ref[:]
         if kv_pad:  # closed-form removal of the zero-padded keys from l
-            l0 = l0 - kv_pad * jnp.exp2(-m0_ref[:])
-            l1 = l1 - kv_pad * jnp.exp2(-m1_ref[:])
+            if static_max is not None:
+                pad_p = kv_pad * (2.0 ** (-static_max))
+                l0 = l0 - pad_p
+                l1 = l1 - pad_p
+            else:
+                l0 = l0 - kv_pad * jnp.exp2(-m0_ref[:])
+                l1 = l1 - kv_pad * jnp.exp2(-m1_ref[:])
         o_ref[:64] = (acc0_ref[:]
                       / jnp.maximum(l0, 1e-30)).astype(o_ref.dtype)
         o_ref[64:] = (acc1_ref[:]
                       / jnp.maximum(l1, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_packed2t(q, k, v, *, sm_scale, block_q, block_k, interpret):
+def _flash_packed2t(q, k, v, *, sm_scale, block_q, block_k, interpret,
+                    static_max=None):
     """Dispatch for the transposed-score packed kernel: (B,S,H,64) →
     packed (B·H/2, S, 128); Q and V are pre-transposed by XLA (one cheap
     relayout each) so every in-kernel dot is in natural [M,K]@[K,N]
@@ -322,7 +347,7 @@ def _flash_packed2t(q, k, v, *, sm_scale, block_q, block_k, interpret):
     qT = qp.transpose(0, 2, 1)                 # (BH2, 128, sq_pad)
     vT = vp.transpose(0, 2, 1)                 # (BH2, 128, sk_pad)
     kernel = functools.partial(_flash_kernel_packed2t, sm_scale=sm_scale,
-                               kv_pad=sk_pad - sk)
+                               kv_pad=sk_pad - sk, static_max=static_max)
     kernel = _squeeze_kernel(kernel)
     outT = pl.pallas_call(
         kernel,
@@ -426,14 +451,15 @@ def _grid_params(interpret: bool):
 
 @functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q",
                                              "block_k", "interpret",
-                                             "pack2"))
+                                             "pack2", "static_max"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     causal: bool = False, scale: Optional[float] = None,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
                     interpret: bool = False,
                     pack2: Optional[bool] = None,
-                    kv_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                    kv_valid: Optional[jnp.ndarray] = None,
+                    static_max: Optional[float] = None) -> jnp.ndarray:
     """Pallas flash attention. q,k,v: (B, S, H, D) → (B, Sq, H, D).
 
     ``pack2``: for d=64 / even heads / non-causal, pack head pairs into
@@ -446,7 +472,13 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     ``kv_valid``: optional (B, Sk) bool key-validity mask (ragged text
     padding). Non-causal only; runs the dynamic-pad kernel — masked rows
     are zeroed and removed from the softmax sum in closed form, no
-    per-step masking cost."""
+    per-step masking cost.
+
+    ``static_max``: opt-in fixed softmax max in the LOG2 domain (packed
+    "t" path only for now). Valid ONLY when the caller can bound the
+    scaled logits (qk-normed DiT attention): drops the running max and
+    every online rescale. Exact up to f32 rounding while scores stay in
+    (static_max − 126, static_max + 127)."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     kh = k.shape[2]
@@ -465,10 +497,16 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if pack2:
         assert d == 64 and h % 2 == 0 and not causal, \
             "pack2 needs d=64, even heads, non-causal"
-        packed = _flash_packed2t if pack2 == "t" else _flash_packed2
-        return packed(q, k, v, sm_scale=sm_scale,
-                      block_q=block_q, block_k=block_k,
-                      interpret=interpret)
+        if pack2 == "t":
+            return _flash_packed2t(q, k, v, sm_scale=sm_scale,
+                                   block_q=block_q, block_k=block_k,
+                                   interpret=interpret,
+                                   static_max=static_max)
+        assert static_max is None, "static_max needs the packed-t path"
+        return _flash_packed2(q, k, v, sm_scale=sm_scale,
+                              block_q=block_q, block_k=block_k,
+                              interpret=interpret)
+    assert static_max is None, "static_max needs the packed-t path"
 
     # Mosaic requires the lane (last) dim 128-aligned. Zero-pad head_dim:
     # scores are unchanged (zero columns contribute nothing to q·k), padded
@@ -505,8 +543,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # zero-key count per batch = masked rows + alignment padding
         counts = (sk_pad
                   - jnp.sum(kv_valid.astype(jnp.float32), axis=1))
-        cnt = jnp.broadcast_to(jnp.repeat(counts, h)[:, None],
-                               (b * h, 128)).astype(jnp.float32)
+        cnt = jnp.broadcast_to(jnp.repeat(counts, h)[:, None, None],
+                               (b * h, 8, 128)).astype(jnp.float32)
         out = _flash_dynpad(qt, kt, vt, cnt, sm_scale=sm_scale,
                             block_q=block_q, block_k=block_k,
                             emit_lse=False, interpret=interpret)
@@ -711,7 +749,7 @@ def _flash_kernel_dynpad(q_ref, k_ref, v_ref, cnt_ref, *refs,
 
     @pl.when(j == num_kv - 1)
     def _finish():
-        cnt = cnt_ref[0, 0]
+        cnt = cnt_ref[0, 0, 0]
         l_f = l_ref[:] - cnt * jnp.exp2(-m_ref[:])
         l_fin = jnp.maximum(l_f, 1e-30)
         o_ref[0] = (acc_ref[:] / l_fin).astype(o_ref.dtype)
@@ -722,9 +760,10 @@ def _flash_kernel_dynpad(q_ref, k_ref, v_ref, cnt_ref, *refs,
 
 def _flash_dynpad(qt, kt, vt, cnt, *, sm_scale, block_q, block_k,
                   emit_lse, interpret):
-    """qt/kt/vt: (BH, S_pad, D) padded+packed; cnt: (BH, 128) f32
-    lane-replicated zero-key counts (masked + alignment pad). Returns
-    out (BH, Sq_pad, D) and, when emit_lse, lse (BH, Sq_pad) fp32."""
+    """qt/kt/vt: (BH, S_pad, D) padded+packed; cnt: (BH, 8, 128) f32
+    sublane/lane-replicated zero-key counts (masked + alignment pad —
+    same Mosaic (8, 128) stat-feeding rule as the backward's lse8).
+    Returns out (BH, Sq_pad, D) and, when emit_lse, lse (BH, Sq_pad)."""
     bh, sq_pad, d = qt.shape
     sk_pad = kt.shape[1]
     kernel = functools.partial(_flash_kernel_dynpad, sm_scale=sm_scale,
@@ -743,7 +782,7 @@ def _flash_dynpad(qt, kt, vt, cnt, *, sm_scale, block_q, block_k,
             pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0)),
             pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0)),
-            pl.BlockSpec((1, 128), lambda i, j, kk: (i, 0)),
+            pl.BlockSpec((1, 8, 128), lambda i, j, kk: (i, 0, 0)),
         ],
         out_specs=out_specs if emit_lse else out_specs[0],
         out_shape=out_shape if emit_lse else out_shape[0],
@@ -1091,8 +1130,8 @@ def _fa_masked_fwd(q, k, v, counts, scale):
         kt = jnp.pad(kt, ((0, 0), (0, sk_pad - sk), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, sk_pad - sk), (0, 0)))
     cnt = jnp.broadcast_to(
-        jnp.repeat(counts + (sk_pad - sk), h)[:, None],
-        (b * h, 128)).astype(jnp.float32)
+        jnp.repeat(counts + (sk_pad - sk), h)[:, None, None],
+        (b * h, 8, 128)).astype(jnp.float32)
     out_t, lse = _flash_dynpad(qt, kt, vt, cnt, sm_scale=sm_scale,
                                block_q=block_q, block_k=block_k,
                                emit_lse=True, interpret=_FA_INTERPRET)
