@@ -90,7 +90,7 @@ def test_flash_vjp_matches_reference_grads():
     from videotuna_tpu.kernels.attention import _fa_bwd
     out = reference_attention(q, k, v)
     g_out = 2.0 * out
-    g_manual = _fa_bwd(False, None, (q, k, v, None, None), g_out)
+    g_manual = _fa_bwd(False, None, None, (q, k, v, None, None), g_out)
     for a, b in zip(g_manual, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
@@ -255,3 +255,59 @@ def test_static_max_packed2t_matches_reference():
     out2 = flash_attention(q, k, v, block_q=128, block_k=128,
                            interpret=True, pack2="t", static_max=40.0)
     np.testing.assert_allclose(out2, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_static_max_plain_d128_matches_reference():
+    """Plain-kernel static-max (hunyuan/wan/flux class, d=128) parity,
+    incl. kv padding."""
+    q, k, v = _rand_qkv(jax.random.key(33), 1, 200, 2, 128)
+    ref = reference_attention(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128,
+                          interpret=True, static_max=12.0)
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_static_max_training_grads_exact():
+    """static_max through the differentiable wrapper: the saved LSE is
+    the true log-sum-exp so grads must equal the online-softmax path."""
+    import videotuna_tpu.kernels.attention as A
+    q, k, v = _rand_qkv(jax.random.key(35), 1, 192, 2, 64)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    old = A._FA_INTERPRET
+    A._FA_INTERPRET = True
+    try:
+        def loss_flash(q, k, v):
+            return jnp.sum(A.flash_attention_diff(
+                q, k, v, False, None, 14.0) ** 2)
+        g_st = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        A._FA_INTERPRET = old
+    for a, b in zip(g_st, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_attention_options_context_routes_static_max():
+    """attention_options(static_max=...) applies inside the scope via
+    dot_product_attention, and only where valid (causal keeps online)."""
+    import videotuna_tpu.kernels.attention as A
+    q, k, v = _rand_qkv(jax.random.key(37), 1, 192, 2, 64)
+    ref = dot_product_attention(q, k, v)
+    old = A._FA_INTERPRET
+    A._FA_INTERPRET = True
+    try:
+        with A.attention_options(static_max=14.0):
+            out = dot_product_attention(q, k, v)
+            causal_out = dot_product_attention(q, k, v, causal=True)
+    finally:
+        A._FA_INTERPRET = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+    ref_causal = reference_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(causal_out),
+                               np.asarray(ref_causal),
+                               atol=2e-3, rtol=2e-3)

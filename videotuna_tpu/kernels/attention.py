@@ -77,7 +77,8 @@ def reference_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                   block_k: int, sm_scale: float, causal: bool, kv_len: int,
-                  q_block: int, kv_pad: int = 0):
+                  q_block: int, kv_pad: int = 0,
+                  static_max: Optional[float] = None):
     """Grid = (batch·head, q_blocks, kv_blocks); kv is the innermost
     (sequential) dim, so the online-softmax stats persist in VMEM scratch
     across kv steps while Pallas double-buffers the (block_k, d) KV tiles
@@ -116,21 +117,32 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
                  + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
         s = jnp.where(q_pos >= k_pos, s, _NEG_INF)
 
-    m_i = m_ref[:]
-    l_i = l_ref[:]
-    m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp2(s - m_new)
-    alpha = jnp.exp2(m_i - m_new)
-    l_ref[:] = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[:] = m_new
-    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p, v_blk, preferred_element_type=jnp.float32)
+    if static_max is not None:
+        # STATIC-MAX softmax (qk-normed attention; see packed2t kernel):
+        # no running max, no rescales — sub+exp2+sum only per step
+        p = jnp.exp2(s - static_max)
+        l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] + jnp.dot(
+            p, v_blk, preferred_element_type=jnp.float32)
+    else:
+        m_i = m_ref[:]
+        l_i = l_ref[:]
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_i - m_new)
+        l_ref[:] = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:] = m_new
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p, v_blk, preferred_element_type=jnp.float32)
 
     @pl.when(j == num_kv - 1)
     def _finish():
         l_f = l_ref[:]
         if kv_pad and not causal:  # closed-form zero-pad key removal
-            l_f = l_f - kv_pad * jnp.exp2(-m_ref[:])
+            if static_max is not None:
+                l_f = l_f - kv_pad * (2.0 ** (-static_max))
+            else:
+                l_f = l_f - kv_pad * jnp.exp2(-m_ref[:])
         o_ref[:] = (acc_ref[:]
                     / jnp.maximum(l_f, 1e-30)).astype(o_ref.dtype)
 
@@ -506,7 +518,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return _flash_packed2(q, k, v, sm_scale=sm_scale,
                               block_q=block_q, block_k=block_k,
                               interpret=interpret)
-    assert static_max is None, "static_max needs the packed-t path"
+    if static_max is not None:
+        assert not causal and kv_valid is None, \
+            "static_max: non-causal, unmasked only"
 
     # Mosaic requires the lane (last) dim 128-aligned. Zero-pad head_dim:
     # scores are unchanged (zero columns contribute nothing to q·k), padded
@@ -554,7 +568,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kernel = functools.partial(_flash_kernel, block_k=block_k,
                                sm_scale=sm_scale, causal=causal,
                                kv_len=sk, q_block=block_q,
-                               kv_pad=sk_pad - sk)
+                               kv_pad=sk_pad - sk, static_max=static_max)
     out = pl.pallas_call(
         kernel,
         grid=(b * h, sq_pad // block_q, sk_pad // block_k),
@@ -613,7 +627,8 @@ DEFAULT_BWD_BLOCK_K = 512
 def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                           acc_ref, m_ref, l_ref, *,
                           block_k: int, sm_scale: float, causal: bool,
-                          kv_len: int, q_block: int, kv_pad: int = 0):
+                          kv_len: int, q_block: int, kv_pad: int = 0,
+                          static_max: Optional[float] = None):
     """Forward kernel variant that also emits LSE = m + log(l) per q row
     (needed by the fused backward). Same recurrence as _flash_kernel:
     log2-domain stats, closed-form zero-pad key removal from l (the
@@ -639,33 +654,44 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         s = jnp.where(q_pos >= k_pos, s, _NEG_INF)
 
-    m_i = m_ref[:]
-    l_i = l_ref[:]
-    m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp2(s - m_new)
-    alpha = jnp.exp2(m_i - m_new)
-    l_ref[:] = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[:] = m_new
-    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p, v_blk, preferred_element_type=jnp.float32)
+    if static_max is not None:
+        # static-max path (qk-normed attention): the emitted LSE is still
+        # the TRUE log-sum-exp (M + log2(l) with l accumulated at scale
+        # 2^-M), so the backward kernels stay exact and unchanged
+        p = jnp.exp2(s - static_max)
+        l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] + jnp.dot(
+            p, v_blk, preferred_element_type=jnp.float32)
+    else:
+        m_i = m_ref[:]
+        l_i = l_ref[:]
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_i - m_new)
+        l_ref[:] = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:] = m_new
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p, v_blk, preferred_element_type=jnp.float32)
 
     @pl.when(j == num_kv - 1)
     def _finish():
         l_f = l_ref[:]
+        m_f = (jnp.full_like(m_ref[:], static_max)
+               if static_max is not None else m_ref[:])
         if kv_pad and not causal:  # closed-form zero-pad key removal
-            l_f = l_f - kv_pad * jnp.exp2(-m_ref[:])
+            l_f = l_f - kv_pad * jnp.exp2(-m_f)
         l_fin = jnp.maximum(l_f, 1e-30)
         o_ref[0] = (acc_ref[:] / l_fin).astype(o_ref.dtype)
         # natural-log LSE (public across the ring/SP combine API):
         # stats are log2-domain, so scale by ln 2
-        lse = (m_ref[:] + jnp.log2(l_fin)) * (1.0 / _LOG2E)
+        lse = (m_f + jnp.log2(l_fin)) * (1.0 / _LOG2E)
         # lane-replicated write: Mosaic needs the last two block dims
         # (8, 128)-aligned, so the lse output is (…, block_q, 128)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _flash_forward_lse(qt, kt, vt, *, sm_scale, causal, sq, sk,
-                       block_q, block_k, interpret):
+                       block_q, block_k, interpret, static_max=None):
     """qt/kt/vt: (BH, S_pad, D) padded. Returns (out, lse) with
     out (BH, Sq_pad, D), lse (BH, Sq_pad) fp32."""
     bh, sq_pad, d = qt.shape
@@ -673,7 +699,7 @@ def _flash_forward_lse(qt, kt, vt, *, sm_scale, causal, sq, sk,
     kernel = functools.partial(_flash_fwd_lse_kernel, block_k=block_k,
                                sm_scale=sm_scale, causal=causal,
                                kv_len=sk, q_block=block_q,
-                               kv_pad=sk_pad - sk)
+                               kv_pad=sk_pad - sk, static_max=static_max)
     out, lse = pl.pallas_call(
         kernel,
         grid=(bh, sq_pad // block_q, sk_pad // block_k),
@@ -1026,12 +1052,15 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
 _FA_INTERPRET = False  # flipped by tests to exercise kernels on CPU
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention_diff(q, k, v, causal=False, scale=None):
-    return flash_attention(q, k, v, causal=causal, scale=scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention_diff(q, k, v, causal=False, scale=None,
+                         static_max=None):
+    return flash_attention(q, k, v, causal=causal, scale=scale,
+                           static_max=static_max,
+                           interpret=_FA_INTERPRET)
 
 
-def _fa_fwd(q, k, v, causal, scale):
+def _fa_fwd(q, k, v, causal, scale, static_max=None):
     if not (_on_tpu() or _FA_INTERPRET):
         out = flash_attention(q, k, v, causal=causal, scale=scale)
         return out, (q, k, v, None, None)
@@ -1058,12 +1087,15 @@ def _fa_fwd(q, k, v, causal, scale):
     out_t, lse = _flash_forward_lse(qt, kt, vt, sm_scale=sm_scale,
                                     causal=causal, sq=sq, sk=sk,
                                     block_q=block_q, block_k=block_k,
-                                    interpret=_FA_INTERPRET)
+                                    interpret=_FA_INTERPRET,
+                                    static_max=static_max)
     out = _unpack_heads(out_t[:, :sq], b, sq, h, d_pad)[..., :d]
     return out, (q, k, v, out, lse)
 
 
-def _fa_bwd(causal, scale, res, g):
+def _fa_bwd(causal, scale, static_max, res, g):
+    # static_max only changes how the forward accumulated; the saved LSE
+    # is the true log-sum-exp, so the backward is identical.
     q, k, v, out, lse = res
     if lse is not None:
         return flash_attention_bwd(q, k, v, out, lse, g, causal=causal,
@@ -1183,6 +1215,28 @@ def sequence_parallel(mesh, ulysses_axis: Optional[str] = "sp",
         _SP_CTX.cfg = prev
 
 
+_ATTN_OPTS = threading.local()
+
+
+@contextlib.contextmanager
+def attention_options(static_max: Optional[float] = None):
+    """Scoped kernel options for every ``dot_product_attention`` inside —
+    the zero-model-change opt-in used by flows (like ``sequence_parallel``).
+
+    ``static_max``: fixed softmax max (log2 domain) for qk-normed
+    denoisers (every DiT family here RMS/LayerNorms q and k, which
+    bounds the logits). Applied only where it is valid: the Pallas path,
+    non-causal, no bias, no kv mask — text encoders, biased refiners,
+    and masked attention inside the same scope silently keep the online
+    softmax."""
+    prev = getattr(_ATTN_OPTS, "cfg", None)
+    _ATTN_OPTS.cfg = {"static_max": static_max}
+    try:
+        yield
+    finally:
+        _ATTN_OPTS.cfg = prev
+
+
 def _maybe_sp(q, k, v, bias, causal):
     cfg = getattr(_SP_CTX, "cfg", None)
     if cfg is None or bias is not None or causal:
@@ -1283,7 +1337,9 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                   scale=scale)
         return out.reshape(orig_shape)
     if use_pallas:
-        out = flash_attention_diff(q, k, v, causal, scale)
+        opts = getattr(_ATTN_OPTS, "cfg", None) or {}
+        static_max = opts.get("static_max") if not causal else None
+        out = flash_attention_diff(q, k, v, causal, scale, static_max)
     else:
         out = reference_attention(q, k, v, bias=bias, causal=causal,
                                   scale=scale)
