@@ -183,14 +183,19 @@ def _bench_cogvideox5b(depth: int = 42, n_steps: int = 8,
         return model.apply({"params": p}, x, t, y)[..., :16] \
             .astype(x.dtype)
 
-    step = lambda x: step_p(params, x)
-    sps = _chain_and_time(step, x, n_steps)
+    # static-max softmax, matching CogVideoXFlow's default (qk-LN bounds
+    # the logits; exactness pinned by test_static_max_packed2t_*). The
+    # scope matters at TRACE time, so it must wrap the first call.
+    from videotuna_tpu.kernels.attention import attention_options
+    with attention_options(static_max=16.0):
+        step = lambda x: step_p(params, x)
+        sps = _chain_and_time(step, x, n_steps)
     seq = frames * (hh // 2) * (ww // 2) + 226
     mfu = _dit_flops(seq, dim, depth, b) * sps / V5E_PEAK_BF16
     return {"metric": "cogvideox5b_denoise_steps_per_sec_per_chip",
             "value": round(sps, 3),
             "unit": f"steps/s (CFG-doubled, 13x60x90 latents, depth "
-                    f"{depth}, bf16)",
+                    f"{depth}, bf16, static-max softmax)",
             "mfu": round(mfu, 3),
             "vs_baseline": round(sps / (50.0 / 120.0), 3),
             # v5e peak is 197 TF/s bf16 vs H800's ~990: per-chip steps/s
@@ -1328,7 +1333,8 @@ SUITE_BENCHES = {
          {"double": 2, "single": 4}]),
     "cogvideox_lora_train": lambda: _bench_with_oom_fallback(
         _bench_cogvideox_lora_train,
-        [{"depth": 21}, {"depth": 14}, {"depth": 10}]),
+        [{"depth": 21}, {"depth": 14}, {"depth": 10}, {"depth": 7},
+         {"depth": 5}, {"depth": 3}]),
 }
 
 def _bench_dataloader(n_clips: int = 24, frames: int = 16, src_hw=(360,

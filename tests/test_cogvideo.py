@@ -100,6 +100,28 @@ class TestCogVideoXFlow:
         vid = flow.decode_latents(flow.params, z)
         assert vid.shape == (1, 5, 16, 16, 3)  # 2 latent → 4k+1=5 frames
 
+    def test_attn_static_max_scope_active(self, flow):
+        """CogVideoXFlow defaults to the fixed-max softmax (qk-LN bounds
+        the logits) and the scope is live when the denoiser traces, so
+        the Pallas kernel picks it up on TPU; exactness is pinned by
+        test_attention.py::test_static_max_*."""
+        from videotuna_tpu.kernels import attention as A
+        assert flow.attn_static_max == 16.0
+        seen = {}
+        orig = flow.denoise_apply
+
+        def spy(params, x, t, c):
+            seen["cfg"] = getattr(A._ATTN_OPTS, "cfg", None)
+            return orig(params, x, t, c)
+
+        flow.denoise_apply = spy
+        try:
+            flow.sample(flow.params, {"y": jnp.zeros((1, 6, 16))}, None,
+                        (1, 2, 4, 4, 16), jax.random.key(0), cfg_scale=1.0)
+        finally:
+            del flow.denoise_apply
+        assert seen["cfg"] == {"static_max": 16.0}
+
     def test_i2v_image_latents(self):
         f = CogVideoXFlow(**{**COG_TINY,
                              "denoiser_config": {

@@ -22,6 +22,7 @@ memory planning + donation; per-component dtype policies are constructor args.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 from typing import Any, Dict, Optional, Sequence, Tuple
@@ -62,7 +63,8 @@ class GenerationFlow:
                  trainable_components: Sequence[str] = ("denoiser",),
                  tokenizer: Optional[str] = None,
                  model_max_length: int = 120,
-                 param_dtype: Any = "float32"):
+                 param_dtype: Any = "float32",
+                 attn_static_max: Optional[float] = None):
         self.denoiser = instantiate(denoiser_config)
         self.scheduler = instantiate(scheduler_config)
         self.first_stage = (instantiate(first_stage_config)
@@ -76,7 +78,20 @@ class GenerationFlow:
         self.tokenizer = tokenizer
         self.model_max_length = model_max_length
         self.param_dtype = resolve_dtype(param_dtype)
+        # Fixed softmax max (log2 domain) for the Pallas flash kernels —
+        # valid only for qk-normed denoisers (LN/RMSNorm on q and k bounds
+        # the logits); skips the online-max rescale chain (measured 1.14×
+        # on the d=64 kernel). Applied at trace time around sampling; the
+        # kernel silently keeps the online softmax on masked/biased/causal
+        # attention (text encoders, refiners) inside the same scope.
+        self.attn_static_max = attn_static_max
         self.params: Params = {}
+
+    def _attn_scope(self):
+        if self.attn_static_max is None:
+            return contextlib.nullcontext()
+        from videotuna_tpu.kernels.attention import attention_options
+        return attention_options(static_max=float(self.attn_static_max))
 
     # ------------------------------------------------------------------ init
     def example_inputs(self) -> Dict[str, Any]:
@@ -195,7 +210,8 @@ class GenerationFlow:
         """Latent sampling under the flow's scheduler; returns latents."""
         model_fn = lambda x, t, c: self.denoise_apply(params, x, t, c)
         denoise = cfg_denoise(model_fn, cond, uncond, cfg_scale)
-        return self.scheduler.sample(denoise, shape, key)
+        with self._attn_scope():
+            return self.scheduler.sample(denoise, shape, key)
 
     def enhance(self, params: Params, video: jnp.ndarray,
                 cond: Dict[str, Any], key: jax.Array,
@@ -225,7 +241,8 @@ class GenerationFlow:
             def body(xc, inp):
                 i, kk = inp
                 return sched.step(denoise, xc, i, kk), None
-            x, _ = jax.lax.scan(body, x, (idxs, keys))
+            with self._attn_scope():
+                x, _ = jax.lax.scan(body, x, (idxs, keys))
         elif isinstance(sched, FlowMatchSchedule):
             n_start = max(int(sched.num_steps * strength), 1)
             i0 = sched.num_steps - n_start
@@ -237,7 +254,8 @@ class GenerationFlow:
                 t = jnp.full((z.shape[0],), sched.timesteps[i], jnp.float32)
                 v = denoise(xc, t)
                 return sched.step(xc, v, i), None
-            x, _ = jax.lax.scan(body, x, jnp.arange(i0, sched.num_steps))
+            with self._attn_scope():
+                x, _ = jax.lax.scan(body, x, jnp.arange(i0, sched.num_steps))
         else:
             raise TypeError(f"enhance unsupported for {type(sched)}")
         return self.decode_latents(params, x)
