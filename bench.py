@@ -992,25 +992,30 @@ def _bench_with_oom_fallback(fn, attempts):
     (smaller) config — TPU windows on the degraded tunnel are too scarce
     to waste on a sizing miss.
 
-    Holding the raised exception (``last = e``) would keep its traceback
-    frames — and the failed attempt's multi-GB device arrays — alive
-    through the retries, so each fallback would run with the previous
-    attempt's memory still resident and OOM in turn. Keep only the
-    message and gc between attempts."""
-    import gc
+    Each attempt runs in its OWN subprocess (``--probe``): in-process
+    retries inherit the failed attempt's HBM no matter how hard we
+    gc+clear_caches (measured: depth-3 CogVideoX LoRA OOMs after a
+    depth-21 failure in the same process but runs clean standalone at
+    0.79 steps/s) — the PJRT client keeps backing buffers alive until
+    process exit. A fresh process per rung guarantees a clean chip."""
+    import os
+    import subprocess
     last_msg = None
     for kw in attempts:
-        try:
-            return fn(**kw)
-        except Exception as e:  # noqa: BLE001 — match on message
-            msg = str(e)
-            if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in \
-                    msg and "out of memory" not in msg:
-                raise
-            last_msg = msg[-2000:]
-            del e
-        gc.collect()
-        jax.clear_caches()  # drop the failed step's live executables too
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--probe",
+             fn.__name__, json.dumps(kw)],
+            capture_output=True, timeout=3600, text=True)
+        line = proc.stdout.strip().splitlines()[-1] if \
+            proc.stdout.strip() else ""
+        if proc.returncode == 0 and line.startswith("{"):
+            return json.loads(line)
+        msg = (proc.stderr or proc.stdout)[-2000:]
+        if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in \
+                msg and "out of memory" not in msg:
+            raise RuntimeError(f"bench probe {fn.__name__} {kw} failed "
+                               f"(non-OOM): {msg}")
+        last_msg = msg
     raise RuntimeError(f"all fallback configs exhausted HBM; last: "
                        f"{last_msg}")
 
@@ -1504,6 +1509,14 @@ def main():
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     except Exception:
         pass
+    if "--probe" in sys.argv:
+        # one fallback-ladder rung in a fresh process (clean HBM); used
+        # by _bench_with_oom_fallback — not a user-facing entry
+        i = sys.argv.index("--probe")
+        fn = globals()[sys.argv[i + 1]]
+        kw = json.loads(sys.argv[i + 2])
+        print(json.dumps(fn(**kw)))
+        return
     if "--one" in sys.argv:
         name = sys.argv[sys.argv.index("--one") + 1]
         fn = SUITE_BENCHES.get(name) or DIAG_BENCHES[name]
