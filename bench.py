@@ -538,6 +538,46 @@ def _bench_attn_d64_staticmax(seq: int = 17776, heads: int = 48,
             "max_abs_diff": err}
 
 
+def _bench_attn_d128_staticmax(seq: int = 20656, heads: int = 24,
+                               batch: int = 1, n_iters: int = 6):
+    """A/B: plain d=128 online softmax vs STATIC-MAX at the
+    Hunyuan-class geometry (all d=128 families qk-RMSNorm, so the
+    fixed-max path is valid there too). The d=64 twin measured 1.14×;
+    this gates defaulting attn_static_max for hunyuan/wan/mochi flows."""
+    from videotuna_tpu.kernels.attention import flash_attention
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (batch, seq, heads, 128), jnp.bfloat16)
+    k = jax.random.normal(k2, (batch, seq, heads, 128), jnp.bfloat16)
+    v = jax.random.normal(k3, (batch, seq, heads, 128), jnp.bfloat16)
+    flops = 4.0 * batch * heads * seq * seq * 128
+
+    def timed(fn):
+        _sync(fn(q, k, v))
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn(q, k, v)
+        _sync(out)
+        return (time.perf_counter() - t0) / n_iters
+
+    online = jax.jit(lambda a, b_, c: flash_attention(a, b_, c))
+    static = jax.jit(lambda a, b_, c: flash_attention(a, b_, c,
+                                                      static_max=16.0))
+    t_on = timed(online)
+    t_st = timed(static)
+    err = float(jnp.max(jnp.abs(
+        online(q, k, v).astype(jnp.float32)
+        - static(q, k, v).astype(jnp.float32))))
+    return {"metric": "attn_d128_staticmax_speedup",
+            "value": round(t_on / t_st, 3),
+            "unit": f"speedup (static-max / online), d=128 seq {seq} "
+                    f"heads {heads}",
+            "online_ms": round(t_on * 1e3, 2),
+            "static_ms": round(t_st * 1e3, 2),
+            "online_tf_s": round(flops / t_on / 1e12, 1),
+            "static_tf_s": round(flops / t_st / 1e12, 1),
+            "max_abs_diff": err}
+
+
 def _bench_cogvideox_breakdown(frames: int = 13, hh: int = 60,
                                ww: int = 90, dim: int = 3072,
                                heads: int = 48, n_iters: int = 4):
@@ -1010,12 +1050,21 @@ def _bench_with_oom_fallback(fn, attempts):
             proc.stdout.strip() else ""
         if proc.returncode == 0 and line.startswith("{"):
             return json.loads(line)
-        msg = (proc.stderr or proc.stdout)[-2000:]
-        if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in \
-                msg and "out of memory" not in msg:
+        full = (proc.stderr or "") + (proc.stdout or "")
+        # match on the FULL output: an XLA OOM ends with a long
+        # allocation table, so the marker is nowhere near the tail
+        if not any(s in full for s in ("RESOURCE_EXHAUSTED",
+                                       "ResourceExhausted",
+                                       "Out of memory", "out of memory")):
             raise RuntimeError(f"bench probe {fn.__name__} {kw} failed "
-                               f"(non-OOM): {msg}")
-        last_msg = msg
+                               f"(non-OOM): {full[-2000:]}")
+        last_msg = full[-2000:]
+        # the remote TPU server frees a dead client's HBM with several
+        # minutes of lag; without this, every later (smaller) rung OOMs
+        # against the previous rung's still-resident buffers (observed:
+        # a depth-3 rung OOM'd at a 384-byte constant 3 min after the
+        # depth-21 client exited, then ran clean at 0.79 steps/s)
+        time.sleep(90)
     raise RuntimeError(f"all fallback configs exhausted HBM; last: "
                        f"{last_msg}")
 
@@ -1408,6 +1457,7 @@ DIAG_BENCHES = {
     "cogvideox_breakdown": lambda: _bench_cogvideox_breakdown(),
     "attn_d64_sweep": lambda: _bench_attn_d64_sweep(),
     "attn_d64_staticmax": lambda: _bench_attn_d64_staticmax(),
+    "attn_d128_staticmax": lambda: _bench_attn_d128_staticmax(),
     "dataloader": lambda: _bench_dataloader(),
 }
 
