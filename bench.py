@@ -135,13 +135,22 @@ def _dit_flops(seq: int, dim: int, depth: int, batch: int,
     return float(batch * depth * per_layer)
 
 
-def _chain_and_time(step, x0, n_steps: int):
-    _sync(step(x0))                    # compile + warm + sync
-    t0 = time.perf_counter()
-    cur = x0
-    for _ in range(n_steps):
-        cur = step(cur)
-    _sync(cur)
+def _chain_and_time(step, x0, n_steps: int, static_max=None):
+    """``static_max``: fixed-max softmax for qk-NORMED models only (the
+    scope matters at trace time, so it must wrap the compiling first
+    call); measured 1.14× on the packed d=64 kernel, 1.08× on the plain
+    d=128 one. Leave None for un-normed attention (UNets, STDiT)."""
+    import contextlib
+    from videotuna_tpu.kernels.attention import attention_options
+    ctx = (attention_options(static_max=static_max)
+           if static_max is not None else contextlib.nullcontext())
+    with ctx:
+        _sync(step(x0))                # compile + warm + sync
+        t0 = time.perf_counter()
+        cur = x0
+        for _ in range(n_steps):
+            cur = step(cur)
+        _sync(cur)
     return n_steps / (time.perf_counter() - t0)
 
 
@@ -230,7 +239,7 @@ def _bench_hunyuan13b(double: int = 5, single: int = 10, n_steps: int = 4,
                            mask)[..., :16].astype(x.dtype)
 
     step = lambda x: step_p(params, x)
-    sps = _chain_and_time(step, x, n_steps)
+    sps = _chain_and_time(step, x, n_steps, static_max=16.0)
     # single-stream blocks cost ≈ half a double block; extrapolate steps/s
     # linearly in equivalent depth (blocks dominate the step)
     # time scales with FLOPs, and a single block costs the SAME flops as a
@@ -744,7 +753,7 @@ def _bench_hunyuan13b_full(n_steps: int = 2, frames: int = 17,
                    vec=vec)
         return out[..., :16].astype(x_in.dtype)
 
-    sps = _chain_and_time(one_step, x, n_steps)
+    sps = _chain_and_time(one_step, x, n_steps, static_max=16.0)
     seq = frames * (hh // 2) * (ww // 2) + 256
     # single blocks: half the params, EQUAL flops (full concat seq)
     eq_depth = double + single
@@ -863,7 +872,7 @@ def _bench_hunyuan13b_fp8(n_steps: int = 3, frames: int = 17,
                    vec=vec)
         return out[..., :16].astype(x_in.dtype)
 
-    sps = _chain_and_time(one_step, x, n_steps)
+    sps = _chain_and_time(one_step, x, n_steps, static_max=16.0)
     seq = frames * (hh // 2) * (ww // 2) + 256
     # single blocks: half the params, EQUAL flops (full concat seq)
     eq_depth = double + single
@@ -931,7 +940,7 @@ def _bench_wan14b(n_steps: int = 2, frames: int = 21, hh: int = 60,
         out = h_fn({"params": head_params}, tok=tok, e=e)
         return out[..., :16].astype(x_in.dtype)
 
-    sps = _chain_and_time(one_step, x, n_steps)
+    sps = _chain_and_time(one_step, x, n_steps, static_max=16.0)
     seq = frames * (hh // 2) * (ww // 2)
     # wan blocks: qkvo (8·S·D²) + cross-attn kv/o vs text (≈4·S·D²) +
     # ffn (2·S·D·ffn·2) + self+cross attention quadratic terms
@@ -1012,7 +1021,7 @@ def _bench_wan14b_fp8(n_steps: int = 2, frames: int = 21, hh: int = 60,
         out = h_fn({"params": head_params}, tok=tok, e=e)
         return out[..., :16].astype(x_in.dtype)
 
-    sps = _chain_and_time(one_step, x, n_steps)
+    sps = _chain_and_time(one_step, x, n_steps, static_max=16.0)
     seq = frames * (hh // 2) * (ww // 2)
     per_layer = (12 * seq * dim * dim + 4 * seq * dim * ffn
                  + 4 * seq * seq * dim)
@@ -1122,7 +1131,8 @@ def _bench_stepvideo_class(layers: int = 20, n_steps: int = 3,
 
     fn = jax.jit(lambda p, xx: model.apply({"params": p}, xx, t, cap,
                                            clip))
-    sps = _chain_and_time(lambda xx: fn(params, xx), x, n_steps)
+    sps = _chain_and_time(lambda xx: fn(params, xx), x, n_steps,
+                          static_max=16.0)
     seq = frames * hh * ww
     per_layer = (8 + 16) * seq * d * d + 4 * seq * seq * d \
         + 4 * seq * d * d + 4 * s_ctx * d * d + 4 * seq * s_ctx * d
@@ -1160,7 +1170,8 @@ def _bench_mochi_fp8(n_steps: int = 3, frames: int = 14, hh: int = 60,
     resident = sum(a.nbytes for a in jax.tree.leaves(params))
 
     fn = jax.jit(lambda p, xx: model.apply({"params": p}, xx, t, y, mask))
-    sps = _chain_and_time(lambda xx: fn(params, xx), x, n_steps)
+    sps = _chain_and_time(lambda xx: fn(params, xx), x, n_steps,
+                          static_max=16.0)
     seq = frames * (hh // 2) * (ww // 2)
     mfu = _dit_flops(seq, 3072, 48, b) * sps / V5E_PEAK_BF16
     return {"metric": "mochi10b_full_depth_fp8_denoise_steps_per_sec",
@@ -1194,7 +1205,8 @@ def _bench_flux_fp8(n_steps: int = 6, hh: int = 48, ww: int = 85):
 
     fn = jax.jit(lambda p, xx: model.apply({"params": p}, xx, t, y,
                                            pooled, g))
-    sps = _chain_and_time(lambda xx: fn(params, xx), x, n_steps)
+    sps = _chain_and_time(lambda xx: fn(params, xx), x, n_steps,
+                          static_max=16.0)
     seq = hh * ww + 512
     eq_depth = 19 + 38     # single blocks: half params, EQUAL flops
     mfu = _dit_flops(seq, 3072, eq_depth, b) * sps / V5E_PEAK_BF16
