@@ -767,6 +767,8 @@ def _bench_hunyuan13b_full(n_steps: int = 2, frames: int = 17,
             "mfu": round(mfu, 4),
             "streamed_gb_per_step": round(bytes_streamed / 1e9, 1),
             "implied_stream_gb_s": round(implied_gbs, 2),
+            "status": "superseded",
+            "superseded_by": "hunyuan13b_full_fp8",
             "vs_baseline": round(sps / (50.0 / 1920.0), 3)}
 
 
@@ -954,6 +956,8 @@ def _bench_wan14b(n_steps: int = 2, frames: int = 21, hh: int = 60,
                     "21x60x90 latents, bf16)",
             "mfu": round(mfu, 4),
             "streamed_gb_per_step": round(streamed / 1e9, 1),
+            "status": "superseded",
+            "superseded_by": "wan14b_fp8",
             "vs_baseline": round(sps / (50.0 / 1920.0), 3)}
 
 
@@ -1265,7 +1269,7 @@ def _bench_hunyuan_lora_train(double: int = 5, single: int = 10,
     import optax
     from videotuna_tpu.models.hunyuan.dit import HYVideoDiT
     from videotuna_tpu.training.lora import (default_match, init_lora,
-                                             merge_lora)
+                                             inject_lora, lora_scope)
     model = HYVideoDiT(dim=dim, heads=heads, double_blocks=double,
                        single_blocks=single, dtype=jnp.bfloat16,
                        scan_blocks=True, remat=True)
@@ -1282,8 +1286,11 @@ def _bench_hunyuan_lora_train(double: int = 5, single: int = 10,
     opt_state = opt.init(lora)
 
     def loss_fn(lr, bp, xx):
-        merged = merge_lora(bp, lr, 1.0)
-        out = model.apply({"params": merged}, xx, t, y, pooled, mask)
+        # side-branch LoRA: y = xW + (xA)B — neither merged kernels nor
+        # full-size dW cotangents materialize (merge-based OOMed, round 3)
+        with lora_scope():
+            out = model.apply({"params": inject_lora(bp, lr, 1.0)},
+                              xx, t, y, pooled, mask)
         return jnp.mean(out.astype(jnp.float32) ** 2)
 
     # base params MUST be jit arguments: closed-over they become HLO
@@ -1332,7 +1339,7 @@ def _bench_cogvideox_lora_train(depth: int = 21, n_steps: int = 3,
     import optax
     from videotuna_tpu.models.cogvideo.mmdit import CogVideoXTransformer
     from videotuna_tpu.training.lora import (default_match, init_lora,
-                                             merge_lora)
+                                             inject_lora, lora_scope)
     model = CogVideoXTransformer(dim=dim, num_layers=depth, heads=heads,
                                  dtype=jnp.bfloat16, scan_blocks=True,
                                  remat=True)
@@ -1347,8 +1354,10 @@ def _bench_cogvideox_lora_train(depth: int = 21, n_steps: int = 3,
     opt_state = opt.init(lora)
 
     def loss_fn(lr, bp, xx):
-        merged = merge_lora(bp, lr, 1.0)
-        out = model.apply({"params": merged}, xx, t, y)
+        # side-branch LoRA (see _bench_hunyuan_lora_train)
+        with lora_scope():
+            out = model.apply({"params": inject_lora(bp, lr, 1.0)},
+                              xx, t, y)
         return jnp.mean(out.astype(jnp.float32) ** 2)
 
     @jax.jit
@@ -1393,14 +1402,17 @@ SUITE_BENCHES = {
     "mochi_fp8": lambda: _bench_mochi_fp8(),
     "flux_fp8": lambda: _bench_flux_fp8(),
     "vc2_unet": lambda: _bench_vc2_unet(),
+    # side-branch LoRA (round 4): no merged kernels / dW stacks, so the
+    # ladders START at full depth — CogVideoX 42 layers is ~10 GB bf16
+    # base + rank-32 deltas, expected to fit 16 GB HBM outright
     "hunyuan_lora_train": lambda: _bench_with_oom_fallback(
         _bench_hunyuan_lora_train,
-        [{"double": 5, "single": 10}, {"double": 3, "single": 6},
-         {"double": 2, "single": 4}]),
+        [{"double": 10, "single": 20}, {"double": 5, "single": 10},
+         {"double": 3, "single": 6}]),
     "cogvideox_lora_train": lambda: _bench_with_oom_fallback(
         _bench_cogvideox_lora_train,
-        [{"depth": 21}, {"depth": 14}, {"depth": 10}, {"depth": 7},
-         {"depth": 5}, {"depth": 3}]),
+        [{"depth": 42}, {"depth": 28}, {"depth": 21}, {"depth": 14},
+         {"depth": 10}]),
 }
 
 def _bench_dataloader(n_clips: int = 24, frames: int = 16, src_hw=(360,

@@ -128,6 +128,65 @@ def test_fused_pallas_backward_matches_reference(causal, sq, sk):
                                    atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.parametrize("b,h,sq,sk", [(1, 2, 256, 256), (2, 4, 384, 256),
+                                       (1, 2, 200, 136)])
+def test_packed_d64_backward_matches_reference(b, h, sq, sk):
+    """The packed two-head d=64 fused backward (transposed-dq + natural-
+    dkv kernels, interpret mode) must match autodiff through the
+    reference, including unaligned lengths and multiple head pairs."""
+    import videotuna_tpu.kernels.attention as A
+    q, k, v = _rand_qkv(jax.random.key(21), b, sq, h, 64, sk=sk)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    called = []
+    real = A._flash_bwd_packed2
+
+    def spy(*a, **kw):
+        called.append(1)
+        return real(*a, **kw)
+
+    old = A._FA_INTERPRET
+    A._FA_INTERPRET = True
+    A._flash_bwd_packed2 = spy
+    try:
+        def loss_flash(q, k, v):
+            return jnp.sum(A.flash_attention_diff(q, k, v) ** 2)
+
+        g_fused = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        A._FA_INTERPRET = old
+        A._flash_bwd_packed2 = real
+    assert called, "d=64 even-head non-causal bwd must route packed"
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_packed_d64_forward_emits_exact_lse():
+    """The packed transposed-score forward's emit_lse output must equal
+    the true per-head log-sum-exp (it feeds the packed backward)."""
+    import videotuna_tpu.kernels.attention as A
+    b, h, sq, sk = 1, 4, 256, 200
+    q, k, v = _rand_qkv(jax.random.key(23), b, sq, h, 64, sk=sk)
+    out, lse = A._flash_packed2t(q, k, v, sm_scale=1.0 / 8.0,
+                                 block_q=128, block_k=128,
+                                 interpret=True, emit_lse=True)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / 8.0
+    lse_ref = jax.nn.logsumexp(s, axis=-1)          # (b, h, sq)
+    lse_ref = lse_ref.reshape(b, h // 2, 2, sq) \
+                     .reshape(b * h // 2, 2, sq)
+    np.testing.assert_allclose(np.asarray(lse[:, :, :sq]),
+                               np.asarray(lse_ref), atol=2e-3, rtol=2e-3)
+
+
 def test_fused_backward_fwd_bwd_block_pad_mismatch():
     """Regression: fwd pads lse to a multiple of DEFAULT_BLOCK_Q (1024)
     while bwd re-pads to a multiple of DEFAULT_BWD_BLOCK_Q (512). At
@@ -293,21 +352,72 @@ def test_static_max_training_grads_exact():
 
 def test_attention_options_context_routes_static_max():
     """attention_options(static_max=...) applies inside the scope via
-    dot_product_attention, and only where valid (causal keeps online)."""
+    dot_product_attention, and ONLY at bounded_logits=True call sites
+    (causal keeps online regardless)."""
     import videotuna_tpu.kernels.attention as A
     q, k, v = _rand_qkv(jax.random.key(37), 1, 192, 2, 64)
     ref = dot_product_attention(q, k, v)
     old = A._FA_INTERPRET
     A._FA_INTERPRET = True
+    seen = []
+    real = A.flash_attention_diff
+
+    def spy(q_, k_, v_, causal, scale, static_max=None):
+        seen.append(static_max)
+        return real(q_, k_, v_, causal, scale, static_max)
+    A.flash_attention_diff = spy
     try:
         with A.attention_options(static_max=14.0):
-            out = dot_product_attention(q, k, v)
-            causal_out = dot_product_attention(q, k, v, causal=True)
+            out = dot_product_attention(q, k, v, bounded_logits=True)
+            untagged = dot_product_attention(q, k, v)
+            causal_out = dot_product_attention(q, k, v, causal=True,
+                                               bounded_logits=True)
     finally:
         A._FA_INTERPRET = old
+        A.flash_attention_diff = real
+    # the round-3 advisor finding: bias-absence must NOT opt a call in —
+    # only the explicit per-site declaration does (the Hunyuan token
+    # refiner has no qk-norm and must stay on the online softmax)
+    assert seen == [14.0, None, None]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(untagged), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
     ref_causal = reference_attention(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(causal_out),
                                np.asarray(ref_causal),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_static_max_masked_kv_valid_matches_reference():
+    """Masked (kv_valid) flash with static_max: zeroed keys contribute
+    exactly 2^-static_max each, removed in closed form — forward parity
+    with the additive-bias reference and grads matching the online
+    masked path."""
+    import videotuna_tpu.kernels.attention as A
+    key = jax.random.key(11)
+    q, k, v = _rand_qkv(key, 2, 256, 2, 64)
+    valid = jnp.arange(256)[None, :] < jnp.array([[170], [256]])
+    bias = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
+    ref = reference_attention(q, k, v, bias=bias)
+    old = A._FA_INTERPRET
+    A._FA_INTERPRET = True
+    try:
+        with A.attention_options(static_max=14.0):
+            out = dot_product_attention(q, k, v, kv_valid=valid,
+                                        bounded_logits=True)
+
+        def f(q_, k_, v_, sm):
+            with A.attention_options(static_max=sm):
+                o = dot_product_attention(q_, k_, v_, kv_valid=valid,
+                                          bounded_logits=True)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+        g_static = jax.grad(f, argnums=(0, 1, 2))(q, k, v, 14.0)
+        g_online = jax.grad(f, argnums=(0, 1, 2))(q, k, v, None)
+    finally:
+        A._FA_INTERPRET = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+    for a, b in zip(g_static, g_online):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)

@@ -46,15 +46,19 @@ class TestFlowSolvers:
     @pytest.mark.parametrize("cls", [FlowUniPCSchedule,
                                      FlowDPMSolverSchedule])
     def test_exact_for_linear_field(self, cls):
-        """Constant velocity oracle → multistep solvers land on x0."""
+        """Constant velocity oracle → multistep solvers land on x0.
+        Start from the solver's OWN σ₀ (the faithful UniPC grid begins
+        at shifted(1 − 1/1000), like the reference, not at exactly 1)."""
         sched = cls.create(num_steps=8, shift=3.0)
         x0_true = jnp.full((2, 16), 0.7)
         eps = jax.random.normal(jax.random.key(0), (2, 16))
+        s0 = sched.sigmas[0]
+        x_T = (1.0 - s0) * x0_true + s0 * eps
 
         def oracle(x, t):
             return eps - x0_true
 
-        out = sched.sample(oracle, (2, 16), jax.random.key(1), x_T=eps)
+        out = sched.sample(oracle, (2, 16), jax.random.key(1), x_T=x_T)
         np.testing.assert_allclose(out, x0_true, atol=1e-4)
 
     @pytest.mark.parametrize("cls", [FlowUniPCSchedule,

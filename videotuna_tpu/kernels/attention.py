@@ -231,10 +231,10 @@ def _flash_kernel_packed2(q_ref, k_ref, v_ref, o_ref, acc_ref,
         o_ref[:] = (acc_ref[:] / l_cat).astype(o_ref.dtype)
 
 
-def _flash_kernel_packed2t(k_ref, qT_ref, vT_ref, o_ref, acc0_ref, acc1_ref,
-                           m0_ref, l0_ref, m1_ref, l1_ref, *,
+def _flash_kernel_packed2t(k_ref, qT_ref, vT_ref, *refs,
                            sm_scale: float, kv_pad: int,
-                           static_max: Optional[float] = None):
+                           static_max: Optional[float] = None,
+                           emit_lse: bool = False):
     """Two d=64 heads, TRANSPOSED score space — the full-rate-PV variant.
 
     The natural-layout packed kernel above performs 2× MXU work on BOTH
@@ -253,9 +253,20 @@ def _flash_kernel_packed2t(k_ref, qT_ref, vT_ref, o_ref, acc0_ref, acc1_ref,
     and the acc rescale touches 2·(64, bq) instead of (bq, 128).
     Same closed-form zero-pad-key correction as the natural kernel
     (pad key rows of s*ᵀ are exactly 0 ⇒ each contributes exp2(−m_final)
-    to l). Non-causal only, like every packed path."""
+    to l). Non-causal only, like every packed path.
+
+    ``emit_lse`` adds per-head LSE outputs (natural log, sublane-
+    replicated (8, bq) blocks) for the packed fused backward — the
+    training path."""
     j = pl.program_id(2)
     num_kv = pl.num_programs(2)
+    if emit_lse:
+        (o_ref, lse0_ref, lse1_ref, acc0_ref, acc1_ref,
+         m0_ref, l0_ref, m1_ref, l1_ref) = refs
+    else:
+        (o_ref, acc0_ref, acc1_ref,
+         m0_ref, l0_ref, m1_ref, l1_ref) = refs
+        lse0_ref = lse1_ref = None
 
     @pl.when(j == 0)
     def _init():
@@ -323,26 +334,49 @@ def _flash_kernel_packed2t(k_ref, qT_ref, vT_ref, o_ref, acc0_ref, acc1_ref,
             else:
                 l0 = l0 - kv_pad * jnp.exp2(-m0_ref[:])
                 l1 = l1 - kv_pad * jnp.exp2(-m1_ref[:])
-        o_ref[:64] = (acc0_ref[:]
-                      / jnp.maximum(l0, 1e-30)).astype(o_ref.dtype)
-        o_ref[64:] = (acc1_ref[:]
-                      / jnp.maximum(l1, 1e-30)).astype(o_ref.dtype)
+        l0 = jnp.maximum(l0, 1e-30)
+        l1 = jnp.maximum(l1, 1e-30)
+        o_ref[:64] = (acc0_ref[:] / l0).astype(o_ref.dtype)
+        o_ref[64:] = (acc1_ref[:] / l1).astype(o_ref.dtype)
+        if emit_lse:
+            if static_max is not None:
+                m0 = m1 = jnp.full_like(l0, static_max)
+            else:
+                m0, m1 = m0_ref[:], m1_ref[:]
+            lse0 = (m0 + jnp.log2(l0)) * (1.0 / _LOG2E)   # (1, bq)
+            lse1 = (m1 + jnp.log2(l1)) * (1.0 / _LOG2E)
+            lse0_ref[:] = jnp.broadcast_to(lse0, lse0_ref.shape)
+            lse1_ref[:] = jnp.broadcast_to(lse1, lse1_ref.shape)
+
+
+def _squeeze_first_n(fn, n):
+    """Squeeze the leading block dim of the first ``n`` refs (tensor I/O);
+    the rest (scratch) stay as-is."""
+    @functools.wraps(fn)
+    def wrapped(*refs, **kw):
+        return fn(*[r.at[0] for r in refs[:n]], *refs[n:], **kw)
+    return wrapped
+
+
+def _pack_pairs(x, b, s, h):
+    """(B, S, H, 64) → (B·H/2, S, 128): head pair i = heads (2i, 2i+1)."""
+    return x.reshape(b, s, h // 2, 128).transpose(0, 2, 1, 3) \
+            .reshape(b * h // 2, s, 128)
 
 
 def _flash_packed2t(q, k, v, *, sm_scale, block_q, block_k, interpret,
-                    static_max=None):
+                    static_max=None, emit_lse=False):
     """Dispatch for the transposed-score packed kernel: (B,S,H,64) →
     packed (B·H/2, S, 128); Q and V are pre-transposed by XLA (one cheap
     relayout each) so every in-kernel dot is in natural [M,K]@[K,N]
-    orientation; the (B·H/2, 128, Sq) output is untransposed after."""
+    orientation; the (B·H/2, 128, Sq) output is untransposed after.
+    With ``emit_lse`` also returns per-head LSE (B·H/2, 2, Sq_pad) f32
+    (natural log) for the packed fused backward."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    qp = q.reshape(b, sq, h // 2, 128).transpose(0, 2, 1, 3) \
-          .reshape(b * h // 2, sq, 128)
-    kp = k.reshape(b, sk, h // 2, 128).transpose(0, 2, 1, 3) \
-          .reshape(b * h // 2, sk, 128)
-    vp = v.reshape(b, sk, h // 2, 128).transpose(0, 2, 1, 3) \
-          .reshape(b * h // 2, sk, 128)
+    qp = _pack_pairs(q, b, sq, h)
+    kp = _pack_pairs(k, b, sk, h)
+    vp = _pack_pairs(v, b, sk, h)
     if block_q == DEFAULT_BLOCK_Q:
         block_q = PACKED_BLOCK_Q
     if block_k == DEFAULT_BLOCK_K:
@@ -358,20 +392,30 @@ def _flash_packed2t(q, k, v, *, sm_scale, block_q, block_k, interpret,
         vp = jnp.pad(vp, ((0, 0), (0, sk_pad - sk), (0, 0)))
     qT = qp.transpose(0, 2, 1)                 # (BH2, 128, sq_pad)
     vT = vp.transpose(0, 2, 1)                 # (BH2, 128, sk_pad)
+    bh2 = b * h // 2
     kernel = functools.partial(_flash_kernel_packed2t, sm_scale=sm_scale,
-                               kv_pad=sk_pad - sk, static_max=static_max)
-    kernel = _squeeze_kernel(kernel)
-    outT = pl.pallas_call(
+                               kv_pad=sk_pad - sk, static_max=static_max,
+                               emit_lse=emit_lse)
+    kernel = _squeeze_first_n(kernel, 6 if emit_lse else 4)
+    out_specs = [pl.BlockSpec((1, 128, block_q),
+                              lambda i, j, kk: (i, 0, j))]
+    out_shape = [jax.ShapeDtypeStruct((bh2, 128, sq_pad), q.dtype)]
+    if emit_lse:
+        for _ in range(2):
+            out_specs.append(pl.BlockSpec((1, 8, block_q),
+                                          lambda i, j, kk: (i, 0, j)))
+            out_shape.append(jax.ShapeDtypeStruct((bh2, 8, sq_pad),
+                                                  jnp.float32))
+    res = pl.pallas_call(
         kernel,
-        grid=(b * h // 2, sq_pad // block_q, sk_pad // block_k),
+        grid=(bh2, sq_pad // block_q, sk_pad // block_k),
         in_specs=[
             pl.BlockSpec((1, block_k, 128), lambda i, j, kk: (i, kk, 0)),
             pl.BlockSpec((1, 128, block_q), lambda i, j, kk: (i, 0, j)),
             pl.BlockSpec((1, 128, block_k), lambda i, j, kk: (i, 0, kk)),
         ],
-        out_specs=pl.BlockSpec((1, 128, block_q),
-                               lambda i, j, kk: (i, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((b * h // 2, 128, sq_pad), q.dtype),
+        out_specs=out_specs if emit_lse else out_specs[0],
+        out_shape=out_shape if emit_lse else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((64, block_q), jnp.float32),   # acc0ᵀ
             pltpu.VMEM((64, block_q), jnp.float32),   # acc1ᵀ
@@ -383,9 +427,14 @@ def _flash_packed2t(q, k, v, *, sm_scale, block_q, block_k, interpret,
         interpret=interpret,
         compiler_params=_grid_params(interpret),
     )(kp, qT, vT)
+    outT = res[0] if emit_lse else res
     out = outT[:, :, :sq].reshape(b, h // 2, 128, sq) \
         .transpose(0, 3, 1, 2)                 # (b, sq, h/2, 128)
-    return out.reshape(b, sq, h, d)
+    out = out.reshape(b, sq, h, d)
+    if emit_lse:
+        lse = jnp.stack([res[1][:, 0, :], res[2][:, 0, :]], axis=1)
+        return out, lse                        # lse (BH2, 2, Sq_pad)
+    return out
 
 
 def _flash_packed2(q, k, v, *, sm_scale, block_q, block_k, interpret):
@@ -519,8 +568,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                               block_q=block_q, block_k=block_k,
                               interpret=interpret)
     if static_max is not None:
-        assert not causal and kv_valid is None, \
-            "static_max: non-causal, unmasked only"
+        assert not causal, "static_max: non-causal only"
 
     # Mosaic requires the lane (last) dim 128-aligned. Zero-pad head_dim:
     # scores are unchanged (zero columns contribute nothing to q·k), padded
@@ -561,7 +609,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                (b * h, 8, 128)).astype(jnp.float32)
         out = _flash_dynpad(qt, kt, vt, cnt, sm_scale=sm_scale,
                             block_q=block_q, block_k=block_k,
-                            emit_lse=False, interpret=interpret)
+                            emit_lse=False, interpret=interpret,
+                            static_max=static_max)
         out = out[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
         return out[..., :d_orig]
 
@@ -728,7 +777,8 @@ def _flash_forward_lse(qt, kt, vt, *, sm_scale, causal, sq, sk,
 
 
 def _flash_kernel_dynpad(q_ref, k_ref, v_ref, cnt_ref, *refs,
-                         sm_scale: float, emit_lse: bool):
+                         sm_scale: float, emit_lse: bool,
+                         static_max: Optional[float] = None):
     """Non-causal flash forward with a PER-(batch·head) DYNAMIC zero-key
     count — the masked-attention (ragged caption / kv_valid) kernel.
 
@@ -764,28 +814,42 @@ def _flash_kernel_dynpad(q_ref, k_ref, v_ref, cnt_ref, *refs,
     v_blk = v_ref[0].astype(jnp.float32)
     s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
 
-    m_i = m_ref[:]
-    m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp2(s - m_new)
-    alpha = jnp.exp2(m_i - m_new)
-    l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[:] = m_new
-    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p, v_blk, preferred_element_type=jnp.float32)
+    if static_max is not None:
+        # fixed-max softmax (qk-normed callers, see flash_attention):
+        # zeroed keys still score exactly 0 → each contributes exactly
+        # 2^−static_max to l, removed in closed form at finish. NOTE an
+        # all-masked row then cancels to l=0 and clamps to a zero output
+        # (same as the online path below, where l collapses to the
+        # 1e-30 clamp) — callers must keep ≥1 valid key per row.
+        p = jnp.exp2(s - static_max)
+        l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] + jnp.dot(
+            p, v_blk, preferred_element_type=jnp.float32)
+    else:
+        m_i = m_ref[:]
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_i - m_new)
+        l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:] = m_new
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p, v_blk, preferred_element_type=jnp.float32)
 
     @pl.when(j == num_kv - 1)
     def _finish():
         cnt = cnt_ref[0, 0, 0]
-        l_f = l_ref[:] - cnt * jnp.exp2(-m_ref[:])
+        m_f = (jnp.full_like(m_ref[:], static_max)
+               if static_max is not None else m_ref[:])
+        l_f = l_ref[:] - cnt * jnp.exp2(-m_f)
         l_fin = jnp.maximum(l_f, 1e-30)
         o_ref[0] = (acc_ref[:] / l_fin).astype(o_ref.dtype)
         if emit_lse:
-            lse = (m_ref[:] + jnp.log2(l_fin)) * (1.0 / _LOG2E)
+            lse = (m_f + jnp.log2(l_fin)) * (1.0 / _LOG2E)
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _flash_dynpad(qt, kt, vt, cnt, *, sm_scale, block_q, block_k,
-                  emit_lse, interpret):
+                  emit_lse, interpret, static_max=None):
     """qt/kt/vt: (BH, S_pad, D) padded+packed; cnt: (BH, 8, 128) f32
     sublane/lane-replicated zero-key counts (masked + alignment pad —
     same Mosaic (8, 128) stat-feeding rule as the backward's lse8).
@@ -793,7 +857,7 @@ def _flash_dynpad(qt, kt, vt, cnt, *, sm_scale, block_q, block_k,
     bh, sq_pad, d = qt.shape
     sk_pad = kt.shape[1]
     kernel = functools.partial(_flash_kernel_dynpad, sm_scale=sm_scale,
-                               emit_lse=emit_lse)
+                               emit_lse=emit_lse, static_max=static_max)
     out_specs = [pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0))]
     out_shape = [jax.ShapeDtypeStruct((bh, sq_pad, d), qt.dtype)]
     if emit_lse:
@@ -927,6 +991,250 @@ def _flash_bwd_dq_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
         dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Packed d=64 backward (two heads per 128-lane stream) — the CogVideoX-class
+# TRAINING path. The generic backward above zero-pads d 64→128, running every
+# matmul at half MXU utilization (8 performed / 4 useful units per head pair
+# per tile, ceiling 98.5 TF/s). Here only the score/dp matmuls keep the
+# inherent 2× of 64-deep contractions; the three gradient contractions run
+# at full rate by putting the 64-sized dim on the SUBLANE (M) axis:
+#
+#   dkv kernel (natural scores, q innermost):
+#     s_h   = (q·mask_h · scale) @ kᵀ      (bq, bk)   2 units (2 heads)
+#     dp_h  = (do·mask_h) @ vᵀ             (bq, bk)   2 units
+#     dv_hᵀ += do_hᵀ @ p_h                 (64, bk)   1 unit for the pair
+#     dk_hᵀ += q_hᵀ @ ds_h                 (64, bk)   1 unit
+#   dq kernel (transposed scores, kv innermost):
+#     s_hᵀ  = (k·mask_h · scale) @ qᵀ      (bk, bq)   2 units
+#     dp_hᵀ = (v·mask_h) @ doᵀ             (bk, bq)   2 units
+#     dq_hᵀ += k_hᵀ @ ds_hᵀ                (64, bq)   1 unit
+#
+# 11 performed / 8 useful-at-128 units per pair vs 14 for the padded path
+# (1.27× fewer MXU ops) and half the HBM streaming. Per-q-row stats arrive
+# in BOTH orientations, built by XLA: lanes 0..3 of a (Sq, 128) column
+# array for the natural kernel, sublanes 0..3 of an (8, Sq) row array for
+# the transposed kernel — no in-kernel relayouts. Non-causal only (the
+# video-DiT regime; causal d=64 stays on the padded path).
+# ---------------------------------------------------------------------------
+
+def _flash_bwd_packed2_dkv_kernel(q_ref, do_ref, qT_ref, doT_ref,
+                                  kT_ref, vT_ref, stats_ref,
+                                  dkT_ref, dvT_ref,
+                                  dk0_acc, dk1_acc, dv0_acc, dv1_acc, *,
+                                  sm_scale: float):
+    """Grid (BH2, kv_blocks, q_blocks): q innermost/sequential; dkᵀ/dvᵀ
+    accumulate as (64, block_k) scratch per head."""
+    qq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qq == 0)
+    def _init():
+        dk0_acc[:] = jnp.zeros_like(dk0_acc)
+        dk1_acc[:] = jnp.zeros_like(dk1_acc)
+        dv0_acc[:] = jnp.zeros_like(dv0_acc)
+        dv1_acc[:] = jnp.zeros_like(dv1_acc)
+
+    q = q_ref[:].astype(jnp.float32)           # (bq, 128)
+    do = do_ref[:].astype(jnp.float32)         # (bq, 128)
+    qT = qT_ref[:].astype(jnp.float32)         # (128, bq)
+    doT = doT_ref[:].astype(jnp.float32)       # (128, bq)
+    kT = kT_ref[:].astype(jnp.float32)         # (128, bk)
+    vT = vT_ref[:].astype(jnp.float32)         # (128, bk)
+    stats = stats_ref[:]                       # (bq, 128) f32 lanes 0..3
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    mlo = (lane < 64).astype(jnp.float32)
+    qs = q * (sm_scale * _LOG2E)
+    s0 = jnp.dot(qs * mlo, kT, preferred_element_type=jnp.float32)
+    s1 = jnp.dot(qs * (1.0 - mlo), kT, preferred_element_type=jnp.float32)
+    # stats lanes: 0/1 = lse per head (natural log), 2/3 = delta per head
+    lse0 = stats[:, 0:1] * _LOG2E              # (bq, 1) log2 domain
+    lse1 = stats[:, 1:2] * _LOG2E
+    p0 = jnp.exp2(s0 - lse0)                   # (bq, bk)
+    p1 = jnp.exp2(s1 - lse1)
+    dp0 = jnp.dot(do * mlo, vT, preferred_element_type=jnp.float32)
+    dp1 = jnp.dot(do * (1.0 - mlo), vT, preferred_element_type=jnp.float32)
+    ds0 = p0 * (dp0 - stats[:, 2:3])
+    ds1 = p1 * (dp1 - stats[:, 3:4])
+    dv0_acc[:] += jnp.dot(doT[:64], p0, preferred_element_type=jnp.float32)
+    dv1_acc[:] += jnp.dot(doT[64:], p1, preferred_element_type=jnp.float32)
+    dk0_acc[:] += jnp.dot(qT[:64], ds0, preferred_element_type=jnp.float32)
+    dk1_acc[:] += jnp.dot(qT[64:], ds1, preferred_element_type=jnp.float32)
+
+    @pl.when(qq == nq - 1)
+    def _finish():
+        dkT_ref[:64] = (dk0_acc[:] * sm_scale).astype(dkT_ref.dtype)
+        dkT_ref[64:] = (dk1_acc[:] * sm_scale).astype(dkT_ref.dtype)
+        dvT_ref[:64] = dv0_acc[:].astype(dvT_ref.dtype)
+        dvT_ref[64:] = dv1_acc[:].astype(dvT_ref.dtype)
+
+
+def _flash_bwd_packed2_dq_kernel(k_ref, kT_ref, v_ref, qT_ref, doT_ref,
+                                 stats_ref, dqT_ref,
+                                 dq0_acc, dq1_acc, *, sm_scale: float):
+    """Grid (BH2, q_blocks, kv_blocks): kv innermost/sequential; dqᵀ
+    accumulates as (64, block_q) scratch per head. Transposed scores so
+    the per-q stats ride as (1, bq) lane vectors (sublanes 0..3 of the
+    row-stats input)."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq0_acc[:] = jnp.zeros_like(dq0_acc)
+        dq1_acc[:] = jnp.zeros_like(dq1_acc)
+
+    k_blk = k_ref[:].astype(jnp.float32)       # (bk, 128)
+    kT = kT_ref[:].astype(jnp.float32)         # (128, bk)
+    v_blk = v_ref[:].astype(jnp.float32)       # (bk, 128)
+    qT = qT_ref[:].astype(jnp.float32)         # (128, bq)
+    doT = doT_ref[:].astype(jnp.float32)       # (128, bq)
+    stats = stats_ref[:]                       # (8, bq) sublanes 0..3
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    mlo = (lane < 64).astype(jnp.float32)
+    ks = k_blk * (sm_scale * _LOG2E)
+    s0T = jnp.dot(ks * mlo, qT, preferred_element_type=jnp.float32)
+    s1T = jnp.dot(ks * (1.0 - mlo), qT, preferred_element_type=jnp.float32)
+    lse0 = stats[0:1, :] * _LOG2E              # (1, bq) log2 domain
+    lse1 = stats[1:2, :] * _LOG2E
+    p0T = jnp.exp2(s0T - lse0)                 # (bk, bq)
+    p1T = jnp.exp2(s1T - lse1)
+    dp0T = jnp.dot(v_blk * mlo, doT, preferred_element_type=jnp.float32)
+    dp1T = jnp.dot(v_blk * (1.0 - mlo), doT,
+                   preferred_element_type=jnp.float32)
+    ds0T = p0T * (dp0T - stats[2:3, :])
+    ds1T = p1T * (dp1T - stats[3:4, :])
+    dq0_acc[:] += jnp.dot(kT[:64], ds0T, preferred_element_type=jnp.float32)
+    dq1_acc[:] += jnp.dot(kT[64:], ds1T, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        dqT_ref[:64] = (dq0_acc[:] * sm_scale).astype(dqT_ref.dtype)
+        dqT_ref[64:] = (dq1_acc[:] * sm_scale).astype(dqT_ref.dtype)
+
+
+def _flash_bwd_packed2(q, k, v, out, lse_pairs, g, *, sm_scale,
+                       block_q, block_k, interpret):
+    """Packed d=64 fused backward dispatch. q/k/v/out/g: (B, S, H, 64)
+    with H even; ``lse_pairs``: (B·H/2, 2, Sq_pad) natural-log LSE from
+    the packed forward. Returns (dq, dk, dv) in input layout/dtype.
+
+    Pad-row exactness (no in-kernel masks, like the padded backward):
+    pad q rows carry zero dO and zero delta → ds rows vanish; pad kv rows
+    of ds meet zero k/v columns in the 64-row contractions; garbage pad
+    rows of the outputs are sliced away here."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    bh2 = b * h // 2
+    block_q = min(block_q, _round_to(sq, 128))
+    block_k = min(block_k, _round_to(sk, 128))
+    sq_pad = _round_to(sq, block_q)
+    sk_pad = _round_to(sk, block_k)
+
+    qp = _pack_pairs(q, b, sq, h)
+    dop = _pack_pairs(g, b, sq, h)
+    outp = _pack_pairs(out, b, sq, h)
+    kp = _pack_pairs(k, b, sk, h)
+    vp = _pack_pairs(v, b, sk, h)
+    if sq_pad != sq:
+        zq = ((0, 0), (0, sq_pad - sq), (0, 0))
+        qp, dop, outp = jnp.pad(qp, zq), jnp.pad(dop, zq), jnp.pad(outp, zq)
+    if sk_pad != sk:
+        zk = ((0, 0), (0, sk_pad - sk), (0, 0))
+        kp, vp = jnp.pad(kp, zk), jnp.pad(vp, zk)
+    qT = qp.transpose(0, 2, 1)                 # (BH2, 128, sq_pad)
+    doT = dop.transpose(0, 2, 1)
+    kT = kp.transpose(0, 2, 1)                 # (BH2, 128, sk_pad)
+    vT = vp.transpose(0, 2, 1)
+
+    # per-head delta = Σ_d dO·O (pad rows are exactly 0 — zero dO)
+    dof = dop.astype(jnp.float32)
+    outf = outp.astype(jnp.float32)
+    delta0 = jnp.sum(dof[..., :64] * outf[..., :64], axis=-1)
+    delta1 = jnp.sum(dof[..., 64:] * outf[..., 64:], axis=-1)
+    if lse_pairs.shape[-1] != sq_pad:
+        lse_pairs = (lse_pairs[:, :, :sq_pad]
+                     if lse_pairs.shape[-1] > sq_pad
+                     else jnp.pad(lse_pairs,
+                                  ((0, 0), (0, 0),
+                                   (0, sq_pad - lse_pairs.shape[-1]))))
+    lse0, lse1 = lse_pairs[:, 0, :], lse_pairs[:, 1, :]
+    # both stat orientations, built by XLA once per step:
+    stats4 = jnp.stack([lse0, lse1, delta0, delta1], axis=1)  # (BH2,4,Sq)
+    stats_rows = jnp.concatenate([stats4, stats4], axis=1)    # (BH2,8,Sq)
+    stats_cols = jnp.pad(stats4.transpose(0, 2, 1),
+                         ((0, 0), (0, 0), (0, 124)))          # (BH2,Sq,128)
+
+    dkv_kernel = _squeeze_first_n(
+        functools.partial(_flash_bwd_packed2_dkv_kernel, sm_scale=sm_scale),
+        9)
+    dkT, dvT = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh2, sk_pad // block_k, sq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 128), lambda i, j, qq: (i, qq, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda i, j, qq: (i, qq, 0)),
+            pl.BlockSpec((1, 128, block_q), lambda i, j, qq: (i, 0, qq)),
+            pl.BlockSpec((1, 128, block_q), lambda i, j, qq: (i, 0, qq)),
+            pl.BlockSpec((1, 128, block_k), lambda i, j, qq: (i, 0, j)),
+            pl.BlockSpec((1, 128, block_k), lambda i, j, qq: (i, 0, j)),
+            pl.BlockSpec((1, block_q, 128), lambda i, j, qq: (i, qq, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 128, block_k), lambda i, j, qq: (i, 0, j)),
+            pl.BlockSpec((1, 128, block_k), lambda i, j, qq: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh2, 128, sk_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh2, 128, sk_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((64, block_k), jnp.float32),
+            pltpu.VMEM((64, block_k), jnp.float32),
+            pltpu.VMEM((64, block_k), jnp.float32),
+            pltpu.VMEM((64, block_k), jnp.float32),
+        ] if pltpu is not None else [],
+        interpret=interpret,
+        compiler_params=_grid_params(interpret),
+    )(qp, dop, qT, doT, kT, vT, stats_cols)
+
+    dq_kernel = _squeeze_first_n(
+        functools.partial(_flash_bwd_packed2_dq_kernel, sm_scale=sm_scale),
+        7)
+    dqT = pl.pallas_call(
+        dq_kernel,
+        grid=(bh2, sq_pad // block_q, sk_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_k, 128), lambda i, qq, j: (i, j, 0)),
+            pl.BlockSpec((1, 128, block_k), lambda i, qq, j: (i, 0, j)),
+            pl.BlockSpec((1, block_k, 128), lambda i, qq, j: (i, j, 0)),
+            pl.BlockSpec((1, 128, block_q), lambda i, qq, j: (i, 0, qq)),
+            pl.BlockSpec((1, 128, block_q), lambda i, qq, j: (i, 0, qq)),
+            pl.BlockSpec((1, 8, block_q), lambda i, qq, j: (i, 0, qq)),
+        ],
+        out_specs=pl.BlockSpec((1, 128, block_q),
+                               lambda i, qq, j: (i, 0, qq)),
+        out_shape=jax.ShapeDtypeStruct((bh2, 128, sq_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((64, block_q), jnp.float32),
+            pltpu.VMEM((64, block_q), jnp.float32),
+        ] if pltpu is not None else [],
+        interpret=interpret,
+        compiler_params=_grid_params(interpret),
+    )(kp, kT, vp, qT, doT, stats_rows)
+
+    def _unpack_T(xT, s, s_real):
+        # (BH2, 128, S_pad) → (B, S_real, H, 64)
+        y = xT[:, :, :s_real].reshape(b, h // 2, 128, s_real)
+        return y.transpose(0, 3, 1, 2).reshape(b, s_real, h, 64)
+
+    dq = _unpack_T(dqT, sq_pad, sq)
+    dk = _unpack_T(dkT, sk_pad, sk)
+    dv = _unpack_T(dvT, sk_pad, sk)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+
+
 def _pack_heads(x, b, s, h, d):
     return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
 
@@ -940,10 +1248,20 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
                         block_k: int = DEFAULT_BWD_BLOCK_K,
                         interpret: bool = False):
     """Fused FlashAttention-2 backward. All of q/k/v/out/g are
-    (B, S, H, D); lse is (B·H, Sq_pad) from _flash_forward_lse."""
+    (B, S, H, D); lse is (B·H, Sq_pad) from _flash_forward_lse (or the
+    packed forward, reflattened head-major)."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
     sm_scale = (1.0 / math.sqrt(d)) if scale is None else scale
+
+    if d == 64 and h % 2 == 0 and not causal:
+        # packed two-head backward: full-rate gradient contractions, no
+        # 64→128 zero-pad copies (1.27× fewer MXU ops, half the HBM)
+        lse_pairs = lse.reshape(b, h // 2, 2, lse.shape[-1]) \
+                       .reshape(b * h // 2, 2, lse.shape[-1])
+        return _flash_bwd_packed2(q, k, v, out, lse_pairs, g,
+                                  sm_scale=sm_scale, block_q=block_q,
+                                  block_k=block_k, interpret=interpret)
 
     d_pad = _round_to(d, 128)
     if d_pad != d:
@@ -1067,6 +1385,19 @@ def _fa_fwd(q, k, v, causal, scale, static_max=None):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     sm_scale = (1.0 / math.sqrt(d)) if scale is None else scale
+    if d == 64 and h % 2 == 0 and not causal and sq >= 128 and sk >= 128:
+        # packed two-head training path: transposed-score forward with
+        # per-head LSE + the packed backward (no 64→128 pad anywhere)
+        out, lse_pairs = _flash_packed2t(
+            q, k, v, sm_scale=sm_scale, block_q=DEFAULT_BLOCK_Q,
+            block_k=DEFAULT_BLOCK_K, interpret=_FA_INTERPRET,
+            static_max=static_max, emit_lse=True)
+        # reflatten pair-major LSE to the (B·H, Sq_pad) convention the
+        # backward entry expects
+        sq_pad = lse_pairs.shape[-1]
+        lse = lse_pairs.reshape(b, h // 2, 2, sq_pad).reshape(b * h,
+                                                              sq_pad)
+        return out, (q, k, v, out, lse)
     d_pad = _round_to(d, 128)
     qp, kp, vp = q, k, v
     if d_pad != d:
@@ -1123,8 +1454,8 @@ def _fa_bwd(causal, scale, static_max, res, g):
 flash_attention_diff.defvjp(_fa_fwd, _fa_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash_diff_masked(q, k, v, counts, scale=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_diff_masked(q, k, v, counts, scale=None, static_max=None):
     """Differentiable masked flash: k/v must arrive with masked key rows
     ALREADY zeroed (the caller's mask multiply — its backprop zeroes the
     garbage dk/dv those rows get from the unmasked backward kernels);
@@ -1135,12 +1466,17 @@ def _flash_diff_masked(q, k, v, counts, scale=None):
     lands only in rows the outer mask multiply zeroes. The forward's
     closed-form l correction makes the saved LSE the true masked
     log-sum-exp, so the backward's recomputed probabilities are exact for
-    every VALID key. Non-causal only."""
-    out, _ = _fa_masked_fwd(q, k, v, counts, scale)
+    every VALID key. Non-causal only.
+
+    ``static_max`` (qk-normed callers only) drops the running max and
+    rescale chain exactly as in the unmasked kernel: zeroed keys score
+    exactly 0, so each contributes exactly 2^−static_max to l, still
+    removable in closed form."""
+    out, _ = _fa_masked_fwd(q, k, v, counts, scale, static_max)
     return out
 
 
-def _fa_masked_fwd(q, k, v, counts, scale):
+def _fa_masked_fwd(q, k, v, counts, scale, static_max=None):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     sm_scale = (1.0 / math.sqrt(d)) if scale is None else scale
@@ -1166,12 +1502,15 @@ def _fa_masked_fwd(q, k, v, counts, scale):
         (b * h, 8, 128)).astype(jnp.float32)
     out_t, lse = _flash_dynpad(qt, kt, vt, cnt, sm_scale=sm_scale,
                                block_q=block_q, block_k=block_k,
-                               emit_lse=True, interpret=_FA_INTERPRET)
+                               emit_lse=True, interpret=_FA_INTERPRET,
+                               static_max=static_max)
     out = _unpack_heads(out_t[:, :sq], b, sq, h, d_pad)[..., :d]
     return out, (q, k, v, counts, out, lse)
 
 
-def _fa_masked_bwd(scale, res, g):
+def _fa_masked_bwd(scale, static_max, res, g):
+    # static_max only changes forward accumulation; the saved LSE is the
+    # true masked log-sum-exp, so the backward is identical.
     q, k, v, counts, out, lse = res
     dq, dk, dv = flash_attention_bwd(q, k, v, out, lse, g, causal=False,
                                      scale=scale, interpret=_FA_INTERPRET)
@@ -1224,11 +1563,16 @@ def attention_options(static_max: Optional[float] = None):
     the zero-model-change opt-in used by flows (like ``sequence_parallel``).
 
     ``static_max``: fixed softmax max (log2 domain) for qk-normed
-    denoisers (every DiT family here RMS/LayerNorms q and k, which
-    bounds the logits). Applied only where it is valid: the Pallas path,
-    non-causal, no bias, no kv mask — text encoders, biased refiners,
-    and masked attention inside the same scope silently keep the online
-    softmax."""
+    denoisers. Applied ONLY at call sites that declare
+    ``bounded_logits=True`` (every DiT family here RMS/LayerNorms q and
+    k at those sites) on the non-causal Pallas path — including the
+    kv_valid masked kernel. Everything else inside the scope (text
+    encoders, the un-normed Hunyuan token refiner, biased or causal
+    attention) keeps the online softmax. Safety window: exactness needs
+    scaled log2-scores within (static_max − 126, static_max + 127) —
+    exp2's subtract shifts into representable range; scores need NOT be
+    ≤ static_max (d=128 qk-RMSNormed logits can reach √128·log2e ≈
+    16.3 > 16 and remain exact)."""
     prev = getattr(_ATTN_OPTS, "cfg", None)
     _ATTN_OPTS.cfg = {"static_max": static_max}
     try:
@@ -1270,7 +1614,8 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           causal: bool = False,
                           scale: Optional[float] = None,
                           force_reference: bool = False,
-                          kv_valid: Optional[jnp.ndarray] = None
+                          kv_valid: Optional[jnp.ndarray] = None,
+                          bounded_logits: bool = False
                           ) -> jnp.ndarray:
     """Attention entry point used by every model in the zoo.
 
@@ -1284,6 +1629,14 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     additive ``bias`` (arbitrary values, e.g. T5 relative positions) a
     pure validity mask stays on the flash path: masked keys are zeroed
     and removed from the softmax in closed form, forward and backward.
+
+    ``bounded_logits``: per-call-site declaration that the scaled logits
+    are bounded (q and k are LayerNorm/RMSNormed before this call). The
+    scoped ``attention_options(static_max=…)`` fast path applies ONLY at
+    sites that set this — inferring validity from bias-absence would let
+    an unbounded-logit attention (e.g. the Hunyuan token refiner, which
+    has no qk-norm) silently run the fixed-max softmax and overflow
+    outside exp2's (M−126, M+127) window.
     """
     orig_shape = q.shape
     if q.ndim > 4:
@@ -1322,6 +1675,9 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     use_pallas = ((_on_tpu() or _FA_INTERPRET) and not force_reference
                   and bias is None and q.shape[-1] <= 256
                   and q.shape[1] >= 128)
+    opts = getattr(_ATTN_OPTS, "cfg", None) or {}
+    static_max = (opts.get("static_max")
+                  if (bounded_logits and not causal) else None)
     if kv_valid is not None:
         kv_valid = kv_valid.astype(bool)
         if use_pallas and not causal:
@@ -1329,7 +1685,7 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             k = k * vm.astype(k.dtype)
             v = v * vm.astype(v.dtype)
             counts = jnp.sum(1.0 - kv_valid.astype(jnp.float32), axis=1)
-            out = _flash_diff_masked(q, k, v, counts, scale)
+            out = _flash_diff_masked(q, k, v, counts, scale, static_max)
             return out.reshape(orig_shape)
         kb = jnp.where(kv_valid, 0.0, _NEG_INF)[:, None, None, :]
         bias = kb if bias is None else bias + kb
@@ -1337,8 +1693,6 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                   scale=scale)
         return out.reshape(orig_shape)
     if use_pallas:
-        opts = getattr(_ATTN_OPTS, "cfg", None) or {}
-        static_max = opts.get("static_max") if not causal else None
         out = flash_attention_diff(q, k, v, causal, scale, static_max)
     else:
         out = reference_attention(q, k, v, bias=bias, causal=causal,

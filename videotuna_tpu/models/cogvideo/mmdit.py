@@ -98,7 +98,7 @@ class CogVideoXBlock(nn.Module):
             full_sin = jnp.concatenate([pad_s, rope_sin], axis=0)
             q = apply_rope(q, full_cos, full_sin)
             k = apply_rope(k, full_cos, full_sin)
-        att = dot_product_attention(q, k, v)
+        att = dot_product_attention(q, k, v, bounded_logits=True)
         att = att.reshape(b, -1, d)
         att = nn.Dense(d, dtype=self.dtype, name="attn_out")(att)
         x = x + seg_gate(att, tg1, vg1)

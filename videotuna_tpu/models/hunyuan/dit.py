@@ -108,7 +108,7 @@ class MMDoubleStreamBlock(nn.Module):
         q = jnp.concatenate([iq, tq], axis=1)
         k = jnp.concatenate([ik, tk], axis=1)
         v = jnp.concatenate([iv, tv], axis=1)
-        att = dot_product_attention(q, k, v)
+        att = dot_product_attention(q, k, v, bounded_logits=True)
         att = att.reshape(att.shape[0], -1, d)
         li = img.shape[1]
         img_att, txt_att = att[:, :li], att[:, li:]
@@ -180,7 +180,8 @@ class MMSingleStreamBlock(nn.Module):
             # identity (cos=1, sin=0) — built by the caller
             q = apply_rope(q, cos_full, sin_full)
             k = apply_rope(k, cos_full, sin_full)
-        att = dot_product_attention(q, k, v).reshape(b, s, d)
+        att = dot_product_attention(q, k, v,
+                                    bounded_logits=True).reshape(b, s, d)
         fused = jnp.concatenate([att, nn.gelu(mlp_in, approximate=True)],
                                 axis=-1)
         out = nn.Dense(d, dtype=self.dtype, name="linear2")(fused)

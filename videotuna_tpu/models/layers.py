@@ -278,8 +278,14 @@ class Attention(nn.Module):
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
         # mask: (B, Sk) bool key-validity — flash-path masked softmax
-        # (falls back to an additive bias off-TPU / short sequences)
-        out = dot_product_attention(q, k, v, kv_valid=mask)
+        # (falls back to an additive bias off-TPU / short sequences).
+        # NOTE the masked flash path outputs zeros for an all-False mask
+        # row (l cancels to the clamp); callers must keep ≥1 valid key
+        # per row (hunyuan forces column 0; mochi/stepvideo concatenate
+        # always-valid tokens). bounded_logits rides the qk_norm flag:
+        # only normed q/k make the scoped static-max softmax safe.
+        out = dot_product_attention(q, k, v, kv_valid=mask,
+                                    bounded_logits=self.qk_norm)
         out = out.reshape(*out.shape[:-2], inner)
         return nn.Dense(dim, use_bias=self.out_bias, dtype=self.dtype,
                         name="out")(out)

@@ -187,7 +187,8 @@ class MochiBlock(nn.Module):
             # bias that would force the O(S²) reference attention
             kv_valid = jnp.concatenate(
                 [jnp.ones((x.shape[0], sx), bool), txt_mask], axis=1)
-        att = dot_product_attention(q, k, v, kv_valid=kv_valid)
+        att = dot_product_attention(q, k, v, kv_valid=kv_valid,
+                                    bounded_logits=True)
         att = att.reshape(att.shape[0], -1, self.dim_x)
         ax, ay = att[:, :x.shape[1]], att[:, x.shape[1]:]
 

@@ -80,7 +80,8 @@ class StepVideoBlock(nn.Module):
         # — NOT the interleaved convention of Wan/Hunyuan.
         q = apply_rope_3d_grouped(q, rope_tables, self.rope_dims)
         k = apply_rope_3d_grouped(k, rope_tables, self.rope_dims)
-        att = dot_product_attention(q, k, v).reshape(x.shape[0], -1, d)
+        att = dot_product_attention(
+            q, k, v, bounded_logits=True).reshape(x.shape[0], -1, d)
         x = x + g1 * nn.Dense(d, use_bias=False, dtype=self.dtype,
                               name="self_out")(att)
 
@@ -90,7 +91,8 @@ class StepVideoBlock(nn.Module):
         k, v = dg("cross_k")(ctx), dg("cross_v")(ctx)
         q = RMSNorm(dtype=self.dtype, name="cross_q_norm")(q)
         k = RMSNorm(dtype=self.dtype, name="cross_k_norm")(k)
-        out = dot_product_attention(q, k, v, kv_valid=ctx_valid)
+        out = dot_product_attention(q, k, v, kv_valid=ctx_valid,
+                                    bounded_logits=True)
         x = x + nn.Dense(d, use_bias=False, dtype=self.dtype,
                          name="cross_out")(out.reshape(x.shape[0], -1, d))
 

@@ -72,7 +72,8 @@ class WanBlock(nn.Module):
         v = heads_of(v)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        att = dot_product_attention(q, k, v).reshape(x.shape[0], -1, d)
+        att = dot_product_attention(
+            q, k, v, bounded_logits=True).reshape(x.shape[0], -1, d)
         x = x + g1 * nn.Dense(d, dtype=self.dtype, name="self_out")(att)
 
         # cross attention to text (norm3 has learned scale in the reference)
@@ -83,14 +84,15 @@ class WanBlock(nn.Module):
         v = nn.Dense(d, dtype=self.dtype, name="cross_v")(ctx)
         k = heads_of(RMSNorm(dtype=self.dtype, name="cross_k_norm")(k))
         v = heads_of(v)
-        out = dot_product_attention(q, k, v)
+        out = dot_product_attention(q, k, v, bounded_logits=True)
         if ctx_img is not None:
             k_i = nn.Dense(d, dtype=self.dtype, name="cross_k_img")(ctx_img)
             v_i = heads_of(nn.Dense(d, dtype=self.dtype,
                                     name="cross_v_img")(ctx_img))
             k_i = heads_of(RMSNorm(dtype=self.dtype,
                                    name="cross_k_img_norm")(k_i))
-            out = out + dot_product_attention(q, k_i, v_i)
+            out = out + dot_product_attention(q, k_i, v_i,
+                                              bounded_logits=True)
         out = out.reshape(x.shape[0], -1, d)
         x = x + nn.Dense(d, dtype=self.dtype, name="cross_out")(out)
 

@@ -6,11 +6,21 @@ cogvideo_pl.py:143-149,781-787; hunyuan lora_utils).
 
 JAX redesign: instead of monkey-patching modules, LoRA lives as an explicit
 low-rank delta tree aligned with the base kernel tree. Only the delta is
-trainable/checkpointed; merging is a pure tree-map:
+trainable/checkpointed. Two application modes:
 
-    lora = init_lora(params, rank=16, match=lora_target("q","k","v","out"))
-    merged = merge_lora(params, lora, alpha)      # for inference
-    loss(merged_params) → grads w.r.t. lora only  # for training
+1. merge (inference): ``merged = merge_lora(params, lora, alpha)`` — a pure
+   tree-map producing W + α·AB, used where no gradients flow.
+2. side-branch (training): ``inject_lora`` places per-module ``lora_a`` /
+   ``lora_b`` entries INSIDE the params tree next to each matched kernel,
+   and ``lora_scope()`` enables a flax method interceptor that computes
+   ``y = xW + (xA)(αB)`` at every Dense/DenseGeneral carrying those
+   entries. Neither the merged kernel nor a full-size dW cotangent ever
+   materializes — backward only forms dA = xᵀ(dy·Bᵀ) and dB = (xA)ᵀdy,
+   rank-sized. ``nn.scan``'s ``variable_axes={"params": 0}`` slices the
+   injected entries per depth automatically, so scan-stacked models need
+   no code changes. (Round-3 finding: merge-based LoRA training OOMed a
+   16-GB v5e at CogVideoX depth 3 — the stacked merged kernels + their
+   full f32 cotangents are ~28 GB at depth 42.)
 
 This composes with FSDP sharding (deltas follow the same specs) and with
 optax masking without any model-code changes.
@@ -48,7 +58,14 @@ def _matchable(path: Tuple[str, ...], leaf: jnp.ndarray) -> bool:
     # scan-stacked projections (the attention/MLP kernels of every
     # scan_blocks=True DiT). DiT blocks contain no convs, so 3D/4D
     # under a stack is always (depth, din, …out).
-    return _is_stacked(path) and leaf.ndim in (3, 4)
+    if _is_stacked(path):
+        return leaf.ndim in (3, 4)
+    # non-stacked 3D: DenseGeneral (din, heads, hd) — every conv in the
+    # zoo is ≥2D spatial (kernel ndim ≥ 4), so 3D outside a scan stack is
+    # always a projection. Name-guard anyway so a future Conv1D can't
+    # silently match. This keeps scan and non-scan builds of the same
+    # architecture at identical LoRA coverage (round-3 advisor finding).
+    return leaf.ndim == 3 and not any("conv" in c.lower() for c in path)
 
 
 def lora_target(*name_patterns: str) -> MatchFn:
@@ -88,15 +105,17 @@ def init_lora(params: Params, rank: int = 16,
     for path, leaf in _iter_tree(params):
         if match(path, leaf):
             key, sub = jax.random.split(key)
-            if leaf.ndim == 2:
-                din = leaf.shape[0]
-                a_shape = (din, rank)
-                b_shape = (rank,) + leaf.shape[1:]
-            else:
+            if leaf.ndim > 2 and _is_stacked(path):
                 # scan stack: (depth, din, *out) — per-depth a/b pairs
                 depth, din = leaf.shape[:2]
                 a_shape = (depth, din, rank)
                 b_shape = (depth, rank) + leaf.shape[2:]
+            else:
+                # plain Dense (din, dout) or per-layer DenseGeneral
+                # (din, heads, hd): one pair, b carries the out dims
+                din = leaf.shape[0]
+                a_shape = (din, rank)
+                b_shape = (rank,) + leaf.shape[1:]
             flat[path] = {
                 "a": (jax.random.normal(sub, a_shape, dtype)
                       / jnp.sqrt(rank)),
@@ -139,17 +158,80 @@ def count_lora_params(lora: Dict[str, Any]) -> int:
     return sum(x.size for x in jax.tree.leaves(lora))
 
 
+# ---------------------------------------------------------------- side branch
+
+LORA_A = "lora_a"
+LORA_B = "lora_b"
+
+
+def inject_lora(params: Params, lora: Dict[str, Any],
+                alpha: float = 1.0) -> Params:
+    """Return a params tree with ``lora_a`` / ``lora_b`` entries placed next
+    to each matched kernel (α folded into b). Base leaves are the SAME
+    arrays — no copies; the only new tensors are the rank-sized pairs.
+    Apply the result under ``lora_scope()``."""
+    def rec(p: Any, l: Any):
+        if not isinstance(p, dict):
+            return p
+        out: Dict[str, Any] = {}
+        for k, v in p.items():
+            lk = l.get(k) if isinstance(l, dict) else None
+            if (k == "kernel" and isinstance(lk, dict)
+                    and "a" in lk and "b" in lk):
+                out[k] = v
+                out[LORA_A] = lk["a"]
+                out[LORA_B] = lk["b"] * alpha
+            elif isinstance(v, dict):
+                out[k] = rec(v, lk)
+            else:
+                out[k] = v
+        return out
+    return rec(params, lora or {})
+
+
+def _side_branch_interceptor(next_fun, args, kwargs, context):
+    import flax.linen as nn
+    mod = context.module
+    if (context.method_name == "__call__"
+            and isinstance(mod, (nn.Dense, nn.DenseGeneral))
+            and mod.scope is not None
+            and mod.scope.has_variable("params", LORA_A)):
+        if isinstance(mod, nn.DenseGeneral) and mod.axis != -1:
+            raise NotImplementedError(
+                "side-branch LoRA supports DenseGeneral(axis=-1) only "
+                f"(module {mod.name} has axis={mod.axis})")
+        y = next_fun(*args, **kwargs)
+        a = mod.get_variable("params", LORA_A)
+        b = mod.get_variable("params", LORA_B)
+        x = args[0]
+        r = a.shape[-1]
+        # inside nn.scan the stacked (depth, …) pairs arrive pre-sliced, so
+        # a is always (din, r) and b (r, *out) here
+        d = (x @ a.astype(x.dtype)) @ b.reshape(r, -1).astype(x.dtype)
+        return y + d.reshape(y.shape).astype(y.dtype)
+    return next_fun(*args, **kwargs)
+
+
+def lora_scope():
+    """Trace-time context enabling the side-branch at every Dense-like
+    module whose params carry ``lora_a``/``lora_b`` (see ``inject_lora``)."""
+    import flax.linen as nn
+    return nn.intercept_methods(_side_branch_interceptor)
+
+
 def lora_loss_fn(base_loss_fn: Callable, base_params: Params,
                  component: str = "denoiser",
                  alpha: float = 1.0) -> Callable:
-    """Wrap a flow loss so gradients flow through a LoRA tree only.
+    """Wrap a flow loss so gradients flow through a LoRA tree only, via the
+    side-branch path (memory-safe for training).
 
     ``base_loss_fn(params, batch, key)`` → ``wrapped({component: lora},
     batch, key)``; the base params are closed over (frozen).
     """
     def wrapped(lora_tree: Dict[str, Any], batch, key):
-        merged = dict(base_params)
-        merged[component] = merge_lora(base_params[component],
-                                       lora_tree[component], alpha)
-        return base_loss_fn(merged, batch, key)
+        full = dict(base_params)
+        full[component] = inject_lora(base_params[component],
+                                      lora_tree[component], alpha)
+        with lora_scope():
+            return base_loss_fn(full, batch, key)
     return wrapped

@@ -100,22 +100,27 @@ LossFn = Callable[[Params, Dict[str, Any], jax.Array],
 def make_train_step(loss_fn: LossFn,
                     optimizer: optax.GradientTransformation,
                     ema_decay: Optional[float] = None,
-                    merge_fn: Optional[Callable] = None) -> Callable:
+                    merge_fn: Optional[Callable] = None,
+                    loss_ctx: Optional[Callable] = None) -> Callable:
     """Build the pure train step ``(state, frozen, batch, key) → (state,
     metrics)``. Frozen components get zero gradients by exclusion: grads are
     taken only w.r.t. the trainable sub-trees in ``state.params`` (the JAX
     equivalent of requires_grad_(False) in set_trainable_components).
 
     ``merge_fn(frozen, train_params) → full params`` defaults to dict
-    overlay; LoRA training passes a low-rank merge instead (the trainable
-    tree is then the delta, not the weights)."""
+    overlay; LoRA training passes the side-branch injection instead (the
+    trainable tree is then the delta, not the weights). ``loss_ctx`` is an
+    optional context-manager factory held open while the loss traces (the
+    LoRA path passes ``lora_scope`` so the flax interceptor is live)."""
     merge_fn = merge_fn or (lambda frozen, train: {**frozen, **train})
 
     def step(state: TrainState, frozen: Params, batch: Dict[str, Any],
              key: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
         def loss_of(train_params):
             params = merge_fn(frozen, train_params)
-            return loss_fn(params, batch, key)
+            with (loss_ctx() if loss_ctx is not None
+                  else contextlib.nullcontext()):
+                return loss_fn(params, batch, key)
 
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(
             state.params)
@@ -178,8 +183,9 @@ class Trainer:
 
     # ------------------------------------------------------------- state mgmt
     def _lora_merge_fn(self):
-        """merge_fn for LoRA mode: frozen holds ALL components; trainable
-        tree is {component: lora_delta}."""
+        """merge_fn for LoRA mode (INFERENCE/export paths only: sampling
+        callbacks, save). frozen holds ALL components; trainable tree is
+        {component: lora_delta}."""
         from videotuna_tpu.training.lora import merge_lora
         alpha = float((self.cfg.lora or {}).get("alpha", 1.0))
 
@@ -189,6 +195,21 @@ class Trainer:
                 merged[comp] = merge_lora(frozen[comp], delta, alpha)
             return merged
         return merge
+
+    def _lora_inject_fn(self):
+        """merge_fn for the TRAIN step: side-branch injection — y = xW +
+        (xA)(αB) via ``lora_scope`` instead of kernel merging, so neither
+        merged kernels nor full-size dW cotangents materialize (a 16-GB
+        v5e OOMed on merge-based CogVideoX LoRA at any depth, round 3)."""
+        from videotuna_tpu.training.lora import inject_lora
+        alpha = float((self.cfg.lora or {}).get("alpha", 1.0))
+
+        def inject(frozen, train):
+            full = dict(frozen)
+            for comp, delta in train.items():
+                full[comp] = inject_lora(frozen[comp], delta, alpha)
+            return full
+        return inject
 
     def init_state(self) -> TrainState:
         if not self.flow.params:
@@ -234,9 +255,14 @@ class Trainer:
     # ---------------------------------------------------------------- running
     def compiled_step(self, state: TrainState):
         if self._step_fn is None:
-            merge_fn = self._lora_merge_fn() if self.cfg.lora else None
+            merge_fn = loss_ctx = None
+            if self.cfg.lora:
+                from videotuna_tpu.training.lora import lora_scope
+                merge_fn = self._lora_inject_fn()
+                loss_ctx = lora_scope
             raw = make_train_step(self.flow.training_loss, self.optimizer,
-                                  self.cfg.ema_decay, merge_fn=merge_fn)
+                                  self.cfg.ema_decay, merge_fn=merge_fn,
+                                  loss_ctx=loss_ctx)
             self._step_fn = jax.jit(raw, donate_argnums=(0,))
         return self._step_fn
 
