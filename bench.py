@@ -1476,8 +1476,66 @@ def _bench_dataloader(n_clips: int = 24, frames: int = 16, src_hw=(360,
 
 # diagnosis-only benches: reachable via --one / --merge, excluded from
 # the --suite sweep (they measure breakdowns, not headline metrics)
+def _bench_attn_d64_bwd(seq: int = 17776, heads: int = 48, batch: int = 1,
+                        n_iters: int = 4):
+    """d=64 fused fwd+bwd A/B at the CogVideoX training geometry: the
+    round-4 packed two-head backward (full-rate gradient contractions,
+    no 64→128 pad) vs the padded path. The packed path is the
+    auto-dispatch; the padded baseline is reproduced by lying about the
+    head pairing (odd head count forces the padded kernels)."""
+    import videotuna_tpu.kernels.attention as A
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (batch, seq, heads, 64), jnp.bfloat16)
+    k = jax.random.normal(k2, (batch, seq, heads, 64), jnp.bfloat16)
+    v = jax.random.normal(k3, (batch, seq, heads, 64), jnp.bfloat16)
+    # fwd 4·S²·d + bwd 2.5× (FA2: 5 matmuls of S²·d vs 2 fwd)
+    flops = (4.0 + 10.0) * batch * heads * seq * seq * 64
+
+    def loss(fn_inputs):
+        qq, kk, vv = fn_inputs
+        return jnp.sum(A.flash_attention_diff(qq, kk, vv).astype(
+            jnp.float32) ** 2)
+
+    grad_fn = jax.jit(jax.grad(loss))
+
+    def timed():
+        g = grad_fn((q, k, v))
+        _sync(g[0])
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            g = grad_fn((q, k, v))
+        _sync(g[0])
+        return (time.perf_counter() - t0) / n_iters
+
+    t_packed = timed()
+    # padded baseline: strip one head → odd count disables the packed path
+    qo, ko, vo = q[:, :, :heads - 1], k[:, :, :heads - 1], v[:, :, :heads - 1]
+    grad_fn_o = jax.jit(jax.grad(loss))
+    g = grad_fn_o((qo, ko, vo))
+    _sync(g[0])
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        g = grad_fn_o((qo, ko, vo))
+    _sync(g[0])
+    t_padded_raw = (time.perf_counter() - t0) / n_iters
+    t_padded = t_padded_raw * heads / (heads - 1)   # per-head normalize
+    tf_packed = flops / t_packed / 1e12
+    return {"metric": "attn_d64_bwd_packed_vs_padded",
+            "value": round(t_padded / t_packed, 3),
+            "unit": f"fwd+bwd speedup (packed bwd / padded bwd), d=64 seq "
+                    f"{seq} heads {heads} (padded per-head-normalized)",
+            "packed_ms": round(t_packed * 1e3, 2),
+            "padded_ms_normalized": round(t_padded * 1e3, 2),
+            "packed_useful_tf_s": round(tf_packed, 1),
+            # packed bwd ceiling: 11 performed / 8 useful-at-128 units
+            "packed_mfu_of_bwd_ceiling": round(
+                tf_packed / (V5E_PEAK_BF16 / 1e12 * 8 / 11), 3),
+            "vs_baseline": None}
+
+
 DIAG_BENCHES = {
     "hunyuan_breakdown": lambda: _bench_hunyuan_breakdown(),
+    "attn_d64_bwd": lambda: _bench_attn_d64_bwd(),
     "cogvideox_breakdown": lambda: _bench_cogvideox_breakdown(),
     "attn_d64_sweep": lambda: _bench_attn_d64_sweep(),
     "attn_d64_staticmax": lambda: _bench_attn_d64_staticmax(),

@@ -103,10 +103,12 @@ def rescale_noise_cfg(noise_cfg: jnp.ndarray,
                       noise_pred_text: jnp.ndarray,
                       guidance_rescale: float = 0.0) -> jnp.ndarray:
     """CFG rescale (arXiv:2305.08891 §3.4; reference
-    diffusion_utils.rescale_noise_cfg)."""
+    diffusion_utils.rescale_noise_cfg). torch.std is Bessel-corrected
+    (ddof=1) — matched here, trajectory-gated by
+    tests/test_ddim_parity.py."""
     axes = tuple(range(1, noise_pred_text.ndim))
-    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
-    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True, ddof=1)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True, ddof=1)
     rescaled = noise_cfg * (std_text / (std_cfg + 1e-8))
     return (guidance_rescale * rescaled
             + (1 - guidance_rescale) * noise_cfg)

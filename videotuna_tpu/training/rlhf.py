@@ -17,8 +17,9 @@ via jax.checkpoint on the model fn.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, Optional
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import optax
@@ -105,10 +106,187 @@ def make_hps_reward(vision_params: Any, text_embed: jnp.ndarray,
     return model_reward(score_images, None, frame_stride)
 
 
+class ScoreMLP(nn.Module):
+    """The reference reward head shared by the weather and compression
+    scorers (rlhf_utils/weather_scorer.py:51, compression_scorer.py:102):
+    768→1024→128→64→16→1 + sigmoid over an L2-normalized CLIP embedding
+    (dropout layers are eval-mode no-ops)."""
+    dims: tuple = (1024, 128, 64, 16, 1)
+
+    @nn.compact
+    def __call__(self, emb: jnp.ndarray) -> jnp.ndarray:
+        x = emb
+        for i, d in enumerate(self.dims):
+            x = nn.Dense(d, name=f"fc{i}")(x)
+        return jax.nn.sigmoid(x)[..., 0]
+
+
+def score_mlp_map(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """torch ``score_generator.layers`` state dict → ScoreMLP params.
+    The torch Sequential indices skip the dropout/sigmoid modules:
+    Linear layers sit at 0, 2, 4, 6, 7."""
+    import numpy as np
+    idxs = [0, 2, 4, 6, 7]
+    out = {}
+    for i, j in enumerate(idxs):
+        w = np.asarray(sd[f"layers.{j}.weight"])
+        b = np.asarray(sd[f"layers.{j}.bias"])
+        out[f"fc{i}"] = {"kernel": jnp.asarray(w.T), "bias": jnp.asarray(b)}
+    return out
+
+
+def _clip_embed(vision, vision_params, images, normalize=True):
+    from videotuna_tpu.models.clip_vision import preprocess_frames
+    x = preprocess_frames(images, vision.image_size)
+    emb = vision.apply({"params": vision_params}, x)
+    if normalize:
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+    return emb
+
+
+def make_pickscore_reward(vision_params: Any, text_embed: jnp.ndarray,
+                          logit_scale: float = 100.0, vision=None,
+                          frame_stride: int = 4) -> RewardFn:
+    """PickScore reward (reference reward_fn.py:473 pick_score_loss_fn):
+    a CLIP-H fine-tune scoring text↔image alignment; the reference loss
+    is |1 − score/100| with score = logit_scale·(text·image). We return
+    the NEGATED loss so the reward step (maximizing) matches. PickScore's
+    vision tower loads through the standard CLIP conversion map (ViT-H/14
+    dims: dim=1280, 32 layers, proj 1024); ``text_embed``: (D,)
+    L2-normalized prompt embedding from its text tower."""
+    from videotuna_tpu.models.clip_vision import CLIPVisionEncoder
+    vision = vision or CLIPVisionEncoder(dim=1280, heads=16, num_layers=32,
+                                         proj_dim=1024)
+
+    def score_images(_, images):
+        emb = _clip_embed(vision, vision_params, images)
+        s = logit_scale * (emb @ text_embed)
+        return -jnp.abs(1.0 - s / 100.0)
+
+    return model_reward(score_images, None, frame_stride)
+
+
+def make_weather_reward(vision_params: Any, mlp_params: Any,
+                        target: float = 1.0, grad_scale: float = 1.0,
+                        vision=None, frame_stride: int = 4) -> RewardFn:
+    """Weather reward (reference reward_fn.py:554 weather_loss_fn):
+    CLIP ViT-L/14 embedding → ScoreMLP (rainy/snowy head weights via
+    ``score_mlp_map``); reference loss |r − target|·grad_scale, returned
+    negated (reward-maximization convention)."""
+    from videotuna_tpu.models.clip_vision import CLIPVisionEncoder
+    vision = vision or CLIPVisionEncoder()
+    head = ScoreMLP()
+
+    def score_images(_, images):
+        emb = _clip_embed(vision, vision_params, images)
+        r = head.apply({"params": mlp_params}, emb)
+        return -grad_scale * jnp.abs(r - target)
+
+    return model_reward(score_images, None, frame_stride)
+
+
+def make_compression_reward(vision_params: Any, mlp_params: Any,
+                            target: Optional[float] = None,
+                            grad_scale: float = 1.0, vision=None,
+                            frame_stride: int = 4) -> RewardFn:
+    """JPEG-compressibility reward (reference reward_fn.py:738
+    compression_loss_fn — same CLIP+ScoreMLP shape as weather, trained
+    to predict compressed file size); loss r (or |r − target|) scaled,
+    negated here."""
+    from videotuna_tpu.models.clip_vision import CLIPVisionEncoder
+    vision = vision or CLIPVisionEncoder()
+    head = ScoreMLP()
+
+    def score_images(_, images):
+        emb = _clip_embed(vision, vision_params, images)
+        r = head.apply({"params": mlp_params}, emb)
+        loss = r if target is None else jnp.abs(r - target)
+        return -grad_scale * loss
+
+    return model_reward(score_images, None, frame_stride)
+
+
+def make_object_removal_reward(heatmap_fn: Callable,
+                               vision_params: Any,
+                               target_text_embed: jnp.ndarray,
+                               vision=None,
+                               frame_stride: int = 4) -> RewardFn:
+    """Object-removal reward (reference reward_fn.py:594
+    objectDetection_loss_fn: minimize the detector's score for the
+    target object). TPU-differentiable redesign: the reference backprops
+    through grounding-dino box scores whose NMS/thresholding is
+    host-side; here presence = max objectness of the GRiT CenterNet
+    agnostic heatmap (``heatmap_fn(images) → (B, H', W')`` logits,
+    differentiable under jit) × CLIP text-image similarity to the target
+    ("is the salient object the target?"). Reward = −presence.
+
+    ``heatmap_fn`` is typically
+    ``lambda im: grit.agn_heatmap(grit_params, im)`` from
+    evalkit/grit.py's ViTDet→FPN→CenterNetHead stack."""
+    from videotuna_tpu.models.clip_vision import CLIPVisionEncoder
+    vision = vision or CLIPVisionEncoder()
+
+    def score_images(_, images):
+        objness = jax.nn.sigmoid(heatmap_fn(images))       # (B, h, w)
+        peak = jnp.max(objness.reshape(objness.shape[0], -1), axis=-1)
+        emb = _clip_embed(vision, vision_params, images)
+        # cosine → [0, 1] smoothly (a hard clip would zero the gradient
+        # exactly where the optimizer needs to push similarity down)
+        sim = 0.5 * (1.0 + emb @ target_text_embed)
+        return -(peak * sim)
+
+    return model_reward(score_images, None, frame_stride)
+
+
+def make_actpred_reward(viclip_vision_params: Any,
+                        action_text_embed: jnp.ndarray,
+                        viclip_vision=None,
+                        num_frames: int = 8) -> RewardFn:
+    """Action-prediction reward (reference reward_fn.py:769
+    actpred_loss_fn: VideoMAE classifier cross-entropy on the target
+    action). TPU redesign: contrastive action score through the
+    parity-gated ViCLIP video tower (evalkit/viclip.py) — reward =
+    cos(video embedding, action label text embedding). Differentiable
+    end-to-end (resize via jax.image.resize)."""
+    from videotuna_tpu.evalkit.viclip import ViCLIPVision
+    enc = viclip_vision or ViCLIPVision()
+
+    def fn(frames: jnp.ndarray) -> jnp.ndarray:
+        b, t = frames.shape[:2]
+        idx = jnp.linspace(0, t - 1, num_frames).astype(jnp.int32)
+        sub = frames[:, idx]                               # (B, 8, H, W, 3)
+        size = 224
+        sub = jax.image.resize(sub, (b, num_frames, size, size, 3),
+                               method="bilinear")
+        mean = jnp.array([0.48145466, 0.4578275, 0.40821073])
+        std = jnp.array([0.26862954, 0.26130258, 0.27577711])
+        sub = ((sub + 1.0) * 0.5 - mean) / std
+        emb = enc.apply({"params": viclip_vision_params}, sub)
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+        return emb @ action_text_embed
+
+    return fn
+
+
 REWARD_REGISTRY: Dict[str, RewardFn] = {
     "aesthetic_proxy": aesthetic_proxy_reward,
     "aesthetic": aesthetic_proxy_reward,   # swapped for the CLIP reward
     "brightness": brightness_reward,       # when weights are provided
+}
+
+# Weighted reward factories, name-compatible with the reference's
+# --reward_fn choices (rlhf_utils/reward_fn.py:253-789). Each returns a
+# RewardFn once its (converted) weights are supplied.
+REWARD_FACTORIES: Dict[str, Callable[..., RewardFn]] = {
+    "aesthetic": make_clip_aesthetic_reward,
+    "hps": make_hps_reward,
+    "pick_score": make_pickscore_reward,
+    "weather": make_weather_reward,
+    "compression": make_compression_reward,
+    "objectDetection": make_object_removal_reward,
+    "actpred": make_actpred_reward,
 }
 
 
