@@ -1260,7 +1260,7 @@ def _bench_hunyuan_lora_train(double: int = 5, single: int = 10,
                               n_steps: int = 3, frames: int = 9,
                               hh: int = 45, ww: int = 60,
                               dim: int = 3072, heads: int = 24,
-                              rank: int = 32):
+                              rank: int = 32, fp8_base: bool = False):
     """HunyuanVideo LoRA fine-tune step (BASELINE README.md:217 names
     this the north-star finetune): fwd+bwd+adamw on rank-32 deltas over
     frozen bf16 base params, remat'd blocks. Depth 5dbl+10sgl (the
@@ -1279,7 +1279,11 @@ def _bench_hunyuan_lora_train(double: int = 5, single: int = 10,
     y = jnp.zeros((b, 256, 4096))
     pooled = jnp.zeros((b, 768))
     mask = jnp.ones((b, 256), bool)
-    base = _bf16_params(model, x, t, y, pooled, mask)
+    # fp8_base: frozen base kernels fp8-resident (QLoRA-style); the full
+    # 13B 20dbl+40sgl stack is 12.5 GB fp8 and fits one chip
+    base = (_mixed_fp8_params(model, (x, t, y, pooled, mask),
+                              ("double_blocks", "single_blocks"))
+            if fp8_base else _bf16_params(model, x, t, y, pooled, mask))
     lora = init_lora(base, rank=rank, match=default_match,
                      dtype=jnp.bfloat16)
     opt = optax.adamw(1e-4)
@@ -1313,20 +1317,23 @@ def _bench_hunyuan_lora_train(double: int = 5, single: int = 10,
     # single blocks have EQUAL FLOPs to double blocks (full concat seq
     # through one 12d² stream) — extrapolate to 20dbl+40sgl by FLOPs
     full_sps = sps * (double + single) / 60.0
+    basestr = "fp8-resident base, " if fp8_base else ""
     return {"metric": "hunyuan_lora_train_steps_per_sec",
             "value": round(sps, 3),
             "unit": f"train steps/s ({double}dbl+{single}sgl incl. "
-                    f"block-kernel LoRA, rank {rank} = "
-                    f"{n_lora / 1e6:.0f}M deltas, 9x45x60 latents, "
-                    f"bf16+remat; full-depth extrapolation "
-                    f"{round(full_sps, 3)} steps/s)",
+                    f"block-kernel side-branch LoRA, rank {rank} = "
+                    f"{n_lora / 1e6:.0f}M deltas, {basestr}"
+                    f"9x45x60 latents, bf16+remat; full-depth "
+                    f"extrapolation {round(full_sps, 3)} steps/s)",
             "full_depth_steps_per_sec": round(full_sps, 4),
+            "fp8_base": fp8_base,
             "vs_baseline": None}
 
 def _bench_cogvideox_lora_train(depth: int = 21, n_steps: int = 3,
                                 frames: int = 13, hh: int = 60,
                                 ww: int = 90, dim: int = 3072,
-                                heads: int = 48, rank: int = 32):
+                                heads: int = 48, rank: int = 32,
+                                fp8_base: bool = False):
     """CogVideoX-5B LoRA fine-tune step at the north-star 49f 480×720
     geometry (BASELINE README.md:218: 'CogVideoX LoRA, 1 GPU'):
     fwd+bwd+adamw on rank-32 deltas (incl. the scan-stacked block
@@ -1347,7 +1354,12 @@ def _bench_cogvideox_lora_train(depth: int = 21, n_steps: int = 3,
     x = jnp.zeros((b, frames, hh, ww, 16))
     t = jnp.zeros((b,), jnp.int32)
     y = jnp.zeros((b, 226, 4096))
-    base = _bf16_params(model, x, t, y)
+    # fp8_base: frozen base kernels fp8-resident (QLoRA-style — the side
+    # branch y = xW + (xA)B never differentiates W, so the in-scan bf16
+    # dequant has no backward cost; halves base HBM → full 42-layer depth
+    # fits one 16 GB chip)
+    base = (_mixed_fp8_params(model, (x, t, y), ("blocks",)) if fp8_base
+            else _bf16_params(model, x, t, y))
     lora = init_lora(base, rank=rank, match=default_match,
                      dtype=jnp.bfloat16)
     opt = optax.adamw(1e-4)
@@ -1375,13 +1387,16 @@ def _bench_cogvideox_lora_train(depth: int = 21, n_steps: int = 3,
     sps = n_steps / (time.perf_counter() - t0)
     n_lora = sum(int(a.size) for a in jax.tree.leaves(lora))
     full_sps = sps * depth / 42.0
+    basestr = "fp8-resident base, " if fp8_base else ""
     return {"metric": "cogvideox_lora_train_steps_per_sec",
             "value": round(sps, 3),
             "unit": f"train steps/s ({depth}/42 layers incl. block-kernel "
-                    f"LoRA, rank {rank} = {n_lora / 1e6:.0f}M deltas, "
+                    f"side-branch LoRA, rank {rank} = "
+                    f"{n_lora / 1e6:.0f}M deltas, {basestr}"
                     f"13x60x90 latents, bf16+remat; full-depth "
                     f"extrapolation {round(full_sps, 3)} steps/s)",
             "full_depth_steps_per_sec": round(full_sps, 4),
+            "fp8_base": fp8_base,
             "vs_baseline": None}
 
 
@@ -1407,12 +1422,13 @@ SUITE_BENCHES = {
     # base + rank-32 deltas, expected to fit 16 GB HBM outright
     "hunyuan_lora_train": lambda: _bench_with_oom_fallback(
         _bench_hunyuan_lora_train,
-        [{"double": 10, "single": 20}, {"double": 5, "single": 10},
+        [{"double": 20, "single": 40, "fp8_base": True},
+         {"double": 10, "single": 20}, {"double": 5, "single": 10},
          {"double": 3, "single": 6}]),
     "cogvideox_lora_train": lambda: _bench_with_oom_fallback(
         _bench_cogvideox_lora_train,
-        [{"depth": 42}, {"depth": 28}, {"depth": 21}, {"depth": 14},
-         {"depth": 10}]),
+        [{"depth": 42, "fp8_base": True}, {"depth": 42}, {"depth": 28},
+         {"depth": 21}, {"depth": 14}]),
 }
 
 def _bench_dataloader(n_clips: int = 24, frames: int = 16, src_hw=(360,
