@@ -460,7 +460,8 @@ def _bench_attn_d64(seq: int = 17776, heads: int = 48, batch: int = 2,
 
 
 def _bench_attn_d64_sweep(seq: int = 17776, heads: int = 48,
-                          batch: int = 2, n_iters: int = 4):
+                          batch: int = 2, n_iters: int = 4,
+                          static_max: float = 16.0):
     """Block-size sweep for the transposed packed d=64 kernel at the
     CogVideoX-5B geometry. The (512, 1024) packed defaults were tuned for
     the NATURAL-layout packed kernel; the transposed variant has a
@@ -475,8 +476,11 @@ def _bench_attn_d64_sweep(seq: int = 17776, heads: int = 48,
     flops = 4.0 * batch * heads * seq * seq * 64
 
     def timed(bq, bk):
+        # sweep under static-max — the production config since round 3
+        # (the rescale-free inner loop shifts the VPU:MXU balance)
         fn = jax.jit(lambda a, b_, c: flash_attention(
-            a, b_, c, pack2="t", block_q=bq, block_k=bk))
+            a, b_, c, pack2="t", block_q=bq, block_k=bk,
+            static_max=static_max))
         try:
             _sync(fn(q, k, v))
         except Exception as e:  # VMEM overflow at large blocks
@@ -1318,7 +1322,13 @@ def _bench_hunyuan_lora_train(double: int = 5, single: int = 10,
     # through one 12d² stream) — extrapolate to 20dbl+40sgl by FLOPs
     full_sps = sps * (double + single) / 60.0
     basestr = "fp8-resident base, " if fp8_base else ""
+    # equal-FLOPs depth: each single block = one double block (full
+    # concat seq through a 12d² stream); train ≈ 4× forward FLOPs
+    seq = frames * (hh // 2) * (ww // 2) + 256
+    mfu = (4.0 * _dit_flops(seq, dim, double + single, b) * sps
+           / V5E_PEAK_BF16)
     return {"metric": "hunyuan_lora_train_steps_per_sec",
+            "train_mfu": round(mfu, 4),
             "value": round(sps, 3),
             "unit": f"train steps/s ({double}dbl+{single}sgl incl. "
                     f"block-kernel side-branch LoRA, rank {rank} = "
@@ -1388,7 +1398,11 @@ def _bench_cogvideox_lora_train(depth: int = 21, n_steps: int = 3,
     n_lora = sum(int(a.size) for a in jax.tree.leaves(lora))
     full_sps = sps * depth / 42.0
     basestr = "fp8-resident base, " if fp8_base else ""
+    # train step ≈ fwd + remat-refwd + bwd(2×) = 4× forward FLOPs
+    seq = frames * (hh // 2) * (ww // 2) + 226
+    mfu = 4.0 * _dit_flops(seq, dim, depth, b) * sps / V5E_PEAK_BF16
     return {"metric": "cogvideox_lora_train_steps_per_sec",
+            "train_mfu": round(mfu, 4),
             "value": round(sps, 3),
             "unit": f"train steps/s ({depth}/42 layers incl. block-kernel "
                     f"side-branch LoRA, rank {rank} = "
@@ -1492,6 +1506,47 @@ def _bench_dataloader(n_clips: int = 24, frames: int = 16, src_hw=(360,
 
 # diagnosis-only benches: reachable via --one / --merge, excluded from
 # the --suite sweep (they measure breakdowns, not headline metrics)
+def _bench_attn_d128_sweep(seq: int = 20656, heads: int = 24,
+                           batch: int = 1, n_iters: int = 4,
+                           static_max: float = 16.0):
+    """Block-size sweep for the plain d=128 kernel UNDER static-max at
+    the Hunyuan-class geometry. The (1024, 2048) defaults were tuned for
+    the online-softmax kernel; with the max/rescale chain gone the
+    VPU:MXU balance shifts, so the optimum may move (larger bk amortizes
+    the per-block exp2 into fewer, bigger MXU calls)."""
+    from videotuna_tpu.kernels.attention import flash_attention
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (batch, seq, heads, 128), jnp.bfloat16)
+    k = jax.random.normal(k2, (batch, seq, heads, 128), jnp.bfloat16)
+    v = jax.random.normal(k3, (batch, seq, heads, 128), jnp.bfloat16)
+    flops = 4.0 * batch * heads * seq * seq * 128
+    results = {}
+    best = (None, 1e9)
+    for bq in (512, 1024, 2048):
+        for bk in (1024, 2048, 4096):
+            fn = jax.jit(lambda a, b_, c, bq=bq, bk=bk: flash_attention(
+                a, b_, c, block_q=bq, block_k=bk, static_max=static_max))
+            try:
+                _sync(fn(q, k, v))
+                t0 = time.perf_counter()
+                for _ in range(n_iters):
+                    out = fn(q, k, v)
+                _sync(out)
+                t = (time.perf_counter() - t0) / n_iters
+            except Exception as e:  # VMEM overflow at big blocks
+                results[f"{bq}x{bk}"] = f"fail: {str(e)[:60]}"
+                continue
+            results[f"{bq}x{bk}"] = round(flops / t / 1e12, 1)
+            if t < best[1]:
+                best = (f"{bq}x{bk}", t)
+    return {"metric": "attn_d128_staticmax_block_sweep",
+            "value": round(flops / best[1] / 1e12, 1),
+            "unit": f"best TF/s (blocks {best[0]}), d=128 seq {seq} "
+                    f"static_max={static_max}",
+            "sweep_tf_s": results,
+            "vs_baseline": None}
+
+
 def _bench_attn_d64_bwd(seq: int = 17776, heads: int = 48, batch: int = 1,
                         n_iters: int = 4):
     """d=64 fused fwd+bwd A/B at the CogVideoX training geometry: the
@@ -1554,6 +1609,7 @@ DIAG_BENCHES = {
     "attn_d64_bwd": lambda: _bench_attn_d64_bwd(),
     "cogvideox_breakdown": lambda: _bench_cogvideox_breakdown(),
     "attn_d64_sweep": lambda: _bench_attn_d64_sweep(),
+    "attn_d128_sweep": lambda: _bench_attn_d128_sweep(),
     "attn_d64_staticmax": lambda: _bench_attn_d64_staticmax(),
     "attn_d128_staticmax": lambda: _bench_attn_d128_staticmax(),
     "dataloader": lambda: _bench_dataloader(),

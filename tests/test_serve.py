@@ -302,3 +302,25 @@ class TestContinuousBatching:
             assert not svc._slot_items
         finally:
             svc.shutdown()
+
+
+class TestMeshServing:
+    """Multi-chip serving: inference.mesh shards the resident weights
+    over the (dp, fsdp) mesh and samples under the mesh context."""
+
+    def test_sharded_service_generates(self, tmp_path):
+        import jax
+        from videotuna_tpu.cli.serve import InferenceService
+        cfg = load_configs(["configs/000_tiny/tiny_t2v.yaml"])
+        cfg["inference"]["savedir"] = str(tmp_path)
+        cfg["inference"]["mesh"] = {"dp": 2, "fsdp": 4}
+        svc = InferenceService(cfg)
+        assert svc.mesh is not None and svc.mesh.size == 8
+        # at least one big param actually sharded over fsdp
+        shardings = [x.sharding for x in jax.tree.leaves(svc.flow.params)
+                     if hasattr(x, "sharding")]
+        assert any(not s.is_fully_replicated for s in shardings), \
+            "no parameter was sharded over the mesh"
+        out = svc.generate({"prompt": "a sharded tiny robot", "seed": 1})
+        assert len(out["videos"]) == 1
+        assert out["videos"][0].endswith(".mp4")

@@ -108,7 +108,12 @@ def run_inference(argv: Optional[List[str]] = None) -> dict:
         import jax
         from videotuna_tpu.core.mesh import MeshConfig, make_mesh, use_mesh
         from videotuna_tpu.kernels.attention import sequence_parallel
+        from videotuna_tpu.parallel.sharding import shard_params
         mesh = make_mesh(MeshConfig(**mesh_cfg))
+        # params must actually be SHARDED (fsdp axis) — a 13B model does
+        # not fit replicated; GSPMD propagates from these placements
+        flow.params = jax.device_put(flow.params,
+                                     shard_params(flow.params, mesh))
         stack = contextlib.ExitStack()
         stack.enter_context(use_mesh(mesh))
         if mesh.shape.get("sp", 1) > 1:

@@ -61,6 +61,19 @@ class InferenceService:
             else:
                 self.flow.init_params(
                     seed=int(config.get("inference", {}).get("seed", 0)))
+        # multi-chip serving: inference.mesh {dp, fsdp, sp, tp} shards
+        # the resident weights over the mesh (fsdp axis — a 13B model
+        # does not fit one chip replicated) and routes long attention
+        # through SP; every request then samples under the mesh context
+        self.mesh = None
+        mesh_cfg = dict(config.get("inference", {}).get("mesh") or {})
+        if mesh_cfg:
+            import jax
+            from videotuna_tpu.core.mesh import MeshConfig, make_mesh
+            from videotuna_tpu.parallel.sharding import shard_params
+            self.mesh = make_mesh(MeshConfig(**mesh_cfg))
+            self.flow.params = jax.device_put(
+                self.flow.params, shard_params(self.flow.params, self.mesh))
         self.lock = threading.Lock()
         self.max_queue = max_queue
         self.request_timeout = request_timeout_s
@@ -69,6 +82,20 @@ class InferenceService:
         self.requests_timed_out = 0
         self._inflight = 0
         self._inflight_lock = threading.Lock()
+
+    def _mesh_ctx(self):
+        """Mesh (+SP routing) context for a sampling call; a no-op for
+        single-chip service."""
+        import contextlib
+        if self.mesh is None:
+            return contextlib.nullcontext()
+        from videotuna_tpu.core.mesh import use_mesh
+        stack = contextlib.ExitStack()
+        stack.enter_context(use_mesh(self.mesh))
+        if self.mesh.shape.get("sp", 1) > 1:
+            from videotuna_tpu.kernels.attention import sequence_parallel
+            stack.enter_context(sequence_parallel(self.mesh))
+        return stack
 
     def _enter(self):
         with self._inflight_lock:
@@ -106,7 +133,8 @@ class InferenceService:
                 raise ServiceTimeout(
                     f"no chip slot within {self.request_timeout}s")
             try:
-                result = self.flow.inference(cfg)
+                with self._mesh_ctx():
+                    result = self.flow.inference(cfg)
             finally:
                 self.lock.release()
             self.requests_served += 1
@@ -242,7 +270,8 @@ class BatchingInferenceService(InferenceService):
                 it["event"].set()
 
     def _infer(self, cfg):
-        return self.flow.inference(cfg)
+        with self._mesh_ctx():
+            return self.flow.inference(cfg)
 
 
 class ContinuousBatchingService(InferenceService):
@@ -390,11 +419,12 @@ class ContinuousBatchingService(InferenceService):
                     self._cv.wait()
                 if not self._running:
                     return
-            self._admit()
-            if self.engine.n_active:
-                self.engine.step()
-                for slot, z in self.engine.poll_completed():
-                    self._finish(slot, z)
+            with self._mesh_ctx():   # trace-time: step jit sees the mesh
+                self._admit()
+                if self.engine.n_active:
+                    self.engine.step()
+                    for slot, z in self.engine.poll_completed():
+                        self._finish(slot, z)
 
 
 def make_handler(service: InferenceService):
