@@ -79,8 +79,11 @@ class TestTrainerLora:
         state = tr.init_state()
         # state params are lora trees for trainable components only
         assert set(state.params) == set(flow.trainable_components)
+        # every delta is an (…,r)/(r,…) pair: 2-D for Dense, 3-D for
+        # DenseGeneral q/k/v (ADVICE r3: non-scan 3-D kernels matched
+        # too), +1 leading dim under scan stacks
         leaves = jax.tree.leaves(state.params)
-        assert all(l.ndim == 2 for l in leaves)  # (in,r)/(r,out) pairs
+        assert all(2 in l.shape and l.ndim in (2, 3, 4) for l in leaves)
         state = tr.fit(iter([self._batch(), self._batch()]), state)
         # b-matrices moved away from zero-init
         moved = any(

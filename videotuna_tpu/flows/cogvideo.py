@@ -7,8 +7,10 @@ Capability parity with the reference ``CogVideoXWorkFlow``
   latents (training_step :815-887, encode_video :792);
 - i2v: first frame VAE-encoded, zero-padded over time, concatenated on
   channels (cogvideo_i2v.py:34);
-- sampling: DDIM with v-parameterization and zero-terminal-SNR rescaled
-  betas + CFG (the diffusers CogVideoXDDIMScheduler recipe);
+- sampling: SDE-DPM-Solver++(2M) (the 004/005 configs' default,
+  diffusers CogVideoXDPMScheduler recipe — schedulers/cogvideox_dpm.py)
+  or trailing-spaced η=0 DDIM; both on the SNR-shifted (s=3.0)
+  zero-terminal-SNR v-prediction schedule + CFG;
 - LoRA-only checkpoints via training/lora.py (reference :143-149, 781-787).
 """
 
@@ -48,10 +50,15 @@ class CogVideoXFlow(GenerationFlow):
         self.i2v_mode = i2v_mode
         self.use_dynamic_cfg = use_dynamic_cfg
         if isinstance(self.scheduler, DDPMSchedule):
+            from videotuna_tpu.schedulers import build_cogvideox_ddim
             self.base_schedule = self.scheduler
-            self.scheduler = DDIMSchedule.create(self.base_schedule,
-                                                 ddim_steps, eta=0.0)
+            # the CogVideoXDDIMScheduler recipe: trailing spacing +
+            # set_alpha_to_one, η=0 (schedulers/cogvideox_dpm.py)
+            self.scheduler = build_cogvideox_ddim(self.base_schedule,
+                                                  ddim_steps)
         else:
+            # e.g. CogVideoXDPMSchedule (the 004/005 configs' default,
+            # mirroring diffusers.CogVideoXDPMScheduler)
             self.base_schedule = self.scheduler.base
 
     def example_inputs(self) -> Dict[str, Any]:

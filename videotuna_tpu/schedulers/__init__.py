@@ -6,6 +6,7 @@ Inventory vs reference (SURVEY.md §2.2):
 - Flow-matching discrete Euler (Hunyuan/Step)     → flow_match.FlowMatchSchedule
 - Flow UniPC / DPM-Solver++ multistep (Wan)       → fm_solvers.*
 - IDDPM / SpacedDiffusion (Open-Sora)             → iddpm.SpacedSchedule
+- CogVideoX SDE-DPM++(2M) + trailing DDIM         → cogvideox_dpm.*
 """
 
 from videotuna_tpu.schedulers.common import (extract_into, make_beta_schedule,
@@ -13,6 +14,8 @@ from videotuna_tpu.schedulers.common import (extract_into, make_beta_schedule,
                                              rescale_noise_cfg,
                                              rescale_zero_terminal_snr)
 from videotuna_tpu.schedulers.ddpm import DDPMSchedule
+from videotuna_tpu.schedulers.cogvideox_dpm import (CogVideoXDPMSchedule,
+                                                    build_cogvideox_ddim)
 from videotuna_tpu.schedulers.ddim import (DDIMSchedule, cfg_denoise,
                                            dynamic_cfg_denoise,
                                            multicond_cfg_denoise)
@@ -22,6 +25,7 @@ from videotuna_tpu.schedulers.flow_match import (FlowMatchSchedule,
 
 __all__ = [
     "DDPMSchedule", "DDIMSchedule", "FlowMatchSchedule",
+    "CogVideoXDPMSchedule", "build_cogvideox_ddim",
     "cfg_denoise", "dynamic_cfg_denoise", "multicond_cfg_denoise",
     "flow_interpolate", "flow_target", "sample_sigmas", "shift_sigmas",
     "extract_into", "make_beta_schedule", "make_ddim_timesteps",

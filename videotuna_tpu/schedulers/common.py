@@ -68,6 +68,40 @@ def rescale_zero_terminal_snr(betas: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - alphas
 
 
+def snr_shift_alphas_cumprod(alphas_cumprod: jnp.ndarray,
+                             snr_shift_scale: float) -> jnp.ndarray:
+    """SD3-style SNR shift used by the CogVideoX schedulers
+    (diffusers ``scheduling_ddim_cogvideox.py`` ``__init__``; the
+    reference instantiates those schedulers from the published
+    CogVideoX config with ``snr_shift_scale=3.0``,
+    /root/reference/configs/004_cogvideox/cogvideo5b.yaml:38-42):
+    ᾱ ← ᾱ / (s + (1 − s)·ᾱ), which divides every SNR = ᾱ/(1−ᾱ) by s."""
+    return alphas_cumprod / (snr_shift_scale
+                             + (1.0 - snr_shift_scale) * alphas_cumprod)
+
+
+def rescale_zero_terminal_snr_alphas(alphas_cumprod: jnp.ndarray
+                                     ) -> jnp.ndarray:
+    """Zero-terminal-SNR rescale operating directly on ᾱ (the diffusers
+    CogVideoX convention — applied AFTER the SNR shift, unlike the
+    betas-space variant above). Same linear map of √ᾱ."""
+    alphas_bar_sqrt = jnp.sqrt(alphas_cumprod)
+    a0 = alphas_bar_sqrt[0]
+    aT = alphas_bar_sqrt[-1]
+    alphas_bar_sqrt = (alphas_bar_sqrt - aT) * a0 / (a0 - aT)
+    return alphas_bar_sqrt ** 2
+
+
+def make_trailing_timesteps(num_steps: int,
+                            num_train_timesteps: int) -> np.ndarray:
+    """``timestep_spacing="trailing"`` (diffusers set_timesteps; the
+    CogVideoX schedulers' published config): descending grid ending at
+    the schedule tail — round(arange(N, 0, −N/S)) − 1."""
+    step_ratio = num_train_timesteps / num_steps
+    ts = np.round(np.arange(num_train_timesteps, 0, -step_ratio))
+    return ts.astype(np.int64) - 1
+
+
 def make_ddim_timesteps(num_ddim_timesteps: int,
                         num_ddpm_timesteps: int,
                         method: str = "uniform") -> np.ndarray:

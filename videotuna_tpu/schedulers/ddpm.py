@@ -53,14 +53,31 @@ class DDPMSchedule:
                given_betas: Optional[jnp.ndarray] = None,
                parameterization: str = "eps",
                v_posterior: float = 0.0,
-               rescale_betas_zero_snr: bool = False) -> "DDPMSchedule":
+               rescale_betas_zero_snr: bool = False,
+               snr_shift_scale: float = 1.0) -> "DDPMSchedule":
         betas = (jnp.asarray(given_betas) if given_betas is not None else
                  make_beta_schedule(beta_schedule, timesteps,
                                     linear_start, linear_end, cosine_s))
-        if rescale_betas_zero_snr:
-            betas = rescale_zero_terminal_snr(betas)
-        alphas = 1.0 - betas
-        alphas_cumprod = jnp.cumprod(alphas, axis=0)
+        if snr_shift_scale != 1.0:
+            # diffusers CogVideoX order of ops (scheduling_ddim_cogvideox
+            # __init__): betas → cumprod → SNR shift → zero-SNR rescale
+            # directly on ᾱ; betas are re-derived so every downstream
+            # buffer (posterior, √ᾱ tables) stays consistent. Gated vs an
+            # fp64 twin in tests/test_cogvideox_dpm.py.
+            from videotuna_tpu.schedulers.common import (
+                rescale_zero_terminal_snr_alphas, snr_shift_alphas_cumprod)
+            acp = jnp.cumprod(1.0 - betas, axis=0)
+            acp = snr_shift_alphas_cumprod(acp, snr_shift_scale)
+            if rescale_betas_zero_snr:
+                acp = rescale_zero_terminal_snr_alphas(acp)
+            alphas = jnp.concatenate([acp[:1], acp[1:] / acp[:-1]])
+            betas = 1.0 - alphas
+            alphas_cumprod = acp   # exact ᾱ, no cumprod roundtrip
+        else:
+            if rescale_betas_zero_snr:
+                betas = rescale_zero_terminal_snr(betas)
+            alphas = 1.0 - betas
+            alphas_cumprod = jnp.cumprod(alphas, axis=0)
         alphas_cumprod_prev = jnp.concatenate(
             [jnp.ones((1,), betas.dtype), alphas_cumprod[:-1]])
 
