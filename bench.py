@@ -196,7 +196,7 @@ def _bench_cogvideox5b(depth: int = 42, n_steps: int = 8,
     # the logits; exactness pinned by test_static_max_packed2t_*). The
     # scope matters at TRACE time, so it must wrap the first call.
     from videotuna_tpu.kernels.attention import attention_options
-    with attention_options(static_max=16.0):
+    with attention_options(static_max=0.0):
         step = lambda x: step_p(params, x)
         sps = _chain_and_time(step, x, n_steps)
     seq = frames * (hh // 2) * (ww // 2) + 226
@@ -239,7 +239,7 @@ def _bench_hunyuan13b(double: int = 5, single: int = 10, n_steps: int = 4,
                            mask)[..., :16].astype(x.dtype)
 
     step = lambda x: step_p(params, x)
-    sps = _chain_and_time(step, x, n_steps, static_max=16.0)
+    sps = _chain_and_time(step, x, n_steps, static_max=0.0)
     # single-stream blocks cost ≈ half a double block; extrapolate steps/s
     # linearly in equivalent depth (blocks dominate the step)
     # time scales with FLOPs, and a single block costs the SAME flops as a
@@ -757,7 +757,7 @@ def _bench_hunyuan13b_full(n_steps: int = 2, frames: int = 17,
                    vec=vec)
         return out[..., :16].astype(x_in.dtype)
 
-    sps = _chain_and_time(one_step, x, n_steps, static_max=16.0)
+    sps = _chain_and_time(one_step, x, n_steps, static_max=0.0)
     seq = frames * (hh // 2) * (ww // 2) + 256
     # single blocks: half the params, EQUAL flops (full concat seq)
     eq_depth = double + single
@@ -878,7 +878,7 @@ def _bench_hunyuan13b_fp8(n_steps: int = 3, frames: int = 17,
                    vec=vec)
         return out[..., :16].astype(x_in.dtype)
 
-    sps = _chain_and_time(one_step, x, n_steps, static_max=16.0)
+    sps = _chain_and_time(one_step, x, n_steps, static_max=0.0)
     seq = frames * (hh // 2) * (ww // 2) + 256
     # single blocks: half the params, EQUAL flops (full concat seq)
     eq_depth = double + single
@@ -946,7 +946,7 @@ def _bench_wan14b(n_steps: int = 2, frames: int = 21, hh: int = 60,
         out = h_fn({"params": head_params}, tok=tok, e=e)
         return out[..., :16].astype(x_in.dtype)
 
-    sps = _chain_and_time(one_step, x, n_steps, static_max=16.0)
+    sps = _chain_and_time(one_step, x, n_steps, static_max=0.0)
     seq = frames * (hh // 2) * (ww // 2)
     # wan blocks: qkvo (8·S·D²) + cross-attn kv/o vs text (≈4·S·D²) +
     # ffn (2·S·D·ffn·2) + self+cross attention quadratic terms
@@ -1029,7 +1029,7 @@ def _bench_wan14b_fp8(n_steps: int = 2, frames: int = 21, hh: int = 60,
         out = h_fn({"params": head_params}, tok=tok, e=e)
         return out[..., :16].astype(x_in.dtype)
 
-    sps = _chain_and_time(one_step, x, n_steps, static_max=16.0)
+    sps = _chain_and_time(one_step, x, n_steps, static_max=0.0)
     seq = frames * (hh // 2) * (ww // 2)
     per_layer = (12 * seq * dim * dim + 4 * seq * dim * ffn
                  + 4 * seq * seq * dim)
@@ -1140,7 +1140,7 @@ def _bench_stepvideo_class(layers: int = 20, n_steps: int = 3,
     fn = jax.jit(lambda p, xx: model.apply({"params": p}, xx, t, cap,
                                            clip))
     sps = _chain_and_time(lambda xx: fn(params, xx), x, n_steps,
-                          static_max=16.0)
+                          static_max=0.0)
     seq = frames * hh * ww
     per_layer = (8 + 16) * seq * d * d + 4 * seq * seq * d \
         + 4 * seq * d * d + 4 * s_ctx * d * d + 4 * seq * s_ctx * d
@@ -1179,7 +1179,7 @@ def _bench_mochi_fp8(n_steps: int = 3, frames: int = 14, hh: int = 60,
 
     fn = jax.jit(lambda p, xx: model.apply({"params": p}, xx, t, y, mask))
     sps = _chain_and_time(lambda xx: fn(params, xx), x, n_steps,
-                          static_max=16.0)
+                          static_max=0.0)
     seq = frames * (hh // 2) * (ww // 2)
     mfu = _dit_flops(seq, 3072, 48, b) * sps / V5E_PEAK_BF16
     return {"metric": "mochi10b_full_depth_fp8_denoise_steps_per_sec",
@@ -1214,7 +1214,7 @@ def _bench_flux_fp8(n_steps: int = 6, hh: int = 48, ww: int = 85):
     fn = jax.jit(lambda p, xx: model.apply({"params": p}, xx, t, y,
                                            pooled, g))
     sps = _chain_and_time(lambda xx: fn(params, xx), x, n_steps,
-                          static_max=16.0)
+                          static_max=0.0)
     seq = hh * ww + 512
     eq_depth = 19 + 38     # single blocks: half params, EQUAL flops
     mfu = _dit_flops(seq, 3072, eq_depth, b) * sps / V5E_PEAK_BF16
@@ -1301,9 +1301,14 @@ def _bench_hunyuan_lora_train(double: int = 5, single: int = 10,
                               xx, t, y, pooled, mask)
         return jnp.mean(out.astype(jnp.float32) ** 2)
 
+    import functools
+
     # base params MUST be jit arguments: closed-over they become HLO
-    # constants (6.9 GB embedded in the program — host round-trip + copy)
-    @jax.jit
+    # constants (6.9 GB embedded in the program — host round-trip + copy).
+    # lora+opt_state donated: without it the ~1 GB of outputs shares 0 B
+    # with arguments (measured in the 20dbl+40sgl OOM breakdown) and the
+    # extra live set inflates HLO-temp fragmentation
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
     def train_step(lr, bp, os_, xx):
         loss, g = jax.value_and_grad(loss_fn)(lr, bp, xx)
         upd, os2 = opt.update(g, os_, lr)
@@ -1382,7 +1387,9 @@ def _bench_cogvideox_lora_train(depth: int = 21, n_steps: int = 3,
                               xx, t, y)
         return jnp.mean(out.astype(jnp.float32) ** 2)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2))  # see hunyuan note
     def train_step(lr, bp, os_, xx):
         loss, g = jax.value_and_grad(loss_fn)(lr, bp, xx)
         upd, os2 = opt.update(g, os_, lr)
@@ -1604,8 +1611,53 @@ def _bench_attn_d64_bwd(seq: int = 17776, heads: int = 48, batch: int = 1,
             "vs_baseline": None}
 
 
+def _bench_attn_d64_fusedsm(seq: int = 17776, heads: int = 48,
+                            batch: int = 2, n_iters: int = 6):
+    """A/B: FUSED static-max (−M folded into QK via indicator lanes,
+    l-sum folded into PV via a ones-row — two VPU passes over the score
+    tile removed) vs the plain static-max branch, at the CogVideoX-5B
+    geometry. Serial-VPU model predicts ~1.11×: per score element
+    336→~302 MAC-equivalents (sub −26, sum −26, PV M 64→72 +8, small
+    qa/va builds +10)."""
+    from videotuna_tpu.kernels.attention import flash_attention
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (batch, seq, heads, 64), jnp.bfloat16)
+    k = jax.random.normal(k2, (batch, seq, heads, 64), jnp.bfloat16)
+    v = jax.random.normal(k3, (batch, seq, heads, 64), jnp.bfloat16)
+    flops = 4.0 * batch * heads * seq * seq * 64
+
+    def timed(fn):
+        _sync(fn(q, k, v))
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn(q, k, v)
+        _sync(out)
+        return (time.perf_counter() - t0) / n_iters
+
+    plain = jax.jit(lambda a, b_, c: flash_attention(
+        a, b_, c, pack2="t", static_max=16.0, static_fused=False))
+    fused = jax.jit(lambda a, b_, c: flash_attention(
+        a, b_, c, pack2="t", static_max=16.0))
+    t_p = timed(plain)
+    t_f = timed(fused)
+    err = float(jnp.max(jnp.abs(
+        plain(q, k, v).astype(jnp.float32)
+        - fused(q, k, v).astype(jnp.float32))))
+    return {"metric": "attn_d64_fusedsm_speedup",
+            "value": round(t_p / t_f, 3),
+            "unit": f"speedup (fused static-max / plain static-max), "
+                    f"d=64 seq {seq} heads {heads}",
+            "plain_ms": round(t_p * 1e3, 2),
+            "fused_ms": round(t_f * 1e3, 2),
+            "plain_tf_s": round(flops / t_p / 1e12, 1),
+            "fused_tf_s": round(flops / t_f / 1e12, 1),
+            "max_abs_err": err,
+            "vs_baseline": None}
+
+
 DIAG_BENCHES = {
     "hunyuan_breakdown": lambda: _bench_hunyuan_breakdown(),
+    "attn_d64_fusedsm": lambda: _bench_attn_d64_fusedsm(),
     "attn_d64_bwd": lambda: _bench_attn_d64_bwd(),
     "cogvideox_breakdown": lambda: _bench_cogvideox_breakdown(),
     "attn_d64_sweep": lambda: _bench_attn_d64_sweep(),

@@ -314,6 +314,44 @@ def test_static_max_packed2t_matches_reference():
     out2 = flash_attention(q, k, v, block_q=128, block_k=128,
                            interpret=True, pack2="t", static_max=40.0)
     np.testing.assert_allclose(out2, ref, atol=2e-3, rtol=2e-3)
+    # M=0 (the production default): the -M subtract is elided entirely
+    # (softmax is invariant to the common 2^-M factor)
+    out3 = flash_attention(q, k, v, block_q=128, block_k=128,
+                           interpret=True, pack2="t", static_max=0.0)
+    np.testing.assert_allclose(out3, ref, atol=2e-3, rtol=2e-3)
+    out4 = flash_attention(q, k, v, block_q=128, block_k=128,
+                           interpret=True, pack2="t", static_max=0.0,
+                           static_fused=False)
+    np.testing.assert_allclose(out4, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_static_max_fused_matches_plain_branch():
+    """FUSED static-max (−M folded into QK via indicator lanes, l-sum
+    folded into PV via a ones-row — the production branch) vs the plain
+    static-max branch, at unaligned + cross lengths (both pads live)."""
+    q, k, v = _rand_qkv(jax.random.key(41), 1, 300, 4, 64, sk=260)
+    fused = flash_attention(q, k, v, block_q=128, block_k=128,
+                            interpret=True, pack2="t", static_max=12.0)
+    plain = flash_attention(q, k, v, block_q=128, block_k=128,
+                            interpret=True, pack2="t", static_max=12.0,
+                            static_fused=False)
+    np.testing.assert_allclose(fused, plain, atol=2e-5, rtol=2e-5)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(fused, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_static_max_fused_lse_matches_plain():
+    """emit_lse (training fwd) parity between the fused and plain
+    static-max branches — the backward consumes this LSE."""
+    from videotuna_tpu.kernels.attention import _flash_packed2t
+    q, k, v = _rand_qkv(jax.random.key(43), 1, 200, 2, 64)
+    kw = dict(sm_scale=0.125, block_q=128, block_k=128, interpret=True,
+              static_max=12.0, emit_lse=True)
+    out_f, lse_f = _flash_packed2t(q, k, v, fused_sm=True, **kw)
+    out_p, lse_p = _flash_packed2t(q, k, v, fused_sm=False, **kw)
+    np.testing.assert_allclose(out_f, out_p, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(lse_f[..., :200], lse_p[..., :200],
+                               atol=1e-4, rtol=1e-5)
 
 
 def test_static_max_plain_d128_matches_reference():
@@ -324,6 +362,9 @@ def test_static_max_plain_d128_matches_reference():
     out = flash_attention(q, k, v, block_q=128, block_k=128,
                           interpret=True, static_max=12.0)
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+    out0 = flash_attention(q, k, v, block_q=128, block_k=128,
+                          interpret=True, static_max=0.0)
+    np.testing.assert_allclose(out0, ref, atol=2e-3, rtol=2e-3)
 
 
 def test_static_max_training_grads_exact():

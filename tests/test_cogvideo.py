@@ -106,7 +106,7 @@ class TestCogVideoXFlow:
         the Pallas kernel picks it up on TPU; exactness is pinned by
         test_attention.py::test_static_max_*."""
         from videotuna_tpu.kernels import attention as A
-        assert flow.attn_static_max == 16.0
+        assert flow.attn_static_max == 0.0   # M=0: subtract-free
         seen = {}
         orig = flow.denoise_apply
 
@@ -120,7 +120,7 @@ class TestCogVideoXFlow:
                         (1, 2, 4, 4, 16), jax.random.key(0), cfg_scale=1.0)
         finally:
             del flow.denoise_apply
-        assert seen["cfg"] == {"static_max": 16.0}
+        assert seen["cfg"] == {"static_max": 0.0}
 
     def test_i2v_image_latents(self):
         f = CogVideoXFlow(**{**COG_TINY,

@@ -42,10 +42,12 @@ class CogVideoXFlow(GenerationFlow):
         kwargs.setdefault("model_max_length", 226)
         kwargs.setdefault("scale_factor", 1.15258426)  # CogVideoX latent scale
         # CogVideoX LayerNorms q and k per head (d=64): |log2 scores| ≤
-        # ~√d/ln2 ≈ 11.5 ≪ 16, so the fixed-max softmax is exact here —
-        # skips the online-max rescale chain in the packed d=64 kernel
-        # (measured 1.14× at the 49f/480p geometry).
-        kwargs.setdefault("attn_static_max", 16.0)
+        # ~√d/ln2 ≈ 11.5, well inside exp2's M=0 window (−126, 127), so
+        # the fixed-max softmax with M=0 is exact AND skips both the
+        # online-max rescale chain and the −M subtract; the packed d=64
+        # kernel further fuses the l-sum into the PV matmul (measured
+        # 1.14× for static-max, +1.07× for the fused branch).
+        kwargs.setdefault("attn_static_max", 0.0)
         super().__init__(*args, **kwargs)
         self.i2v_mode = i2v_mode
         self.use_dynamic_cfg = use_dynamic_cfg

@@ -46,10 +46,12 @@ class MochiFlow(GenerationFlow):
         kwargs.setdefault("model_max_length", 256)
         # qk-RMSNormed DiT attention opts in via bounded_logits=True;
         # exactness comes from exp2's shift window (scaled log2-scores in
-        # (16-126, 16+127)), NOT from scores staying below 16 — at d=128
-        # the bound is sqrt(128)*log2(e) ~= 16.3 > 16 and that is fine.
-        # Measured 1.08x on the plain d=128 kernel (126 TF/s).
-        kwargs.setdefault("attn_static_max", 16.0)
+        # (M-126, M+127)), NOT from scores staying below M — at d=128
+        # the bound is sqrt(128)*log2(e) ~= 16.3, inside M=0's window
+        # (-126, 127), and M=0 also elides the -M subtract (one fewer
+        # VPU pass over the score tile; kernels/_exp2_sub). Measured
+        # 1.08x for static-max on the plain d=128 kernel (126 TF/s).
+        kwargs.setdefault("attn_static_max", 0.0)
         super().__init__(*args, **kwargs)
         self.negate_model_output = negate_model_output
         if not isinstance(self.scheduler, FlowMatchSchedule):

@@ -120,7 +120,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     if static_max is not None:
         # STATIC-MAX softmax (qk-normed attention; see packed2t kernel):
         # no running max, no rescales — sub+exp2+sum only per step
-        p = jnp.exp2(s - static_max)
+        p = _exp2_sub(s, static_max)
         l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] + jnp.dot(
             p, v_blk, preferred_element_type=jnp.float32)
@@ -148,6 +148,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 
 
 _LOG2E = 1.4426950408889634
+
+
+def _exp2_sub(s, static_max):
+    """exp2(s − M) with the M=0 subtract elided. Softmax output is
+    INVARIANT to the common 2^−M factor (it cancels in acc/l), so M only
+    positions the f32 range window (scores must lie in (M−126, M+127));
+    qk-normed scores are bounded ≪ 126, making M=0 valid — and one VPU
+    pass over the score tile cheaper (measured via attn_d128_staticmax).
+    Callers that need headroom for LARGE positive scores keep M>0."""
+    return jnp.exp2(s) if static_max == 0.0 else jnp.exp2(s - static_max)
 
 
 def _flash_kernel_packed2(q_ref, k_ref, v_ref, o_ref, acc_ref,
@@ -231,9 +241,34 @@ def _flash_kernel_packed2(q_ref, k_ref, v_ref, o_ref, acc_ref,
         o_ref[:] = (acc_ref[:] / l_cat).astype(o_ref.dtype)
 
 
+def _finish_packed2t_fused(j, num_kv, o_ref, lse0_ref, lse1_ref,
+                           acc0_ref, acc1_ref, *, kv_pad, static_max,
+                           emit_lse):
+    """Final-step epilogue of the fused static-max branch: l lives in
+    acc row 64 (the ones-row PV fusion), rows 0-63 are the PV sums."""
+    @pl.when(j == num_kv - 1)
+    def _finish():
+        l0 = acc0_ref[64:65]
+        l1 = acc1_ref[64:65]
+        if kv_pad:   # pad keys score exactly −M (indicator lane only)
+            pad_p = kv_pad * (2.0 ** (-static_max))
+            l0 = l0 - pad_p
+            l1 = l1 - pad_p
+        l0 = jnp.maximum(l0, 1e-30)
+        l1 = jnp.maximum(l1, 1e-30)
+        o_ref[:64] = (acc0_ref[:64] / l0).astype(o_ref.dtype)
+        o_ref[64:] = (acc1_ref[:64] / l1).astype(o_ref.dtype)
+        if emit_lse:
+            lse0 = (static_max + jnp.log2(l0)) * (1.0 / _LOG2E)
+            lse1 = (static_max + jnp.log2(l1)) * (1.0 / _LOG2E)
+            lse0_ref[:] = jnp.broadcast_to(lse0, lse0_ref.shape)
+            lse1_ref[:] = jnp.broadcast_to(lse1, lse1_ref.shape)
+
+
 def _flash_kernel_packed2t(k_ref, qT_ref, vT_ref, *refs,
                            sm_scale: float, kv_pad: int,
                            static_max: Optional[float] = None,
+                           fused_sm: bool = True,
                            emit_lse: bool = False):
     """Two d=64 heads, TRANSPOSED score space — the full-rate-PV variant.
 
@@ -277,16 +312,61 @@ def _flash_kernel_packed2t(k_ref, qT_ref, vT_ref, *refs,
         m1_ref[:] = jnp.full_like(m1_ref, _NEG_INF)
         l1_ref[:] = jnp.zeros_like(l1_ref)
 
-    qT = qT_ref[:].astype(jnp.float32) * (sm_scale * _LOG2E)  # (128, bq)
     k_blk = k_ref[:].astype(jnp.float32)                      # (bk, 128)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     mlo = (lane < 64).astype(jnp.float32)
+    vT = vT_ref[:].astype(jnp.float32)                        # (128, bk)
+
+    if static_max is not None and fused_sm:
+        # FUSED STATIC-MAX (the serial-VPU model: per score element the
+        # MXU performs ~192 MACs vs ~5-6 VPU ops, and Mosaic does not
+        # overlap the units — measured 76.5 TF/s ≈ 197·128/(192+144);
+        # every VPU pass over the (bk, bq) score tile costs ~8% e2e).
+        # Two VPU passes removed vs the plain static-max branch:
+        # 1. the −M subtract folds INTO the QK matmul: head0's k uses
+        #    lanes 0-63, so lane 64 becomes an indicator (k0 = k·mlo + 1
+        #    at lane 64) and qa0's row 64 carries −M ⇒ s0ᵀ = log2-scores
+        #    − M straight off the MXU (head1 symmetric via lane 63);
+        # 2. the l row-sum folds INTO the PV matmul: V gets a ones-row
+        #    appended (va = [vᵀ; 1; 0⁷], 72 rows) so acc row 64
+        #    accumulates Σp — no jnp.sum over the score tile.
+        # The q-side masks merge with the sm_scale·log2e multiply into
+        # one FMA per head over (128, bq) — cheap, bq ≪ bk.
+        # Exactness unchanged: pad-key rows of k are 0, the indicator
+        # adds make their scores exactly −M ⇒ same closed-form kv_pad
+        # correction on l.
+        row = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        qf = qT_ref[:].astype(jnp.float32)                    # (128, bq)
+        sc = sm_scale * _LOG2E
+        qa0 = (qf * ((row < 64).astype(jnp.float32) * sc)
+               + (row == 64).astype(jnp.float32) * (-static_max))
+        qa1 = (qf * ((row >= 64).astype(jnp.float32) * sc)
+               + (row == 63).astype(jnp.float32) * (-static_max))
+        k0 = k_blk * mlo + (lane == 64).astype(jnp.float32)
+        k1 = k_blk * (1.0 - mlo) + (lane == 63).astype(jnp.float32)
+        s0t = jnp.dot(k0, qa0, preferred_element_type=jnp.float32)
+        s1t = jnp.dot(k1, qa1, preferred_element_type=jnp.float32)
+        p0t = jnp.exp2(s0t)                                   # (bk, bq)
+        p1t = jnp.exp2(s1t)
+        rowa = jax.lax.broadcasted_iota(jnp.int32,
+                                        (8, k_blk.shape[0]), 0)
+        aux = (rowa == 0).astype(jnp.float32)     # [1ᵀ; 0⁷] rows
+        va0 = jnp.concatenate([vT[:64], aux], axis=0)         # (72, bk)
+        va1 = jnp.concatenate([vT[64:], aux], axis=0)
+        acc0_ref[:] = acc0_ref[:] + jnp.dot(
+            va0, p0t, preferred_element_type=jnp.float32)     # (72, bq)
+        acc1_ref[:] = acc1_ref[:] + jnp.dot(
+            va1, p1t, preferred_element_type=jnp.float32)
+        return _finish_packed2t_fused(
+            j, num_kv, o_ref, lse0_ref, lse1_ref, acc0_ref, acc1_ref,
+            kv_pad=kv_pad, static_max=static_max, emit_lse=emit_lse)
+
+    qT = qT_ref[:].astype(jnp.float32) * (sm_scale * _LOG2E)  # (128, bq)
     s0t = jnp.dot(k_blk * mlo, qT,
                   preferred_element_type=jnp.float32)         # (bk, bq)
     s1t = jnp.dot(k_blk * (1.0 - mlo), qT,
                   preferred_element_type=jnp.float32)
 
-    vT = vT_ref[:].astype(jnp.float32)                        # (128, bk)
     if static_max is not None:
         # STATIC-MAX softmax (opt-in, qk-normed attention only): the
         # caller guarantees |log2-scores| ≤ static_max, so the running
@@ -296,8 +376,10 @@ def _flash_kernel_packed2t(k_ref, qT_ref, vT_ref, *refs,
         # normalizes away the common 2^−M factor); f32 relative
         # precision is scale-free so accuracy matches the online path
         # as long as scores stay within (M−126, M+127) of exp2's range.
-        p0t = jnp.exp2(s0t - static_max)
-        p1t = jnp.exp2(s1t - static_max)
+        # Kept reachable (fused_sm=False) as the A/B baseline for the
+        # fused branch above.
+        p0t = _exp2_sub(s0t, static_max)
+        p1t = _exp2_sub(s1t, static_max)
         l0_ref[:] = l0_ref[:] + jnp.sum(p0t, axis=0, keepdims=True)
         l1_ref[:] = l1_ref[:] + jnp.sum(p1t, axis=0, keepdims=True)
         acc0_ref[:] = acc0_ref[:] + jnp.dot(
@@ -365,7 +447,7 @@ def _pack_pairs(x, b, s, h):
 
 
 def _flash_packed2t(q, k, v, *, sm_scale, block_q, block_k, interpret,
-                    static_max=None, emit_lse=False):
+                    static_max=None, fused_sm=True, emit_lse=False):
     """Dispatch for the transposed-score packed kernel: (B,S,H,64) →
     packed (B·H/2, S, 128); Q and V are pre-transposed by XLA (one cheap
     relayout each) so every in-kernel dot is in natural [M,K]@[K,N]
@@ -395,7 +477,10 @@ def _flash_packed2t(q, k, v, *, sm_scale, block_q, block_k, interpret,
     bh2 = b * h // 2
     kernel = functools.partial(_flash_kernel_packed2t, sm_scale=sm_scale,
                                kv_pad=sk_pad - sk, static_max=static_max,
-                               emit_lse=emit_lse)
+                               fused_sm=fused_sm, emit_lse=emit_lse)
+    # fused static-max: l rides in acc row 64 (+7 zero rows to the next
+    # sublane multiple); m/l scratch stays allocated but untouched
+    acc_rows = 72 if (static_max is not None and fused_sm) else 64
     kernel = _squeeze_first_n(kernel, 6 if emit_lse else 4)
     out_specs = [pl.BlockSpec((1, 128, block_q),
                               lambda i, j, kk: (i, 0, j))]
@@ -417,8 +502,8 @@ def _flash_packed2t(q, k, v, *, sm_scale, block_q, block_k, interpret,
         out_specs=out_specs if emit_lse else out_specs[0],
         out_shape=out_shape if emit_lse else out_shape[0],
         scratch_shapes=[
-            pltpu.VMEM((64, block_q), jnp.float32),   # acc0ᵀ
-            pltpu.VMEM((64, block_q), jnp.float32),   # acc1ᵀ
+            pltpu.VMEM((acc_rows, block_q), jnp.float32),   # acc0ᵀ
+            pltpu.VMEM((acc_rows, block_q), jnp.float32),   # acc1ᵀ
             pltpu.VMEM((1, block_q), jnp.float32),    # m0
             pltpu.VMEM((1, block_q), jnp.float32),    # l0
             pltpu.VMEM((1, block_q), jnp.float32),    # m1
@@ -512,7 +597,8 @@ def _grid_params(interpret: bool):
 
 @functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q",
                                              "block_k", "interpret",
-                                             "pack2", "static_max"))
+                                             "pack2", "static_max",
+                                             "static_fused"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     causal: bool = False, scale: Optional[float] = None,
                     block_q: int = DEFAULT_BLOCK_Q,
@@ -520,7 +606,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     interpret: bool = False,
                     pack2: Optional[bool] = None,
                     kv_valid: Optional[jnp.ndarray] = None,
-                    static_max: Optional[float] = None) -> jnp.ndarray:
+                    static_max: Optional[float] = None,
+                    static_fused: bool = True) -> jnp.ndarray:
     """Pallas flash attention. q,k,v: (B, S, H, D) → (B, Sq, H, D).
 
     ``pack2``: for d=64 / even heads / non-causal, pack head pairs into
@@ -562,7 +649,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             return _flash_packed2t(q, k, v, sm_scale=sm_scale,
                                    block_q=block_q, block_k=block_k,
                                    interpret=interpret,
-                                   static_max=static_max)
+                                   static_max=static_max,
+                                   fused_sm=static_fused)
         assert static_max is None, "static_max needs the packed-t path"
         return _flash_packed2(q, k, v, sm_scale=sm_scale,
                               block_q=block_q, block_k=block_k,
@@ -707,7 +795,7 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         # static-max path (qk-normed attention): the emitted LSE is still
         # the TRUE log-sum-exp (M + log2(l) with l accumulated at scale
         # 2^-M), so the backward kernels stay exact and unchanged
-        p = jnp.exp2(s - static_max)
+        p = _exp2_sub(s, static_max)
         l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] + jnp.dot(
             p, v_blk, preferred_element_type=jnp.float32)
@@ -821,7 +909,7 @@ def _flash_kernel_dynpad(q_ref, k_ref, v_ref, cnt_ref, *refs,
         # all-masked row then cancels to l=0 and clamps to a zero output
         # (same as the online path below, where l collapses to the
         # 1e-30 clamp) — callers must keep ≥1 valid key per row.
-        p = jnp.exp2(s - static_max)
+        p = _exp2_sub(s, static_max)
         l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] + jnp.dot(
             p, v_blk, preferred_element_type=jnp.float32)
