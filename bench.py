@@ -1655,9 +1655,56 @@ def _bench_attn_d64_fusedsm(seq: int = 17776, heads: int = 48,
             "vs_baseline": None}
 
 
+def _bench_attn_d64_bwd_fold(seq: int = 17776, heads: int = 48,
+                             batch: int = 1, n_iters: int = 4):
+    """A/B: packed d=64 fused fwd+bwd with the backward stat folds
+    (−lse/−delta folded into the s/dp matmuls via indicator lanes) vs
+    the unfolded backward — four VPU passes over the score tile removed
+    per pair per tile."""
+    import videotuna_tpu.kernels.attention as A
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (batch, seq, heads, 64), jnp.bfloat16)
+    k = jax.random.normal(k2, (batch, seq, heads, 64), jnp.bfloat16)
+    v = jax.random.normal(k3, (batch, seq, heads, 64), jnp.bfloat16)
+    flops = (4.0 + 10.0) * batch * heads * seq * seq * 64
+
+    def timed(fold):
+        old = A._BWD_FOLD_STATS
+        A._BWD_FOLD_STATS = fold
+
+        def loss(t):
+            qq, kk, vv = t
+            return jnp.sum(A.flash_attention_diff(
+                qq, kk, vv).astype(jnp.float32) ** 2)
+
+        grad_fn = jax.jit(jax.grad(loss))
+        try:
+            g = grad_fn((q, k, v))
+            _sync(g[0])
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                g = grad_fn((q, k, v))
+            _sync(g[0])
+            return (time.perf_counter() - t0) / n_iters
+        finally:
+            A._BWD_FOLD_STATS = old
+
+    t_plain = timed(False)
+    t_fold = timed(True)
+    return {"metric": "attn_d64_bwd_fold_speedup",
+            "value": round(t_plain / t_fold, 3),
+            "unit": f"fwd+bwd speedup (stat-folded bwd / unfolded), "
+                    f"d=64 seq {seq} heads {heads}",
+            "plain_ms": round(t_plain * 1e3, 2),
+            "fold_ms": round(t_fold * 1e3, 2),
+            "fold_useful_tf_s": round(flops / t_fold / 1e12, 1),
+            "vs_baseline": None}
+
+
 DIAG_BENCHES = {
     "hunyuan_breakdown": lambda: _bench_hunyuan_breakdown(),
     "attn_d64_fusedsm": lambda: _bench_attn_d64_fusedsm(),
+    "attn_d64_bwd_fold": lambda: _bench_attn_d64_bwd_fold(),
     "attn_d64_bwd": lambda: _bench_attn_d64_bwd(),
     "cogvideox_breakdown": lambda: _bench_cogvideox_breakdown(),
     "attn_d64_sweep": lambda: _bench_attn_d64_sweep(),

@@ -462,3 +462,28 @@ def test_static_max_masked_kv_valid_matches_reference():
     for a, b in zip(g_static, g_online):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("b,h,sq,sk", [(1, 2, 256, 256), (1, 2, 200, 136)])
+def test_packed_bwd_fold_stats_matches_unfolded(b, h, sq, sk):
+    """The fold_stats packed backward (−lse/−delta folded into the s/dp
+    matmuls via indicator lanes) must equal the unfolded branch bit-for-
+    bit up to f32 dot reassociation, incl. unaligned pads."""
+    import videotuna_tpu.kernels.attention as A
+    q, k, v = _rand_qkv(jax.random.key(51), b, sq, h, 64, sk=sk)
+
+    def grads(fold):
+        old_f, old_i = A._BWD_FOLD_STATS, A._FA_INTERPRET
+        A._BWD_FOLD_STATS, A._FA_INTERPRET = fold, True
+        try:
+            def loss(q, k, v):
+                return jnp.sum(A.flash_attention_diff(q, k, v) ** 2)
+            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            A._BWD_FOLD_STATS, A._FA_INTERPRET = old_f, old_i
+
+    g_fold = grads(True)
+    g_plain = grads(False)
+    for a, b_ in zip(g_fold, g_plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, rtol=3e-5)

@@ -1109,9 +1109,19 @@ def _flash_bwd_packed2_dkv_kernel(q_ref, do_ref, qT_ref, doT_ref,
                                   kT_ref, vT_ref, stats_ref,
                                   dkT_ref, dvT_ref,
                                   dk0_acc, dk1_acc, dv0_acc, dv1_acc, *,
-                                  sm_scale: float):
+                                  sm_scale: float, fold_stats: bool = True):
     """Grid (BH2, kv_blocks, q_blocks): q innermost/sequential; dkᵀ/dvᵀ
-    accumulate as (64, block_k) scratch per head."""
+    accumulate as (64, block_k) scratch per head.
+
+    ``fold_stats`` (the fwd fused-static-max trick applied to the
+    backward): the per-row −lse and −delta subtracts fold INTO the s and
+    dp matmuls — head h's q/do carry the stat on its free indicator lane
+    (64 for head0, 63 for head1) and the matching kᵀ/vᵀ row is forced to
+    1 — removing four VPU passes over the (bq, bk) score tile per pair
+    at the cost of four (128, bk) row-selects + two (bq, 128) outer
+    products. Pad rows/columns produce exactly the same values as the
+    unfolded path (pad q rows: finite lse ⇒ finite p, zero dp−delta;
+    pad kv columns: s = −lse, dp = −delta — identical by construction)."""
     qq = pl.program_id(2)
     nq = pl.num_programs(2)
 
@@ -1133,17 +1143,38 @@ def _flash_bwd_packed2_dkv_kernel(q_ref, do_ref, qT_ref, doT_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     mlo = (lane < 64).astype(jnp.float32)
     qs = q * (sm_scale * _LOG2E)
-    s0 = jnp.dot(qs * mlo, kT, preferred_element_type=jnp.float32)
-    s1 = jnp.dot(qs * (1.0 - mlo), kT, preferred_element_type=jnp.float32)
     # stats lanes: 0/1 = lse per head (natural log), 2/3 = delta per head
     lse0 = stats[:, 0:1] * _LOG2E              # (bq, 1) log2 domain
     lse1 = stats[:, 1:2] * _LOG2E
-    p0 = jnp.exp2(s0 - lse0)                   # (bq, bk)
-    p1 = jnp.exp2(s1 - lse1)
-    dp0 = jnp.dot(do * mlo, vT, preferred_element_type=jnp.float32)
-    dp1 = jnp.dot(do * (1.0 - mlo), vT, preferred_element_type=jnp.float32)
-    ds0 = p0 * (dp0 - stats[:, 2:3])
-    ds1 = p1 * (dp1 - stats[:, 3:4])
+    if fold_stats:
+        ind64 = (lane == 64).astype(jnp.float32)
+        ind63 = (lane == 63).astype(jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        kT0 = jnp.where(row == 64, 1.0, kT)
+        kT1 = jnp.where(row == 63, 1.0, kT)
+        s0 = jnp.dot(qs * mlo + (-lse0) * ind64, kT0,
+                     preferred_element_type=jnp.float32)   # = s − lse0
+        s1 = jnp.dot(qs * (1.0 - mlo) + (-lse1) * ind63, kT1,
+                     preferred_element_type=jnp.float32)
+        p0 = jnp.exp2(s0)                      # (bq, bk)
+        p1 = jnp.exp2(s1)
+        vT0 = jnp.where(row == 64, 1.0, vT)
+        vT1 = jnp.where(row == 63, 1.0, vT)
+        ds0 = p0 * jnp.dot(do * mlo + (-stats[:, 2:3]) * ind64, vT0,
+                           preferred_element_type=jnp.float32)
+        ds1 = p1 * jnp.dot(do * (1.0 - mlo) + (-stats[:, 3:4]) * ind63,
+                           vT1, preferred_element_type=jnp.float32)
+    else:
+        s0 = jnp.dot(qs * mlo, kT, preferred_element_type=jnp.float32)
+        s1 = jnp.dot(qs * (1.0 - mlo), kT,
+                     preferred_element_type=jnp.float32)
+        p0 = jnp.exp2(s0 - lse0)               # (bq, bk)
+        p1 = jnp.exp2(s1 - lse1)
+        dp0 = jnp.dot(do * mlo, vT, preferred_element_type=jnp.float32)
+        dp1 = jnp.dot(do * (1.0 - mlo), vT,
+                      preferred_element_type=jnp.float32)
+        ds0 = p0 * (dp0 - stats[:, 2:3])
+        ds1 = p1 * (dp1 - stats[:, 3:4])
     dv0_acc[:] += jnp.dot(doT[:64], p0, preferred_element_type=jnp.float32)
     dv1_acc[:] += jnp.dot(doT[64:], p1, preferred_element_type=jnp.float32)
     dk0_acc[:] += jnp.dot(qT[:64], ds0, preferred_element_type=jnp.float32)
@@ -1159,11 +1190,18 @@ def _flash_bwd_packed2_dkv_kernel(q_ref, do_ref, qT_ref, doT_ref,
 
 def _flash_bwd_packed2_dq_kernel(k_ref, kT_ref, v_ref, qT_ref, doT_ref,
                                  stats_ref, dqT_ref,
-                                 dq0_acc, dq1_acc, *, sm_scale: float):
+                                 dq0_acc, dq1_acc, *, sm_scale: float,
+                                 fold_stats: bool = True):
     """Grid (BH2, q_blocks, kv_blocks): kv innermost/sequential; dqᵀ
     accumulates as (64, block_q) scratch per head. Transposed scores so
     the per-q stats ride as (1, bq) lane vectors (sublanes 0..3 of the
-    row-stats input)."""
+    row-stats input).
+
+    ``fold_stats``: transposed analogue of the dkv fold — −lse/−delta
+    ride the free qᵀ/doᵀ ROWS (64 for head0, 63 for head1) against
+    indicator lanes on the k/v side (which fuse into the existing mask
+    FMAs for free), so the four stat subtracts over (bk, bq) become
+    four (128, bq) row-selects. The best-case fold: bq ≪ bk·4."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -1182,17 +1220,37 @@ def _flash_bwd_packed2_dq_kernel(k_ref, kT_ref, v_ref, qT_ref, doT_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     mlo = (lane < 64).astype(jnp.float32)
     ks = k_blk * (sm_scale * _LOG2E)
-    s0T = jnp.dot(ks * mlo, qT, preferred_element_type=jnp.float32)
-    s1T = jnp.dot(ks * (1.0 - mlo), qT, preferred_element_type=jnp.float32)
     lse0 = stats[0:1, :] * _LOG2E              # (1, bq) log2 domain
     lse1 = stats[1:2, :] * _LOG2E
-    p0T = jnp.exp2(s0T - lse0)                 # (bk, bq)
-    p1T = jnp.exp2(s1T - lse1)
-    dp0T = jnp.dot(v_blk * mlo, doT, preferred_element_type=jnp.float32)
-    dp1T = jnp.dot(v_blk * (1.0 - mlo), doT,
-                   preferred_element_type=jnp.float32)
-    ds0T = p0T * (dp0T - stats[2:3, :])
-    ds1T = p1T * (dp1T - stats[3:4, :])
+    if fold_stats:
+        ind64 = (lane == 64).astype(jnp.float32)
+        ind63 = (lane == 63).astype(jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        qT0 = jnp.where(row == 64, -lse0, qT)
+        qT1 = jnp.where(row == 63, -lse1, qT)
+        s0T = jnp.dot(ks * mlo + ind64, qT0,
+                      preferred_element_type=jnp.float32)  # = sᵀ − lse0
+        s1T = jnp.dot(ks * (1.0 - mlo) + ind63, qT1,
+                      preferred_element_type=jnp.float32)
+        p0T = jnp.exp2(s0T)                    # (bk, bq)
+        p1T = jnp.exp2(s1T)
+        doT0 = jnp.where(row == 64, -stats[2:3, :], doT)
+        doT1 = jnp.where(row == 63, -stats[3:4, :], doT)
+        ds0T = p0T * jnp.dot(v_blk * mlo + ind64, doT0,
+                             preferred_element_type=jnp.float32)
+        ds1T = p1T * jnp.dot(v_blk * (1.0 - mlo) + ind63, doT1,
+                             preferred_element_type=jnp.float32)
+    else:
+        s0T = jnp.dot(ks * mlo, qT, preferred_element_type=jnp.float32)
+        s1T = jnp.dot(ks * (1.0 - mlo), qT,
+                      preferred_element_type=jnp.float32)
+        p0T = jnp.exp2(s0T - lse0)             # (bk, bq)
+        p1T = jnp.exp2(s1T - lse1)
+        dp0T = jnp.dot(v_blk * mlo, doT, preferred_element_type=jnp.float32)
+        dp1T = jnp.dot(v_blk * (1.0 - mlo), doT,
+                       preferred_element_type=jnp.float32)
+        ds0T = p0T * (dp0T - stats[2:3, :])
+        ds1T = p1T * (dp1T - stats[3:4, :])
     dq0_acc[:] += jnp.dot(kT[:64], ds0T, preferred_element_type=jnp.float32)
     dq1_acc[:] += jnp.dot(kT[64:], ds1T, preferred_element_type=jnp.float32)
 
@@ -1200,6 +1258,11 @@ def _flash_bwd_packed2_dq_kernel(k_ref, kT_ref, v_ref, qT_ref, doT_ref,
     def _finish():
         dqT_ref[:64] = (dq0_acc[:] * sm_scale).astype(dqT_ref.dtype)
         dqT_ref[64:] = (dq1_acc[:] * sm_scale).astype(dqT_ref.dtype)
+
+
+# module-level A/B switch for the packed-backward stat folds (flipped by
+# the attn_d64_bwd_fold diag bench; production default True)
+_BWD_FOLD_STATS = True
 
 
 def _flash_bwd_packed2(q, k, v, out, lse_pairs, g, *, sm_scale,
@@ -1255,7 +1318,8 @@ def _flash_bwd_packed2(q, k, v, out, lse_pairs, g, *, sm_scale,
                          ((0, 0), (0, 0), (0, 124)))          # (BH2,Sq,128)
 
     dkv_kernel = _squeeze_first_n(
-        functools.partial(_flash_bwd_packed2_dkv_kernel, sm_scale=sm_scale),
+        functools.partial(_flash_bwd_packed2_dkv_kernel, sm_scale=sm_scale,
+                          fold_stats=_BWD_FOLD_STATS),
         9)
     dkT, dvT = pl.pallas_call(
         dkv_kernel,
@@ -1288,7 +1352,8 @@ def _flash_bwd_packed2(q, k, v, out, lse_pairs, g, *, sm_scale,
     )(qp, dop, qT, doT, kT, vT, stats_cols)
 
     dq_kernel = _squeeze_first_n(
-        functools.partial(_flash_bwd_packed2_dq_kernel, sm_scale=sm_scale),
+        functools.partial(_flash_bwd_packed2_dq_kernel, sm_scale=sm_scale,
+                          fold_stats=_BWD_FOLD_STATS),
         7)
     dqT = pl.pallas_call(
         dq_kernel,
