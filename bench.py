@@ -1314,13 +1314,18 @@ def _bench_hunyuan_lora_train(double: int = 5, single: int = 10,
         upd, os2 = opt.update(g, os_, lr)
         return optax.apply_updates(lr, upd), os2, loss
 
-    # chain on the lora tree; sync via the loss scalar
-    lora, opt_state, loss = train_step(lora, base, opt_state, x)
-    _ = float(loss)
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
+    # chain on the lora tree; sync via the loss scalar. Fixed-max
+    # softmax scope wraps the COMPILING first call (qk-normed model:
+    # fwd + remat-refwd take the subtract-free/fused kernels; the LSE
+    # stays exact so the backward is unchanged)
+    from videotuna_tpu.kernels.attention import attention_options
+    with attention_options(static_max=0.0):
         lora, opt_state, loss = train_step(lora, base, opt_state, x)
-    _ = float(loss)
+        _ = float(loss)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            lora, opt_state, loss = train_step(lora, base, opt_state, x)
+        _ = float(loss)
     sps = n_steps / (time.perf_counter() - t0)
     n_lora = sum(int(a.size) for a in jax.tree.leaves(lora))
     # single blocks have EQUAL FLOPs to double blocks (full concat seq
@@ -1395,12 +1400,14 @@ def _bench_cogvideox_lora_train(depth: int = 21, n_steps: int = 3,
         upd, os2 = opt.update(g, os_, lr)
         return optax.apply_updates(lr, upd), os2, loss
 
-    lora, opt_state, loss = train_step(lora, base, opt_state, x)
-    _ = float(loss)
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
+    from videotuna_tpu.kernels.attention import attention_options
+    with attention_options(static_max=0.0):   # see hunyuan bench note
         lora, opt_state, loss = train_step(lora, base, opt_state, x)
-    _ = float(loss)
+        _ = float(loss)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            lora, opt_state, loss = train_step(lora, base, opt_state, x)
+        _ = float(loss)
     sps = n_steps / (time.perf_counter() - t0)
     n_lora = sum(int(a.size) for a in jax.tree.leaves(lora))
     full_sps = sps * depth / 42.0

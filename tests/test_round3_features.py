@@ -150,3 +150,38 @@ class TestV2VCli:
                        "--strength", "0.5"])
         assert len(out["videos"]) == 1
         assert (tmp_path / "out" / "clip.mp4").exists()
+
+
+class TestTrainerAttnScope:
+    def test_loss_traces_under_static_max_scope(self, tmp_path):
+        """Flows with attn_static_max set must trace training_loss under
+        the fixed-max softmax scope (fwd + remat-refwd take the
+        subtract-free kernels; LSE stays exact so grads are unchanged —
+        test_static_max_training_grads_exact)."""
+        import numpy as np
+
+        from tests.test_flow import TINY
+        from videotuna_tpu.core.mesh import make_mesh
+        from videotuna_tpu.flows.opensora import OpenSoraFlow
+        from videotuna_tpu.kernels import attention as A
+        from videotuna_tpu.training.trainer import TrainConfig, Trainer
+
+        f = OpenSoraFlow(**TINY, ddim_steps=2, model_max_length=8)
+        f.init_params(seed=0)
+        f.attn_static_max = 0.0          # qk-normed families set this
+        seen = {}
+        orig = f.training_loss
+
+        def spy(params, batch, key):
+            seen["cfg"] = getattr(A._ATTN_OPTS, "cfg", None)
+            return orig(params, batch, key)
+
+        f.training_loss = spy
+        tr = Trainer(f, TrainConfig(max_steps=1, log_every=1,
+                                    ckpt_every=100),
+                     make_mesh(), workdir=str(tmp_path / "w"))
+        state = tr.init_state()
+        batch = {"video": np.zeros((1, 4, 64, 64, 3), np.float32),
+                 "text_states": np.zeros((1, 8, 16), np.float32)}
+        tr.fit(iter([batch]), state)
+        assert seen["cfg"] == {"static_max": 0.0}

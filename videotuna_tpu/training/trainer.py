@@ -97,6 +97,17 @@ LossFn = Callable[[Params, Dict[str, Any], jax.Array],
                   Tuple[jnp.ndarray, Dict[str, Any]]]
 
 
+def _stack_ctx(*factories):
+    """Compose context-manager factories into one (for loss_ctx)."""
+    @contextlib.contextmanager
+    def ctx():
+        with contextlib.ExitStack() as st:
+            for f in factories:
+                st.enter_context(f())
+            yield
+    return ctx
+
+
 def make_train_step(loss_fn: LossFn,
                     optimizer: optax.GradientTransformation,
                     ema_decay: Optional[float] = None,
@@ -255,11 +266,20 @@ class Trainer:
     # ---------------------------------------------------------------- running
     def compiled_step(self, state: TrainState):
         if self._step_fn is None:
-            merge_fn = loss_ctx = None
+            merge_fn = None
+            ctxs = []
             if self.cfg.lora:
                 from videotuna_tpu.training.lora import lora_scope
                 merge_fn = self._lora_inject_fn()
-                loss_ctx = lora_scope
+                ctxs.append(lora_scope)
+            # qk-normed flows (attn_static_max set) trace the loss under
+            # the fixed-max softmax scope too: fwd + remat-refwd run the
+            # subtract-free/fused kernels while the emitted LSE stays the
+            # true log-sum-exp, so gradients are unchanged
+            # (test_static_max_training_grads_exact)
+            if getattr(self.flow, "attn_static_max", None) is not None:
+                ctxs.append(self.flow._attn_scope)
+            loss_ctx = _stack_ctx(*ctxs) if ctxs else None
             raw = make_train_step(self.flow.training_loss, self.optimizer,
                                   self.cfg.ema_decay, merge_fn=merge_fn,
                                   loss_ctx=loss_ctx)
