@@ -28,3 +28,28 @@ def devices8():
 @pytest.fixture()
 def rng():
     return jax.random.key(0)
+
+
+_STUB_ROOTS = (
+    "videotuna", "pytorch_lightning", "diffusers", "omegaconf",
+    "torchvision", "vbench", "colossalai", "deepspeed", "loguru",
+    "beartype", "sgm", "vae_modules", "rotary_embedding_torch",
+    "refhy", "refstep", "refviclip", "ref_med", "ref_swin",
+    "ref_umt_finetune", "refraftcore",
+)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _isolate_reference_stub_namespaces():
+    """Parity tests stub reference dependencies (pytorch_lightning,
+    diffusers, videotuna.*, …) into sys.modules with just the attributes
+    THEY need; without cleanup a later module's reference import finds
+    another test's minimal stub (full-suite-only ModuleNotFound /
+    AttributeError failures while every file passes standalone). Purge
+    those namespaces after each test module so every reference import
+    starts clean."""
+    yield
+    import sys
+    for name in list(sys.modules):
+        if name.split(".")[0] in _STUB_ROOTS:
+            del sys.modules[name]
