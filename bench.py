@@ -625,16 +625,19 @@ def _bench_cogvideox_breakdown(frames: int = 13, hh: int = 60,
     params = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16),
         block.init(jax.random.key(0), x, temb, cos, sin)["params"])
+    from videotuna_tpu.kernels.attention import attention_options
     b_fn = jax.jit(lambda p, x: block.apply({"params": p}, x, temb,
                                             cos, sin))
-    block_ms = timed(b_fn, params, x)
+    with attention_options(static_max=0.0):   # production config
+        block_ms = timed(b_fn, params, x)
 
     # (2) the packed_t attention kernel alone at the block's shapes
     k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
     q = jax.random.normal(k1, (b, seq, heads, hd), jnp.bfloat16)
     k = jax.random.normal(k2, (b, seq, heads, hd), jnp.bfloat16)
     v = jax.random.normal(k3, (b, seq, heads, hd), jnp.bfloat16)
-    attn_fn = jax.jit(lambda a, b_, c: flash_attention(a, b_, c))
+    attn_fn = jax.jit(lambda a, b_, c: flash_attention(
+        a, b_, c, static_max=0.0))   # production config
     attn_ms = timed(attn_fn, q, k, v)
 
     # (3) the block's matmuls alone (q/k/v/out + ff1/ff2 = 12·d² weights)
