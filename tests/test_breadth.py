@@ -28,6 +28,27 @@ class TestEnhance:
         assert out.shape == video.shape
         assert bool(jnp.all(jnp.isfinite(out)))
 
+    def test_v2v_cogvideox_dpm_scheduler(self):
+        """enhance() must work when the flow's scheduler is the CogVideoX
+        SDE-DPM++(2M) schedule (the 004/005 configs' default since round
+        4 — ADVICE r4: v2v on those configs raised TypeError)."""
+        from videotuna_tpu.flows.cogvideo import CogVideoXFlow
+        from tests.test_cogvideo import COG_TINY
+        cfg = dict(COG_TINY)
+        cfg["scheduler_config"] = {
+            "target": "videotuna_tpu.schedulers.CogVideoXDPMSchedule",
+            "params": dict(num_steps=4, timesteps=100),
+        }
+        f = CogVideoXFlow(**cfg, ddim_steps=4, model_max_length=6)
+        f.init_params(seed=0)
+        video = jnp.zeros((1, 5, 16, 16, 3)) + 0.1
+        cond = {"y": jnp.zeros((1, 6, 16))}
+        for strength in (0.5, 1.0):
+            out = f.enhance(f.params, video, cond, jax.random.key(0),
+                            strength=strength, cfg_scale=1.0)
+            assert out.shape == video.shape
+            assert bool(jnp.all(jnp.isfinite(out)))
+
     def test_low_strength_stays_close(self, flow):
         """strength→small keeps the output near the VAE roundtrip of the
         input; strength→large diverges more."""

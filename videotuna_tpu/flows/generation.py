@@ -223,6 +223,7 @@ class GenerationFlow:
         v2v shim (scripts/inference_v2v_ms.py) with an in-framework path
         usable by every flow."""
         from videotuna_tpu.schedulers import DDIMSchedule, FlowMatchSchedule
+        from videotuna_tpu.schedulers.cogvideox_dpm import CogVideoXDPMSchedule
         k_enc, k_noise, k_samp = jax.random.split(key, 3)
         z = self.encode_video(params, video, k_enc)
         from videotuna_tpu.schedulers import cfg_denoise
@@ -243,6 +244,30 @@ class GenerationFlow:
                 return sched.step(denoise, xc, i, kk), None
             with self._attn_scope():
                 x, _ = jax.lax.scan(body, x, (idxs, keys))
+        elif isinstance(sched, CogVideoXDPMSchedule):
+            # partial trailing-grid SDE-DPM++(2M) walk: timesteps DESCEND,
+            # so strength·S steps means entering the grid at index S−n.
+            # The entry step is forced first-order (no valid 2M history).
+            n = sched.num_steps
+            n_start = max(int(n * strength), 1)
+            i0 = n - n_start
+            t0 = sched.timesteps[i0]
+            noise = jax.random.normal(k_noise, z.shape, z.dtype)
+            x = sched.base.q_sample(
+                z, jnp.full((z.shape[0],), t0, jnp.int32), noise)
+            keys = jax.random.split(k_samp, n_start)
+
+            def body(carry, inp):
+                xc, old_x0 = carry
+                i, kk = inp
+                xi = jax.random.normal(kk, xc.shape, jnp.float32)
+                x_next, x0 = sched.step(denoise, xc, old_x0, i, xi,
+                                        force_first=(i == i0))
+                return (x_next, x0), None
+            with self._attn_scope():
+                (x, _), _ = jax.lax.scan(
+                    body, (x, jnp.zeros(x.shape, jnp.float32)),
+                    (jnp.arange(i0, n), keys))
         elif isinstance(sched, FlowMatchSchedule):
             n_start = max(int(sched.num_steps * strength), 1)
             i0 = sched.num_steps - n_start

@@ -98,9 +98,14 @@ class CogVideoXDPMSchedule:
 
     # ------------------------------------------------------------------ step
     def step(self, denoise_fn: DenoiseFn, x: jnp.ndarray,
-             old_x0: jnp.ndarray, i: jnp.ndarray, noise: jnp.ndarray):
+             old_x0: jnp.ndarray, i: jnp.ndarray, noise: jnp.ndarray,
+             force_first=None):
         """One SDE-DPM++(2M) update at sampling index ``i`` with explicit
-        ξ; returns (x_next, x0) — the caller threads x0 as old_x0."""
+        ξ; returns (x_next, x0) — the caller threads x0 as old_x0.
+
+        ``force_first`` (bool array, optional) additionally demotes the
+        update to first order — used by partial walks (v2v enhance) whose
+        entry index has no valid 2M history."""
         b = x.shape[0]
         t = jnp.full((b,), self.timesteps[i], jnp.int32)
         model_out = denoise_fn(x, t)
@@ -121,11 +126,17 @@ class CogVideoXDPMSchedule:
         mult_noise = jnp.sqrt(1.0 - a_prev) * jnp.sqrt(-jnp.expm1(-2.0 * h))
 
         first = jnp.logical_or(i == 0, self.is_final[i])
+        if force_first is not None:
+            first = jnp.logical_or(first, force_first)
         if not self.second_order:
             first = jnp.full_like(first, True)
-        # 2M: D = (1 + 1/(2r))·x0 − (1/(2r))·old_x0; r may be 0 on the
-        # final step (h=∞) — the where() select keeps its inf/nan out
-        c2 = 1.0 / (2.0 * r)
+        # 2M: D = (1 + 1/(2r))·x0 − (1/(2r))·old_x0. r is 0 at i=0
+        # (λ_back=λ) and 0/NaN on the final step (h=∞) — exactly the
+        # first-order steps — so sanitize BEFORE the reciprocal: a bare
+        # where() would still propagate inf·0=NaN through BOTH branches
+        # when differentiating through sample() (reward finetuning).
+        r_safe = jnp.where(first, 1.0, r)
+        c2 = 1.0 / (2.0 * r_safe)
         d = jnp.where(first, x0, (1.0 + c2) * x0 - c2 * old_x0)
         x_next = (mult1 * x - mult2 * d
                   + mult_noise * noise.astype(jnp.float32)).astype(x.dtype)
