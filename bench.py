@@ -591,6 +591,48 @@ def _bench_attn_d128_staticmax(seq: int = 20656, heads: int = 24,
             "max_abs_diff": err}
 
 
+def _bench_attn_d128t(seq: int = 20656, heads: int = 24,
+                      batch: int = 1, n_iters: int = 6):
+    """A/B: natural-layout d=128 static-max (2 VPU passes/score tile) vs
+    the TRANSPOSED-score fused-l kernel (_flash_kernel_t128: l rides 8
+    aux sublanes of the PV matmul, 1 VPU pass). Serial-VPU model
+    predicts 126 → ~150 TF/s at the Hunyuan-class geometry."""
+    from videotuna_tpu.kernels.attention import flash_attention
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (batch, seq, heads, 128), jnp.bfloat16)
+    k = jax.random.normal(k2, (batch, seq, heads, 128), jnp.bfloat16)
+    v = jax.random.normal(k3, (batch, seq, heads, 128), jnp.bfloat16)
+    flops = 4.0 * batch * heads * seq * seq * 128
+
+    def timed(fn):
+        _sync(fn(q, k, v))
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn(q, k, v)
+        _sync(out)
+        return (time.perf_counter() - t0) / n_iters
+
+    natural = jax.jit(lambda a, b_, c: flash_attention(
+        a, b_, c, static_max=0.0, static_fused=False))
+    fused = jax.jit(lambda a, b_, c: flash_attention(
+        a, b_, c, static_max=0.0, static_fused=True))
+    t_n = timed(natural)
+    t_f = timed(fused)
+    err = float(jnp.max(jnp.abs(
+        natural(q, k, v).astype(jnp.float32)
+        - fused(q, k, v).astype(jnp.float32))))
+    return {"metric": "attn_d128t_speedup",
+            "value": round(t_n / t_f, 3),
+            "unit": f"speedup (transposed fused-l / natural static-max), "
+                    f"d=128 seq {seq} heads {heads}",
+            "natural_ms": round(t_n * 1e3, 2),
+            "fused_ms": round(t_f * 1e3, 2),
+            "natural_tf_s": round(flops / t_n / 1e12, 1),
+            "fused_tf_s": round(flops / t_f / 1e12, 1),
+            "max_abs_diff": err,
+            "vs_baseline": None}
+
+
 def _bench_cogvideox_breakdown(frames: int = 13, hh: int = 60,
                                ww: int = 90, dim: int = 3072,
                                heads: int = 48, n_iters: int = 4):
@@ -1679,25 +1721,20 @@ def _bench_attn_d64_bwd_fold(seq: int = 17776, heads: int = 48,
     flops = (4.0 + 10.0) * batch * heads * seq * seq * 64
 
     def timed(fold):
-        old = A._BWD_FOLD_STATS
-        A._BWD_FOLD_STATS = fold
-
         def loss(t):
             qq, kk, vv = t
             return jnp.sum(A.flash_attention_diff(
-                qq, kk, vv).astype(jnp.float32) ** 2)
+                qq, kk, vv, False, None, None,
+                fold).astype(jnp.float32) ** 2)
 
         grad_fn = jax.jit(jax.grad(loss))
-        try:
+        g = grad_fn((q, k, v))
+        _sync(g[0])
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
             g = grad_fn((q, k, v))
-            _sync(g[0])
-            t0 = time.perf_counter()
-            for _ in range(n_iters):
-                g = grad_fn((q, k, v))
-            _sync(g[0])
-            return (time.perf_counter() - t0) / n_iters
-        finally:
-            A._BWD_FOLD_STATS = old
+        _sync(g[0])
+        return (time.perf_counter() - t0) / n_iters
 
     t_plain = timed(False)
     t_fold = timed(True)
@@ -1721,6 +1758,7 @@ DIAG_BENCHES = {
     "attn_d128_sweep": lambda: _bench_attn_d128_sweep(),
     "attn_d64_staticmax": lambda: _bench_attn_d64_staticmax(),
     "attn_d128_staticmax": lambda: _bench_attn_d128_staticmax(),
+    "attn_d128t": lambda: _bench_attn_d128t(),
     "dataloader": lambda: _bench_dataloader(),
 }
 

@@ -464,6 +464,30 @@ def test_static_max_masked_kv_valid_matches_reference():
                                    atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.parametrize("b,h,sq,sk,d,m", [
+    (1, 2, 256, 256, 128, 0.0),     # aligned, M=0 subtract elision
+    (1, 2, 200, 136, 128, 0.0),     # unaligned: q pad cols + kv_pad l-fix
+    (1, 2, 256, 320, 128, 3.0),     # M≠0: explicit subtract, pad·2^−M
+    (2, 2, 136, 264, 96, 0.0),      # d<128 zero-pad lanes
+])
+def test_t128_fused_l_matches_reference(b, h, sq, sk, d, m):
+    """Transposed-score d=128 forward with the l-sum folded into the PV
+    matmul (_flash_kernel_t128) vs the jnp oracle, incl. the closed-form
+    zero-pad-key removal from the folded l row."""
+    q, k, v = _rand_qkv(jax.random.key(61), b, sq, h, d, sk=sk)
+    q, k = q * 0.3, k * 0.3   # keep exp2 window comfortable for M=0
+    ref = reference_attention(q, k, v)
+    out = flash_attention(q, k, v, static_max=m, interpret=True,
+                          block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # and the natural static-max path agrees (the A/B baseline)
+    out_n = flash_attention(q, k, v, static_max=m, static_fused=False,
+                            interpret=True, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_n),
+                               atol=2e-5, rtol=2e-5)
+
+
 @pytest.mark.parametrize("b,h,sq,sk", [(1, 2, 256, 256), (1, 2, 200, 136)])
 def test_packed_bwd_fold_stats_matches_unfolded(b, h, sq, sk):
     """The fold_stats packed backward (−lse/−delta folded into the s/dp
@@ -473,14 +497,15 @@ def test_packed_bwd_fold_stats_matches_unfolded(b, h, sq, sk):
     q, k, v = _rand_qkv(jax.random.key(51), b, sq, h, 64, sk=sk)
 
     def grads(fold):
-        old_f, old_i = A._BWD_FOLD_STATS, A._FA_INTERPRET
-        A._BWD_FOLD_STATS, A._FA_INTERPRET = fold, True
+        old_i = A._FA_INTERPRET
+        A._FA_INTERPRET = True
         try:
             def loss(q, k, v):
-                return jnp.sum(A.flash_attention_diff(q, k, v) ** 2)
+                return jnp.sum(A.flash_attention_diff(
+                    q, k, v, False, None, None, fold) ** 2)
             return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
         finally:
-            A._BWD_FOLD_STATS, A._FA_INTERPRET = old_f, old_i
+            A._FA_INTERPRET = old_i
 
     g_fold = grads(True)
     g_plain = grads(False)

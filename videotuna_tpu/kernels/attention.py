@@ -578,6 +578,90 @@ def _flash_packed2(q, k, v, *, sm_scale, block_q, block_k, interpret):
     return out.reshape(b, sq, h, d)
 
 
+def _flash_kernel_t128(k_ref, qT_ref, vT_ref, o_ref, acc_ref, *,
+                       sm_scale: float, kv_pad: int, static_max: float):
+    """d=128 TRANSPOSED-score forward with the l-sum folded into the PV
+    matmul. Static-max (qk-normed/bounded-logit attention) only.
+
+    The natural-layout d=128 static-max branch spends two VPU passes per
+    score tile (exp2 + l row-sum) against 256 MACs/elt of MXU work — the
+    serial-VPU model (docs/kernels.md) prices each pass at ~8% e2e.
+    Computing in score-transpose turns l into a LANE vector that rides
+    the PV matmul on 8 aux sublanes:
+
+        sᵀ   = k @ (qᵀ·scale)       (bk, bq)  contraction 128: full rate
+        accᵀ += [vᵀ; 1ᵀ; 0⁷] @ pᵀ   (136, bq) — row 128 accumulates Σp
+
+    MXU grows 256→264 MACs/elt, VPU drops 2→1 passes: the model predicts
+    ~150 TF/s vs the 126 measured natural (A/B: bench attn_d128t).
+
+    Unlike the packed d=64 fused kernel there is NO free contraction lane
+    (k uses all 128), so −M cannot fold into the QK matmul; with the M=0
+    elision (_exp2_sub) the subtract disappears anyway for every
+    qk-normed family. Zero-padded keys score exactly 0 → each adds 2^−M
+    to the folded l row; removed in closed form at finish (same argument
+    as the natural kernel's kv_pad correction)."""
+    j = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    k_blk = k_ref[:].astype(jnp.float32)                      # (bk, 128)
+    qa = qT_ref[:].astype(jnp.float32) * (sm_scale * _LOG2E)  # (128, bq)
+    st = jnp.dot(k_blk, qa, preferred_element_type=jnp.float32)
+    p = _exp2_sub(st, static_max)                             # (bk, bq)
+    vT = vT_ref[:].astype(jnp.float32)                        # (128, bk)
+    rowa = jax.lax.broadcasted_iota(jnp.int32, (8, k_blk.shape[0]), 0)
+    aux = (rowa == 0).astype(jnp.float32)                     # [1ᵀ; 0⁷]
+    va = jnp.concatenate([vT, aux], axis=0)                   # (136, bk)
+    acc_ref[:] = acc_ref[:] + jnp.dot(va, p,
+                                      preferred_element_type=jnp.float32)
+
+    @pl.when(j == num_kv - 1)
+    def _finish():
+        l = acc_ref[128:129]                                  # (1, bq)
+        if kv_pad:
+            l = l - kv_pad * (2.0 ** (-static_max))
+        l = jnp.maximum(l, 1e-30)
+        o_ref[:] = (acc_ref[:128] / l).astype(o_ref.dtype)
+
+
+def _flash_t128(qt, kt, vt, *, sm_scale, sq, sk, block_q, block_k,
+                interpret, static_max):
+    """Dispatch for the transposed-score d=128 fused-l kernel. Takes the
+    head-major padded (B·H, S_pad, 128) tensors the plain path already
+    built; Q and V are pre-transposed by XLA (one cheap relayout each);
+    the (B·H, 128, Sq_pad) output is untransposed by the caller's
+    existing reshape."""
+    bh, sq_pad, d = qt.shape
+    sk_pad = kt.shape[1]
+    qT = qt.transpose(0, 2, 1)                 # (BH, 128, sq_pad)
+    vT = vt.transpose(0, 2, 1)                 # (BH, 128, sk_pad)
+    kernel = _squeeze_first_n(
+        functools.partial(_flash_kernel_t128, sm_scale=sm_scale,
+                          kv_pad=sk_pad - sk, static_max=static_max), 4)
+    outT = pl.pallas_call(
+        kernel,
+        grid=(bh, sq_pad // block_q, sk_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_k, 128), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, 128, block_q), lambda i, j, kk: (i, 0, j)),
+            pl.BlockSpec((1, 128, block_k), lambda i, j, kk: (i, 0, kk)),
+        ],
+        out_specs=pl.BlockSpec((1, 128, block_q),
+                               lambda i, j, kk: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((bh, 128, sq_pad), qt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((136, block_q), jnp.float32),   # [accᵀ; l; 0⁷]
+        ] if pltpu is not None else [],
+        interpret=interpret,
+        compiler_params=_grid_params(interpret),
+    )(kt, qT, vT)
+    return outT.transpose(0, 2, 1)             # (BH, sq_pad, 128)
+
+
 def _round_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -699,6 +783,16 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             block_q=block_q, block_k=block_k,
                             emit_lse=False, interpret=interpret,
                             static_max=static_max)
+        out = out[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+        return out[..., :d_orig]
+
+    if (static_max is not None and static_fused and not causal
+            and d == 128 and sq >= 128 and sk >= 128):
+        # transposed-score fused-l variant: one VPU pass per score tile
+        # instead of two (see _flash_kernel_t128)
+        out = _flash_t128(qt, kt, vt, sm_scale=sm_scale, sq=sq, sk=sk,
+                          block_q=block_q, block_k=block_k,
+                          interpret=interpret, static_max=static_max)
         out = out[:, :sq].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
         return out[..., :d_orig]
 
@@ -1260,13 +1354,8 @@ def _flash_bwd_packed2_dq_kernel(k_ref, kT_ref, v_ref, qT_ref, doT_ref,
         dqT_ref[64:] = (dq1_acc[:] * sm_scale).astype(dqT_ref.dtype)
 
 
-# module-level A/B switch for the packed-backward stat folds (flipped by
-# the attn_d64_bwd_fold diag bench; production default True)
-_BWD_FOLD_STATS = True
-
-
 def _flash_bwd_packed2(q, k, v, out, lse_pairs, g, *, sm_scale,
-                       block_q, block_k, interpret):
+                       block_q, block_k, interpret, fold_stats=True):
     """Packed d=64 fused backward dispatch. q/k/v/out/g: (B, S, H, 64)
     with H even; ``lse_pairs``: (B·H/2, 2, Sq_pad) natural-log LSE from
     the packed forward. Returns (dq, dk, dv) in input layout/dtype.
@@ -1319,7 +1408,7 @@ def _flash_bwd_packed2(q, k, v, out, lse_pairs, g, *, sm_scale,
 
     dkv_kernel = _squeeze_first_n(
         functools.partial(_flash_bwd_packed2_dkv_kernel, sm_scale=sm_scale,
-                          fold_stats=_BWD_FOLD_STATS),
+                          fold_stats=fold_stats),
         9)
     dkT, dvT = pl.pallas_call(
         dkv_kernel,
@@ -1353,7 +1442,7 @@ def _flash_bwd_packed2(q, k, v, out, lse_pairs, g, *, sm_scale,
 
     dq_kernel = _squeeze_first_n(
         functools.partial(_flash_bwd_packed2_dq_kernel, sm_scale=sm_scale,
-                          fold_stats=_BWD_FOLD_STATS),
+                          fold_stats=fold_stats),
         7)
     dqT = pl.pallas_call(
         dq_kernel,
@@ -1399,7 +1488,7 @@ def _unpack_heads(x, b, s, h, d):
 def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
                         block_q: int = DEFAULT_BWD_BLOCK_Q,
                         block_k: int = DEFAULT_BWD_BLOCK_K,
-                        interpret: bool = False):
+                        interpret: bool = False, fold_stats: bool = True):
     """Fused FlashAttention-2 backward. All of q/k/v/out/g are
     (B, S, H, D); lse is (B·H, Sq_pad) from _flash_forward_lse (or the
     packed forward, reflattened head-major)."""
@@ -1414,7 +1503,8 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
                        .reshape(b * h // 2, 2, lse.shape[-1])
         return _flash_bwd_packed2(q, k, v, out, lse_pairs, g,
                                   sm_scale=sm_scale, block_q=block_q,
-                                  block_k=block_k, interpret=interpret)
+                                  block_k=block_k, interpret=interpret,
+                                  fold_stats=fold_stats)
 
     d_pad = _round_to(d, 128)
     if d_pad != d:
@@ -1523,15 +1613,19 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
 _FA_INTERPRET = False  # flipped by tests to exercise kernels on CPU
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention_diff(q, k, v, causal=False, scale=None,
-                         static_max=None):
+                         static_max=None, fold_stats=True):
+    """``fold_stats`` (static) selects the stat-folded packed d=64
+    backward (production default True); explicit here — NOT a module
+    global — so A/B benches and overrides survive jit caching and
+    concurrent callers (ADVICE r4)."""
     return flash_attention(q, k, v, causal=causal, scale=scale,
                            static_max=static_max,
                            interpret=_FA_INTERPRET)
 
 
-def _fa_fwd(q, k, v, causal, scale, static_max=None):
+def _fa_fwd(q, k, v, causal, scale, static_max=None, fold_stats=True):
     if not (_on_tpu() or _FA_INTERPRET):
         out = flash_attention(q, k, v, causal=causal, scale=scale)
         return out, (q, k, v, None, None)
@@ -1577,13 +1671,14 @@ def _fa_fwd(q, k, v, causal, scale, static_max=None):
     return out, (q, k, v, out, lse)
 
 
-def _fa_bwd(causal, scale, static_max, res, g):
+def _fa_bwd(causal, scale, static_max, fold_stats, res, g):
     # static_max only changes how the forward accumulated; the saved LSE
     # is the true log-sum-exp, so the backward is identical.
     q, k, v, out, lse = res
     if lse is not None:
         return flash_attention_bwd(q, k, v, out, lse, g, causal=causal,
-                                   scale=scale, interpret=_FA_INTERPRET)
+                                   scale=scale, interpret=_FA_INTERPRET,
+                                   fold_stats=fold_stats)
     # off-TPU fallback: standard softmax-attention VJP in XLA
     d = q.shape[-1]
     sm = (1.0 / math.sqrt(d)) if scale is None else scale
