@@ -612,6 +612,9 @@ def _flash_kernel_t128(k_ref, qT_ref, vT_ref, o_ref, acc_ref, *,
     qa = qT_ref[:].astype(jnp.float32) * (sm_scale * _LOG2E)  # (128, bq)
     st = jnp.dot(k_blk, qa, preferred_element_type=jnp.float32)
     p = _exp2_sub(st, static_max)                             # (bk, bq)
+    # NB: the in-kernel concat (a V-tile copy per grid step) measured
+    # FASTER than streaming a pre-augmented (136, sk) V from HBM — the
+    # extra 6% HBM traffic outweighs the copy (1.036x vs 0.997x A/B)
     vT = vT_ref[:].astype(jnp.float32)                        # (128, bk)
     rowa = jax.lax.broadcasted_iota(jnp.int32, (8, k_blk.shape[0]), 0)
     aux = (rowa == 0).astype(jnp.float32)                     # [1ᵀ; 0⁷]
