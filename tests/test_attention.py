@@ -488,6 +488,43 @@ def test_t128_fused_l_matches_reference(b, h, sq, sk, d, m):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("b,h,sq,sk", [(1, 2, 256, 256), (1, 2, 200, 136),
+                                       (2, 4, 264, 392)])
+@pytest.mark.parametrize("fold", [True, False])
+def test_packed_bwd_single_pass_matches_two_pass(b, h, sq, sk, fold):
+    """The single-pass packed backward (dq accumulated as per-k-tile HBM
+    partials inside the dkv kernel — score tile exp2'd ONCE for all
+    three gradients) must match the two-kernel path and the autodiff
+    oracle, incl. unaligned pads (garbage pad kv columns of ds meet zero
+    k pad rows in ds@k) and both fold_stats variants."""
+    import videotuna_tpu.kernels.attention as A
+    q, k, v = _rand_qkv(jax.random.key(71), b, sq, h, 64, sk=sk)
+
+    def grads(sp):
+        old_i = A._FA_INTERPRET
+        A._FA_INTERPRET = True
+        try:
+            def loss(q, k, v):
+                return jnp.sum(A.flash_attention_diff(
+                    q, k, v, False, None, None, fold, sp) ** 2)
+            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            A._FA_INTERPRET = old_i
+
+    g_sp = grads(True)
+    g_tp = grads(False)
+    for a, b_ in zip(g_sp, g_tp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, rtol=3e-5)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) ** 2)
+    g_or = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_sp, g_or):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=2e-4)
+
+
 @pytest.mark.parametrize("b,h,sq,sk", [(1, 2, 256, 256), (1, 2, 200, 136)])
 def test_packed_bwd_fold_stats_matches_unfolded(b, h, sq, sk):
     """The fold_stats packed backward (−lse/−delta folded into the s/dp

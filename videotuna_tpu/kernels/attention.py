@@ -1357,8 +1357,111 @@ def _flash_bwd_packed2_dq_kernel(k_ref, kT_ref, v_ref, qT_ref, doT_ref,
         dqT_ref[64:] = (dq1_acc[:] * sm_scale).astype(dqT_ref.dtype)
 
 
+# Single-pass fused backward: block sizes and the f32 dq-partial HBM cap.
+# Fewer, larger k-tiles cut the partial buffer (and its write+read-back
+# traffic) linearly in nk; block_q shrinks to keep the four (bq, bk) f32
+# score-tile temporaries inside VMEM.
+FUSED_BWD_BLOCK_Q = 256
+FUSED_BWD_BLOCK_K = 1024
+_FUSED_BWD_PARTIAL_CAP = 384_000_000  # bytes; chunks the pair axis
+
+
+def _flash_bwd_packed2_fused_kernel(q_ref, do_ref, qT_ref, doT_ref,
+                                    kT_ref, vT_ref, k_ref, stats_ref,
+                                    dkT_ref, dvT_ref, dqp_ref,
+                                    dk0_acc, dk1_acc, dv0_acc, dv1_acc, *,
+                                    sm_scale: float,
+                                    fold_stats: bool = True):
+    """SINGLE-PASS packed backward: the dkv kernel body (grid (BH2,
+    kv_blocks, q_blocks), q innermost) that ALSO emits per-k-tile dq
+    PARTIALS, so the score block (s, p, ds) is computed — and exp2'd —
+    exactly once for all three gradients. The separate dq kernel's
+    s/dp recomputation (4 MXU units per pair) and its second exp2+mul
+    pass over the score tile disappear; the cost is writing the (bq,
+    128) dq partial per (j, qq) step to HBM and one XLA sum over the
+    k-tile axis outside (f32, ~nk·Sq·128·4 B per pair — the dispatch
+    bounds it via _FUSED_BWD_PARTIAL_CAP and larger k-tiles).
+
+    dq-partial exactness at pads: zero-padded kv COLUMNS of ds carry
+    garbage (p·(−delta)) but multiply zero k pad ROWS in ds@k → 0; pad
+    q rows have zero dO and zero delta → ds rows vanish. Head packing:
+    lanes 0-63 of ds0@k are head0's dq (k lanes 64-127 belong to head1
+    and land in lanes 64-127, discarded by the lane select); symmetric
+    for ds1@k — one select instead of masking k twice."""
+    qq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qq == 0)
+    def _init():
+        dk0_acc[:] = jnp.zeros_like(dk0_acc)
+        dk1_acc[:] = jnp.zeros_like(dk1_acc)
+        dv0_acc[:] = jnp.zeros_like(dv0_acc)
+        dv1_acc[:] = jnp.zeros_like(dv1_acc)
+
+    q = q_ref[:].astype(jnp.float32)           # (bq, 128)
+    do = do_ref[:].astype(jnp.float32)         # (bq, 128)
+    qT = qT_ref[:].astype(jnp.float32)         # (128, bq)
+    doT = doT_ref[:].astype(jnp.float32)       # (128, bq)
+    kT = kT_ref[:].astype(jnp.float32)         # (128, bk)
+    vT = vT_ref[:].astype(jnp.float32)         # (128, bk)
+    stats = stats_ref[:]                       # (bq, 128) f32 lanes 0..3
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    mlo = (lane < 64).astype(jnp.float32)
+    qs = q * (sm_scale * _LOG2E)
+    lse0 = stats[:, 0:1] * _LOG2E              # (bq, 1) log2 domain
+    lse1 = stats[:, 1:2] * _LOG2E
+    if fold_stats:
+        ind64 = (lane == 64).astype(jnp.float32)
+        ind63 = (lane == 63).astype(jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        kT0 = jnp.where(row == 64, 1.0, kT)
+        kT1 = jnp.where(row == 63, 1.0, kT)
+        s0 = jnp.dot(qs * mlo + (-lse0) * ind64, kT0,
+                     preferred_element_type=jnp.float32)   # = s − lse0
+        s1 = jnp.dot(qs * (1.0 - mlo) + (-lse1) * ind63, kT1,
+                     preferred_element_type=jnp.float32)
+        p0 = jnp.exp2(s0)                      # (bq, bk)
+        p1 = jnp.exp2(s1)
+        vT0 = jnp.where(row == 64, 1.0, vT)
+        vT1 = jnp.where(row == 63, 1.0, vT)
+        ds0 = p0 * jnp.dot(do * mlo + (-stats[:, 2:3]) * ind64, vT0,
+                           preferred_element_type=jnp.float32)
+        ds1 = p1 * jnp.dot(do * (1.0 - mlo) + (-stats[:, 3:4]) * ind63,
+                           vT1, preferred_element_type=jnp.float32)
+    else:
+        s0 = jnp.dot(qs * mlo, kT, preferred_element_type=jnp.float32)
+        s1 = jnp.dot(qs * (1.0 - mlo), kT,
+                     preferred_element_type=jnp.float32)
+        p0 = jnp.exp2(s0 - lse0)               # (bq, bk)
+        p1 = jnp.exp2(s1 - lse1)
+        dp0 = jnp.dot(do * mlo, vT, preferred_element_type=jnp.float32)
+        dp1 = jnp.dot(do * (1.0 - mlo), vT,
+                      preferred_element_type=jnp.float32)
+        ds0 = p0 * (dp0 - stats[:, 2:3])
+        ds1 = p1 * (dp1 - stats[:, 3:4])
+    dv0_acc[:] += jnp.dot(doT[:64], p0, preferred_element_type=jnp.float32)
+    dv1_acc[:] += jnp.dot(doT[64:], p1, preferred_element_type=jnp.float32)
+    dk0_acc[:] += jnp.dot(qT[:64], ds0, preferred_element_type=jnp.float32)
+    dk1_acc[:] += jnp.dot(qT[64:], ds1, preferred_element_type=jnp.float32)
+
+    # dq partials (the single-pass addition): ds @ k over THIS k-tile
+    k_nat = k_ref[:].astype(jnp.float32)       # (bk, 128)
+    g0 = jnp.dot(ds0, k_nat, preferred_element_type=jnp.float32)
+    g1 = jnp.dot(ds1, k_nat, preferred_element_type=jnp.float32)
+    dqp_ref[0] = jnp.where(lane < 64, g0, g1)  # (bq, 128)
+
+    @pl.when(qq == nq - 1)
+    def _finish():
+        dkT_ref[:64] = (dk0_acc[:] * sm_scale).astype(dkT_ref.dtype)
+        dkT_ref[64:] = (dk1_acc[:] * sm_scale).astype(dkT_ref.dtype)
+        dvT_ref[:64] = dv0_acc[:].astype(dvT_ref.dtype)
+        dvT_ref[64:] = dv1_acc[:].astype(dvT_ref.dtype)
+
+
 def _flash_bwd_packed2(q, k, v, out, lse_pairs, g, *, sm_scale,
-                       block_q, block_k, interpret, fold_stats=True):
+                       block_q, block_k, interpret, fold_stats=True,
+                       single_pass=True):
     """Packed d=64 fused backward dispatch. q/k/v/out/g: (B, S, H, 64)
     with H even; ``lse_pairs``: (B·H/2, 2, Sq_pad) natural-log LSE from
     the packed forward. Returns (dq, dk, dv) in input layout/dtype.
@@ -1370,6 +1473,13 @@ def _flash_bwd_packed2(q, k, v, out, lse_pairs, g, *, sm_scale,
     b, sq, h, d = q.shape
     sk = k.shape[1]
     bh2 = b * h // 2
+    if single_pass:
+        # larger k-tiles → fewer dq partials; smaller q-tiles keep the
+        # four (bq, bk) f32 score temporaries in VMEM
+        if block_q == DEFAULT_BWD_BLOCK_Q:
+            block_q = FUSED_BWD_BLOCK_Q
+        if block_k == DEFAULT_BWD_BLOCK_K:
+            block_k = FUSED_BWD_BLOCK_K
     block_q = min(block_q, _round_to(sq, 128))
     block_k = min(block_k, _round_to(sk, 128))
     sq_pad = _round_to(sq, block_q)
@@ -1408,6 +1518,80 @@ def _flash_bwd_packed2(q, k, v, out, lse_pairs, g, *, sm_scale,
     stats_rows = jnp.concatenate([stats4, stats4], axis=1)    # (BH2,8,Sq)
     stats_cols = jnp.pad(stats4.transpose(0, 2, 1),
                          ((0, 0), (0, 0), (0, 124)))          # (BH2,Sq,128)
+
+    def _unpack_T(xT, s, s_real):
+        # (BH2, 128, S_pad) → (B, S_real, H, 64)
+        y = xT[:, :, :s_real].reshape(b, h // 2, 128, s_real)
+        return y.transpose(0, 3, 1, 2).reshape(b, s_real, h, 64)
+
+    if single_pass:
+        nk = sk_pad // block_k
+        fused_kernel = _squeeze_first_n(
+            functools.partial(_flash_bwd_packed2_fused_kernel,
+                              sm_scale=sm_scale, fold_stats=fold_stats),
+            11)
+        per_pair = nk * sq_pad * 128 * 4
+        chunk = max(1, min(bh2, _FUSED_BWD_PARTIAL_CAP // max(per_pair, 1)))
+        dqs, dks, dvs = [], [], []
+        for c0 in range(0, bh2, chunk):
+            c1 = min(bh2, c0 + chunk)
+            n = c1 - c0
+            dkT_c, dvT_c, dqp = pl.pallas_call(
+                fused_kernel,
+                grid=(n, nk, sq_pad // block_q),
+                in_specs=[
+                    pl.BlockSpec((1, block_q, 128),
+                                 lambda i, j, qq: (i, qq, 0)),
+                    pl.BlockSpec((1, block_q, 128),
+                                 lambda i, j, qq: (i, qq, 0)),
+                    pl.BlockSpec((1, 128, block_q),
+                                 lambda i, j, qq: (i, 0, qq)),
+                    pl.BlockSpec((1, 128, block_q),
+                                 lambda i, j, qq: (i, 0, qq)),
+                    pl.BlockSpec((1, 128, block_k),
+                                 lambda i, j, qq: (i, 0, j)),
+                    pl.BlockSpec((1, 128, block_k),
+                                 lambda i, j, qq: (i, 0, j)),
+                    pl.BlockSpec((1, block_k, 128),
+                                 lambda i, j, qq: (i, j, 0)),
+                    pl.BlockSpec((1, block_q, 128),
+                                 lambda i, j, qq: (i, qq, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 128, block_k),
+                                 lambda i, j, qq: (i, 0, j)),
+                    pl.BlockSpec((1, 128, block_k),
+                                 lambda i, j, qq: (i, 0, j)),
+                    pl.BlockSpec((1, 1, block_q, 128),
+                                 lambda i, j, qq: (i, j, qq, 0)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((n, 128, sk_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((n, 128, sk_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((n, nk, sq_pad, 128),
+                                         jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((64, block_k), jnp.float32),
+                    pltpu.VMEM((64, block_k), jnp.float32),
+                    pltpu.VMEM((64, block_k), jnp.float32),
+                    pltpu.VMEM((64, block_k), jnp.float32),
+                ] if pltpu is not None else [],
+                interpret=interpret,
+                compiler_params=_grid_params(interpret),
+            )(qp[c0:c1], dop[c0:c1], qT[c0:c1], doT[c0:c1],
+              kT[c0:c1], vT[c0:c1], kp[c0:c1], stats_cols[c0:c1])
+            dqs.append(jnp.sum(dqp, axis=1) * sm_scale)  # (n, Sq_pad, 128)
+            dks.append(dkT_c)
+            dvs.append(dvT_c)
+        dq_nat = jnp.concatenate(dqs, 0) if len(dqs) > 1 else dqs[0]
+        dkT = jnp.concatenate(dks, 0) if len(dks) > 1 else dks[0]
+        dvT = jnp.concatenate(dvs, 0) if len(dvs) > 1 else dvs[0]
+        dq = dq_nat[:, :sq].reshape(b, h // 2, sq, 128) \
+            .transpose(0, 2, 1, 3).reshape(b, sq, h, 64)
+        dk = _unpack_T(dkT, sk_pad, sk)
+        dv = _unpack_T(dvT, sk_pad, sk)
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
 
     dkv_kernel = _squeeze_first_n(
         functools.partial(_flash_bwd_packed2_dkv_kernel, sm_scale=sm_scale,
@@ -1469,11 +1653,6 @@ def _flash_bwd_packed2(q, k, v, out, lse_pairs, g, *, sm_scale,
         compiler_params=_grid_params(interpret),
     )(kp, kT, vp, qT, doT, stats_rows)
 
-    def _unpack_T(xT, s, s_real):
-        # (BH2, 128, S_pad) → (B, S_real, H, 64)
-        y = xT[:, :, :s_real].reshape(b, h // 2, 128, s_real)
-        return y.transpose(0, 3, 1, 2).reshape(b, s_real, h, 64)
-
     dq = _unpack_T(dqT, sq_pad, sq)
     dk = _unpack_T(dkT, sk_pad, sk)
     dv = _unpack_T(dvT, sk_pad, sk)
@@ -1491,7 +1670,8 @@ def _unpack_heads(x, b, s, h, d):
 def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
                         block_q: int = DEFAULT_BWD_BLOCK_Q,
                         block_k: int = DEFAULT_BWD_BLOCK_K,
-                        interpret: bool = False, fold_stats: bool = True):
+                        interpret: bool = False, fold_stats: bool = True,
+                        single_pass: bool = True):
     """Fused FlashAttention-2 backward. All of q/k/v/out/g are
     (B, S, H, D); lse is (B·H, Sq_pad) from _flash_forward_lse (or the
     packed forward, reflattened head-major)."""
@@ -1507,7 +1687,8 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
         return _flash_bwd_packed2(q, k, v, out, lse_pairs, g,
                                   sm_scale=sm_scale, block_q=block_q,
                                   block_k=block_k, interpret=interpret,
-                                  fold_stats=fold_stats)
+                                  fold_stats=fold_stats,
+                                  single_pass=single_pass)
 
     d_pad = _round_to(d, 128)
     if d_pad != d:
@@ -1616,19 +1797,22 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
 _FA_INTERPRET = False  # flipped by tests to exercise kernels on CPU
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def flash_attention_diff(q, k, v, causal=False, scale=None,
-                         static_max=None, fold_stats=True):
-    """``fold_stats`` (static) selects the stat-folded packed d=64
-    backward (production default True); explicit here — NOT a module
-    global — so A/B benches and overrides survive jit caching and
-    concurrent callers (ADVICE r4)."""
+                         static_max=None, fold_stats=True,
+                         single_pass=True):
+    """``fold_stats`` / ``single_pass`` (static) select the stat-folded
+    and single-pass variants of the packed d=64 backward (production
+    defaults True); explicit here — NOT module globals — so A/B benches
+    and overrides survive jit caching and concurrent callers (ADVICE
+    r4)."""
     return flash_attention(q, k, v, causal=causal, scale=scale,
                            static_max=static_max,
                            interpret=_FA_INTERPRET)
 
 
-def _fa_fwd(q, k, v, causal, scale, static_max=None, fold_stats=True):
+def _fa_fwd(q, k, v, causal, scale, static_max=None, fold_stats=True,
+            single_pass=True):
     if not (_on_tpu() or _FA_INTERPRET):
         out = flash_attention(q, k, v, causal=causal, scale=scale)
         return out, (q, k, v, None, None)
@@ -1674,14 +1858,15 @@ def _fa_fwd(q, k, v, causal, scale, static_max=None, fold_stats=True):
     return out, (q, k, v, out, lse)
 
 
-def _fa_bwd(causal, scale, static_max, fold_stats, res, g):
+def _fa_bwd(causal, scale, static_max, fold_stats, single_pass, res, g):
     # static_max only changes how the forward accumulated; the saved LSE
     # is the true log-sum-exp, so the backward is identical.
     q, k, v, out, lse = res
     if lse is not None:
         return flash_attention_bwd(q, k, v, out, lse, g, causal=causal,
                                    scale=scale, interpret=_FA_INTERPRET,
-                                   fold_stats=fold_stats)
+                                   fold_stats=fold_stats,
+                                   single_pass=single_pass)
     # off-TPU fallback: standard softmax-attention VJP in XLA
     d = q.shape[-1]
     sm = (1.0 / math.sqrt(d)) if scale is None else scale
