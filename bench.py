@@ -1752,6 +1752,50 @@ def _bench_attn_d64_bwd_sp(seq: int = 17776, heads: int = 48,
             "vs_baseline": None}
 
 
+def _bench_attn_d128_bwd_sp(seq: int = 20656, heads: int = 24,
+                            batch: int = 1, n_iters: int = 4):
+    """A/B: d=128 generic single-pass backward vs the two-kernel
+    backward at the Hunyuan-class geometry (the d=128 LoRA-train
+    families: hunyuan/wan/stepvideo/flux)."""
+    import videotuna_tpu.kernels.attention as A
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (batch, seq, heads, 128), jnp.bfloat16)
+    k = jax.random.normal(k2, (batch, seq, heads, 128), jnp.bfloat16)
+    v = jax.random.normal(k3, (batch, seq, heads, 128), jnp.bfloat16)
+    flops = (4.0 + 10.0) * batch * heads * seq * seq * 128
+
+    def timed(sp):
+        def loss(t):
+            qq, kk, vv = t
+            return jnp.sum(A.flash_attention_diff(
+                qq, kk, vv, False, None, None, True,
+                sp).astype(jnp.float32) ** 2)
+
+        grad_fn = jax.jit(jax.grad(loss))
+        g = grad_fn((q, k, v))
+        _sync(g[0])
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            g = grad_fn((q, k, v))
+        _sync(g[0])
+        return (time.perf_counter() - t0) / n_iters, g
+
+    t_two, g2 = timed(False)
+    t_sp, g1 = timed(True)
+    err = max(float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                    - b.astype(jnp.float32))))
+              for a, b in zip(g1, g2))
+    return {"metric": "attn_d128_bwd_single_pass_speedup",
+            "value": round(t_two / t_sp, 3),
+            "unit": f"fwd+bwd speedup (single-pass bwd / two-kernel), "
+                    f"d=128 seq {seq} heads {heads}",
+            "two_pass_ms": round(t_two * 1e3, 2),
+            "single_pass_ms": round(t_sp * 1e3, 2),
+            "sp_useful_tf_s": round(flops / t_sp / 1e12, 1),
+            "max_abs_grad_diff": err,
+            "vs_baseline": None}
+
+
 def _bench_attn_d64_bwd_fold(seq: int = 17776, heads: int = 48,
                              batch: int = 1, n_iters: int = 4):
     """A/B: packed d=64 fused fwd+bwd with the backward stat folds
@@ -1798,6 +1842,7 @@ DIAG_BENCHES = {
     "attn_d64_fusedsm": lambda: _bench_attn_d64_fusedsm(),
     "attn_d64_bwd_fold": lambda: _bench_attn_d64_bwd_fold(),
     "attn_d64_bwd_sp": lambda: _bench_attn_d64_bwd_sp(),
+    "attn_d128_bwd_sp": lambda: _bench_attn_d128_bwd_sp(),
     "attn_d64_bwd": lambda: _bench_attn_d64_bwd(),
     "cogvideox_breakdown": lambda: _bench_cogvideox_breakdown(),
     "attn_d64_sweep": lambda: _bench_attn_d64_sweep(),

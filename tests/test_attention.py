@@ -90,7 +90,8 @@ def test_flash_vjp_matches_reference_grads():
     from videotuna_tpu.kernels.attention import _fa_bwd
     out = reference_attention(q, k, v)
     g_out = 2.0 * out
-    g_manual = _fa_bwd(False, None, None, (q, k, v, None, None), g_out)
+    g_manual = _fa_bwd(False, None, None, True, True,
+                       (q, k, v, None, None), g_out)
     for a, b in zip(g_manual, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
@@ -523,6 +524,34 @@ def test_packed_bwd_single_pass_matches_two_pass(b, h, sq, sk, fold):
     for a, b_ in zip(g_sp, g_or):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("b,h,sq,sk,d,causal", [
+    (1, 3, 256, 256, 128, False),    # odd heads → generic path
+    (1, 1, 200, 136, 128, False),    # unaligned pads
+    (1, 2, 256, 256, 128, True),     # causal masking inside the fused tile
+    (2, 3, 264, 264, 96, False),     # d<128 zero-pad lanes
+])
+def test_generic_bwd_single_pass_matches_two_pass(b, h, sq, sk, d, causal):
+    """d≤128 generic single-pass backward (_flash_bwd_fused_kernel) vs
+    the two-kernel path — bit-exact (identical contraction order)."""
+    import videotuna_tpu.kernels.attention as A
+    q, k, v = _rand_qkv(jax.random.key(81), b, sq, h, d, sk=sk)
+
+    def grads(sp):
+        old_i = A._FA_INTERPRET
+        A._FA_INTERPRET = True
+        try:
+            def loss(q, k, v):
+                return jnp.sum(A.flash_attention_diff(
+                    q, k, v, causal, None, None, True, sp) ** 2)
+            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            A._FA_INTERPRET = old_i
+
+    for a, b_ in zip(grads(True), grads(False)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, rtol=3e-5)
 
 
 @pytest.mark.parametrize("b,h,sq,sk", [(1, 2, 256, 256), (1, 2, 200, 136)])

@@ -1139,6 +1139,55 @@ def _flash_bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _flash_bwd_fused_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref,
+                            v_ref, dk_ref, dv_ref, dqp_ref,
+                            dk_acc, dv_acc, *,
+                            block_q: int, block_k: int, sm_scale: float,
+                            causal: bool, q_len: int, kv_len: int):
+    """SINGLE-PASS generic (d≤128, causal-capable) backward: the dkv
+    kernel body that also emits per-k-tile dq PARTIALS — dsT is already
+    in VMEM, so dq costs one extra dot_general (contract the sublane kv
+    dims) and an HBM write, while the whole dq kernel (score+dp
+    recompute + second exp2 pass) disappears. Masked entries (causal /
+    q_len / kv_len pads) have pT=0 ⇒ dsT=0 ⇒ contribute nothing to the
+    partial. The dispatch sums partials over the k-tile axis (f32) and
+    chunks the batch·head axis to bound the partial buffer."""
+    qq = pl.program_id(2)
+    nq = pl.num_programs(2)
+    j = pl.program_id(1)
+
+    @pl.when(qq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0].astype(jnp.float32)          # (bq, d)
+    do = do_ref[0].astype(jnp.float32)        # (bq, d)
+    lse = jnp.maximum(lse_ref[0, 0:1, :], -1e5)   # (1, bq)
+    delta = delta_ref[0, 0:1, :]                  # (1, bq)
+    k_blk = k_ref[0].astype(jnp.float32)      # (bk, d)
+    v_blk = v_ref[0].astype(jnp.float32)
+
+    sT = _bwd_masked_sT(q, k_blk, j, qq, sm_scale=sm_scale, causal=causal,
+                        q_len=q_len, kv_len=kv_len, block_q=block_q,
+                        block_k=block_k)
+    pT = jnp.exp2(sT - lse * _LOG2E)          # (bk, bq)
+    dv_acc[:] += jnp.dot(pT, do, preferred_element_type=jnp.float32)
+    dpT = jnp.dot(v_blk, do.T, preferred_element_type=jnp.float32)
+    dsT = pT * (dpT - delta)
+    dk_acc[:] += jnp.dot(dsT, q,
+                         preferred_element_type=jnp.float32) * sm_scale
+    # dq partial: dq[bq, d] = Σ_bk dsT[bk, bq] · k[bk, d] for THIS k-tile
+    dqp_ref[0, 0] = jax.lax.dot_general(
+        dsT, k_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+
+    @pl.when(qq == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
 def _flash_bwd_dq_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
                          dq_ref, dq_acc, *,
                          block_q: int, block_k: int, sm_scale: float,
@@ -1361,7 +1410,7 @@ def _flash_bwd_packed2_dq_kernel(k_ref, kT_ref, v_ref, qT_ref, doT_ref,
 # Fewer, larger k-tiles cut the partial buffer (and its write+read-back
 # traffic) linearly in nk; block_q shrinks to keep the four (bq, bk) f32
 # score-tile temporaries inside VMEM.
-FUSED_BWD_BLOCK_Q = 256
+FUSED_BWD_BLOCK_Q = 512
 FUSED_BWD_BLOCK_K = 1024
 _FUSED_BWD_PARTIAL_CAP = 384_000_000  # bytes; chunks the pair axis
 
@@ -1732,6 +1781,65 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
     bh = b * h
     common = dict(block_q=block_q, block_k=block_k, sm_scale=sm_scale,
                   causal=causal, q_len=sq, kv_len=sk)
+
+    if single_pass:
+        nk = sk_pad // block_k
+        fused_kernel = functools.partial(_flash_bwd_fused_kernel, **common)
+        per_head = nk * sq_pad * d * 4
+        chunk = max(1, min(bh, _FUSED_BWD_PARTIAL_CAP // max(per_head, 1)))
+        dqs, dks, dvs = [], [], []
+        for c0 in range(0, bh, chunk):
+            c1 = min(bh, c0 + chunk)
+            n = c1 - c0
+            dk_c, dv_c, dqp = pl.pallas_call(
+                fused_kernel,
+                grid=(n, nk, sq_pad // block_q),
+                in_specs=[
+                    pl.BlockSpec((1, block_q, d),
+                                 lambda i, j, qq: (i, qq, 0)),
+                    pl.BlockSpec((1, block_q, d),
+                                 lambda i, j, qq: (i, qq, 0)),
+                    pl.BlockSpec((1, 8, block_q),
+                                 lambda i, j, qq: (i, 0, qq)),
+                    pl.BlockSpec((1, 8, block_q),
+                                 lambda i, j, qq: (i, 0, qq)),
+                    pl.BlockSpec((1, block_k, d),
+                                 lambda i, j, qq: (i, j, 0)),
+                    pl.BlockSpec((1, block_k, d),
+                                 lambda i, j, qq: (i, j, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, block_k, d),
+                                 lambda i, j, qq: (i, j, 0)),
+                    pl.BlockSpec((1, block_k, d),
+                                 lambda i, j, qq: (i, j, 0)),
+                    pl.BlockSpec((1, 1, block_q, d),
+                                 lambda i, j, qq: (i, j, qq, 0)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((n, sk_pad, d), jnp.float32),
+                    jax.ShapeDtypeStruct((n, sk_pad, d), jnp.float32),
+                    jax.ShapeDtypeStruct((n, nk, sq_pad, d), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                ] if pltpu is not None else [],
+                interpret=interpret,
+                compiler_params=_grid_params(interpret),
+            )(qt[c0:c1], gt[c0:c1], lse8[c0:c1], delta8[c0:c1],
+              kt[c0:c1], vt[c0:c1])
+            dqs.append(jnp.sum(dqp, axis=1))       # (n, Sq_pad, d)
+            dks.append(dk_c)
+            dvs.append(dv_c)
+        dq_t = jnp.concatenate(dqs, 0) if len(dqs) > 1 else dqs[0]
+        dk_t = jnp.concatenate(dks, 0) if len(dks) > 1 else dks[0]
+        dv_t = jnp.concatenate(dvs, 0) if len(dvs) > 1 else dvs[0]
+        dq = _unpack_heads(dq_t[:, :sq], b, sq, h, d)[..., :d_orig]
+        dk = _unpack_heads(dk_t[:, :sk], b, sk, h, d)[..., :d_orig]
+        dv = _unpack_heads(dv_t[:, :sk], b, sk, h, d)[..., :d_orig]
+        return (dq.astype(q.dtype), dk.astype(k.dtype),
+                dv.astype(v.dtype))
 
     dkv_kernel = functools.partial(_flash_bwd_dkv_kernel, **common)
     dk_t, dv_t = pl.pallas_call(
