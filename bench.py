@@ -1752,6 +1752,131 @@ def _bench_attn_d64_bwd_sp(seq: int = 17776, heads: int = 48,
             "vs_baseline": None}
 
 
+def _bench_int8_matmul(m: int = 17776, kdim: int = 3072,
+                       n: int = 12288, n_iters: int = 20):
+    """A/B: bf16 matmul vs w8a8 (dynamic per-row activation quant +
+    per-channel int8 weights, int32 accum) at a DiT MLP-projection
+    geometry. v5e int8 MXU peak is 2x bf16; the measured ratio nets out
+    the activation-quant VPU cost."""
+    from videotuna_tpu.tools.int8 import _quantize_leaf, int8_matmul
+    kx, kw = jax.random.split(jax.random.key(0))
+    x = jax.random.normal(kx, (m, kdim), jnp.bfloat16)
+    w = jax.random.normal(kw, (kdim, n), jnp.bfloat16) * 0.02
+    wq, ws = _quantize_leaf(w, stacked=False)
+    flops = 2.0 * m * kdim * n
+
+    bf = jax.jit(lambda a, b_: (a @ b_).astype(jnp.bfloat16))
+    q = jax.jit(lambda a, b_, c: int8_matmul(a, b_, c)
+                .astype(jnp.bfloat16))
+
+    def timed(fn, *args):
+        _sync(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn(*args)
+        _sync(out)
+        return (time.perf_counter() - t0) / n_iters
+
+    t_bf = timed(bf, x, w)
+    t_q = timed(q, x, wq, ws)
+    ref = (x.astype(jnp.float32) @ w.astype(jnp.float32))
+    got = int8_matmul(x, wq, ws)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    return {"metric": "int8_matmul_speedup",
+            "value": round(t_bf / t_q, 3),
+            "unit": f"speedup (w8a8 / bf16), {m}x{kdim}x{n}",
+            "bf16_ms": round(t_bf * 1e3, 2),
+            "int8_ms": round(t_q * 1e3, 2),
+            "bf16_tf_s": round(flops / t_bf / 1e12, 1),
+            "int8_tops": round(flops / t_q / 1e12, 1),
+            "rel_err": round(rel, 5),
+            "vs_baseline": None}
+
+
+def _bench_cogvideox5b_w8a8(depth: int = 42, n_steps: int = 8,
+                            frames: int = 13, hh: int = 60, ww: int = 90,
+                            dim: int = 3072, heads: int = 48):
+    """CogVideoX-5B class with w8a8 int8 serving (tools/int8.py): every
+    projection/MLP matmul executes on the int8 MXU (2x bf16 peak),
+    attention stays on the bf16 Pallas kernels.
+
+    Memory protocol (16 GB chip): the QUALITY gate (w8a8 vs bf16 output)
+    runs at depth 4 where both trees fit; full-depth TIMING quantizes a
+    depth-2 init and TILES the scan-stacked int8 leaves to `depth` —
+    values repeat across layers, which changes nothing about MXU/HBM
+    timing and avoids the 10 GB bf16 + 5 GB int8 double residency.
+    Speedup reads against the suite's bf16 cogvideox5b row."""
+    from videotuna_tpu.kernels.attention import attention_options
+    from videotuna_tpu.models.cogvideo.mmdit import CogVideoXTransformer
+    from videotuna_tpu.tools.int8 import int8_scope, quantize_params_int8
+    from videotuna_tpu.training.lora import _is_stacked
+    b = 2
+    x = jnp.zeros((b, frames, hh, ww, 16))
+    t = jnp.zeros((b,), jnp.int32)
+    y = jnp.zeros((b, 226, 4096))
+
+    # ---- quality gate at depth 4 ----
+    m4 = CogVideoXTransformer(dim=dim, num_layers=4, heads=heads,
+                              dtype=jnp.bfloat16, scan_blocks=True)
+    p4 = _bf16_params(m4, x, t, y)
+    q4 = quantize_params_int8(p4)
+    xe = jax.random.normal(jax.random.key(3), x.shape, jnp.float32) * 0.5
+    with attention_options(static_max=0.0):
+        ref = jax.jit(lambda p, xx: m4.apply({"params": p}, xx, t, y))(
+            p4, xe).astype(jnp.float32)
+        with int8_scope():
+            got = jax.jit(lambda p, xx: m4.apply(
+                {"params": p}, xx, t, y))(q4, xe).astype(jnp.float32)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    for leaf in jax.tree.leaves(p4) + jax.tree.leaves(q4) + [ref, got]:
+        if hasattr(leaf, "delete"):
+            leaf.delete()
+
+    # ---- full-depth timing (tiled int8 tree) ----
+    m2 = CogVideoXTransformer(dim=dim, num_layers=2, heads=heads,
+                              dtype=jnp.bfloat16, scan_blocks=True)
+    p2 = _bf16_params(m2, x, t, y)
+    q2 = quantize_params_int8(p2)
+    for leaf in jax.tree.leaves(p2):
+        if hasattr(leaf, "delete"):
+            leaf.delete()
+
+    reps = depth // 2
+    assert depth % 2 == 0
+
+    def _tile(path, leaf):
+        if _is_stacked(path) and leaf.ndim >= 1 and leaf.shape[0] == 2:
+            return jnp.tile(leaf, (reps,) + (1,) * (leaf.ndim - 1))
+        return leaf
+
+    def _rec(node, path=()):
+        if isinstance(node, dict):
+            return {k: _rec(v, path + (str(k),)) for k, v in node.items()}
+        return _tile(path, node)
+
+    qfull = jax.jit(_rec, donate_argnums=(0,))(q2)
+    model = CogVideoXTransformer(dim=dim, num_layers=depth, heads=heads,
+                                 dtype=jnp.bfloat16, scan_blocks=True)
+
+    @jax.jit
+    def step_q(p, x):
+        with int8_scope():
+            return model.apply({"params": p}, x, t, y)[..., :16] \
+                .astype(x.dtype)
+
+    with attention_options(static_max=0.0):
+        sps_q = _chain_and_time(lambda xx: step_q(qfull, xx), x, n_steps)
+    seq = frames * (hh // 2) * (ww // 2) + 226
+    mfu_eq = _dit_flops(seq, dim, depth, b) * sps_q / V5E_PEAK_BF16
+    return {"metric": "cogvideox5b_w8a8_denoise_steps_per_sec_per_chip",
+            "value": round(sps_q, 3),
+            "unit": f"steps/s (CFG-doubled, 13x60x90 latents, depth "
+                    f"{depth}, w8a8 int8 projections + bf16 attention)",
+            "one_step_rel_err_vs_bf16_depth4": round(rel, 5),
+            "bf16_equivalent_mfu": round(mfu_eq, 3),
+            "vs_baseline": round(sps_q / (50.0 / 120.0), 3)}
+
+
 def _bench_attn_d128_bwd_sp(seq: int = 20656, heads: int = 24,
                             batch: int = 1, n_iters: int = 4):
     """A/B: d=128 generic single-pass backward vs the two-kernel
@@ -1843,6 +1968,8 @@ DIAG_BENCHES = {
     "attn_d64_bwd_fold": lambda: _bench_attn_d64_bwd_fold(),
     "attn_d64_bwd_sp": lambda: _bench_attn_d64_bwd_sp(),
     "attn_d128_bwd_sp": lambda: _bench_attn_d128_bwd_sp(),
+    "int8_matmul": lambda: _bench_int8_matmul(),
+    "cogvideox5b_w8a8": lambda: _bench_cogvideox5b_w8a8(),
     "attn_d64_bwd": lambda: _bench_attn_d64_bwd(),
     "cogvideox_breakdown": lambda: _bench_cogvideox_breakdown(),
     "attn_d64_sweep": lambda: _bench_attn_d64_sweep(),
