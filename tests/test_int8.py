@@ -109,6 +109,26 @@ class TestInterceptor:
         assert bool(jnp.all(jnp.isfinite(out)))
 
 
+def test_flow_quantize_int8_samples():
+    """GenerationFlow.quantize_int8 (the `inference.quantize: int8`
+    config surface): the denoiser goes int8-resident and every sampling
+    path runs under the interceptor."""
+    from videotuna_tpu.flows.opensora import OpenSoraFlow
+    from tests.test_flow import TINY
+    f = OpenSoraFlow(**TINY, ddim_steps=2, model_max_length=8)
+    f.init_params(seed=0)
+    cond = {"y": jnp.zeros((1, 8, 16)), "mask": jnp.ones((1, 8), bool)}
+    z_ref = f.sample(f.params, cond, None, (1, 2, 8, 8, 4),
+                     jax.random.key(0), cfg_scale=1.0)
+    f.quantize_int8()
+    names = {p[-1] for p, _ in _iter(f.params["denoiser"])}
+    assert KERNEL_Q in names
+    z = f.sample(f.params, cond, None, (1, 2, 8, 8, 4),
+                 jax.random.key(0), cfg_scale=1.0)
+    assert z.shape == z_ref.shape
+    assert bool(jnp.all(jnp.isfinite(z)))
+
+
 def _iter(tree, prefix=()):
     if isinstance(tree, dict):
         for k, v in tree.items():

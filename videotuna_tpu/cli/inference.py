@@ -99,6 +99,11 @@ def run_inference(argv: Optional[List[str]] = None) -> dict:
                 f"LoRA checkpoint {args.lora!r} has no components matching "
                 f"the flow's params ({sorted(flow.params)})")
 
+    if str(inf.get("quantize", "")) == "int8":
+        # w8a8 serving (tools/int8.py): int8-resident denoiser, matmuls
+        # on the int8 MXU; applied AFTER any LoRA merge
+        flow.quantize_int8()
+
     # multi-chip inference: inference.mesh {dp, fsdp, sp, tp} builds the
     # global mesh; sp>1 routes long attention through ulysses/ring SP
     import contextlib

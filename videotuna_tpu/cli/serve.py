@@ -61,6 +61,9 @@ class InferenceService:
             else:
                 self.flow.init_params(
                     seed=int(config.get("inference", {}).get("seed", 0)))
+        if str(config.get("inference", {}).get("quantize", "")) == "int8":
+            # w8a8 serving: int8-resident denoiser + int8 MXU matmuls
+            self.flow.quantize_int8()
         # multi-chip serving: inference.mesh {dp, fsdp, sp, tp} shards
         # the resident weights over the mesh (fsdp axis — a 13B model
         # does not fit one chip replicated) and routes long attention

@@ -88,10 +88,28 @@ class GenerationFlow:
         self.params: Params = {}
 
     def _attn_scope(self):
-        if self.attn_static_max is None:
-            return contextlib.nullcontext()
-        from videotuna_tpu.kernels.attention import attention_options
-        return attention_options(static_max=float(self.attn_static_max))
+        stack = contextlib.ExitStack()
+        if self.attn_static_max is not None:
+            from videotuna_tpu.kernels.attention import attention_options
+            stack.enter_context(
+                attention_options(static_max=float(self.attn_static_max)))
+        if getattr(self, "_int8", False):
+            from videotuna_tpu.tools.int8 import int8_scope
+            stack.enter_context(int8_scope())
+        return stack
+
+    def quantize_int8(self) -> None:
+        """Switch the denoiser to w8a8 int8 serving (tools/int8.py):
+        projection/MLP matmuls execute on the int8 MXU at 2× the bf16
+        peak, attention stays on the bf16 Pallas kernels. In place:
+        replaces the denoiser params with the int8-resident tree (4×
+        smaller than f32) and arms the interceptor inside _attn_scope,
+        so every sampling/serving path picks it up. Config surface:
+        ``inference.quantize: int8``."""
+        from videotuna_tpu.tools.int8 import quantize_params_int8
+        self.params["denoiser"] = quantize_params_int8(
+            self.params["denoiser"])
+        self._int8 = True
 
     # ------------------------------------------------------------------ init
     def example_inputs(self) -> Dict[str, Any]:
