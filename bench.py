@@ -169,6 +169,30 @@ def _bf16_params(model, *init_args, **init_kw):
     return jax.tree.map(mk, shapes)["params"]
 
 
+def _bf16_params_random(model, *init_args, scale: float = 0.02,
+                        **init_kw):
+    """Like _bf16_params but N(0, scale) — for QUALITY gates, where
+    zeros-params would make every output zero and a relative error
+    0/0. Still materialized straight to bf16 (no f32 20 GB init)."""
+    import functools
+    shapes = jax.eval_shape(
+        functools.partial(model.init, jax.random.key(0), **init_kw),
+        *init_args)
+    import numpy as np
+    rng = np.random.default_rng(7)
+
+    def mk(s):
+        dt = jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+        if jnp.issubdtype(dt, jnp.floating):
+            # host RNG: no per-shape device compiles through the
+            # remote compile tunnel
+            return jnp.asarray(
+                rng.standard_normal(s.shape, np.float32) * scale, dt)
+        return jnp.zeros(s.shape, dt)
+
+    return jax.tree.map(mk, shapes)["params"]
+
+
 def _bench_cogvideox5b(depth: int = 42, n_steps: int = 8,
                        frames: int = 13, hh: int = 60, ww: int = 90,
                        dim: int = 3072, heads: int = 48):
@@ -1502,6 +1526,8 @@ SUITE_BENCHES = {
         _bench_cogvideox_lora_train,
         [{"depth": 42, "fp8_base": True}, {"depth": 42}, {"depth": 28},
          {"depth": 21}, {"depth": 14}]),
+    # w8a8 serving mode (tools/int8.py): projections on the int8 MXU
+    "cogvideox5b_int8": lambda: _bench_cogvideox5b_w8a8(),
 }
 
 def _bench_dataloader(n_clips: int = 24, frames: int = 16, src_hw=(360,
@@ -1818,7 +1844,7 @@ def _bench_cogvideox5b_w8a8(depth: int = 42, n_steps: int = 8,
     # ---- quality gate at depth 4 ----
     m4 = CogVideoXTransformer(dim=dim, num_layers=4, heads=heads,
                               dtype=jnp.bfloat16, scan_blocks=True)
-    p4 = _bf16_params(m4, x, t, y)
+    p4 = _bf16_params_random(m4, x, t, y)
     q4 = quantize_params_int8(p4)
     xe = jax.random.normal(jax.random.key(3), x.shape, jnp.float32) * 0.5
     with attention_options(static_max=0.0):
@@ -1837,8 +1863,11 @@ def _bench_cogvideox5b_w8a8(depth: int = 42, n_steps: int = 8,
                               dtype=jnp.bfloat16, scan_blocks=True)
     p2 = _bf16_params(m2, x, t, y)
     q2 = quantize_params_int8(p2)
+    # non-kernel leaves (biases/norm scales) are shared BY REFERENCE
+    # between p2 and q2 — only drop the bf16 kernels q2 replaced
+    q2_ids = {id(leaf) for leaf in jax.tree.leaves(q2)}
     for leaf in jax.tree.leaves(p2):
-        if hasattr(leaf, "delete"):
+        if id(leaf) not in q2_ids and hasattr(leaf, "delete"):
             leaf.delete()
 
     reps = depth // 2
