@@ -962,6 +962,153 @@ def _bench_hunyuan13b_fp8(n_steps: int = 3, frames: int = 17,
             "vs_baseline": round(sps / (50.0 / 1920.0), 3)}
 
 
+def _bench_hunyuan13b_int8(n_steps: int = 3, frames: int = 17,
+                           hh: int = 60, ww: int = 80, dim: int = 3072,
+                           heads: int = 24, double: int = 20,
+                           single: int = 40, d_chunk: int = 2,
+                           s_chunk: int = 4):
+    """Hunyuan-13B FULL depth with w8a8 int8 serving: same stage-chunked
+    residency protocol as the fp8 bench, but the block projections are
+    int8-RESIDENT (kernel_q/kernel_scale, tools/int8.py) and EXECUTE on
+    the int8 MXU — the fp8 mode dequantizes to bf16 before every matmul
+    (memory-only win, mirroring the reference's fp8_optimization.py);
+    this one also halves the MXU time of every projection. Attention,
+    norms, embed and head stay bf16. Quality: depth-(1dbl+2sgl) w8a8 vs
+    bf16 gate on N(0,0.02) params, plus tests/test_int8.py."""
+    import numpy as np
+    from videotuna_tpu.models.hunyuan.dit import HYVideoDiT
+    from videotuna_tpu.tools.int8 import int8_scope, quantize_params_int8
+    from videotuna_tpu.tools.offload import split_stacked
+
+    b = 1
+    x = jnp.zeros((b, frames, hh, ww, 16))
+    t = jnp.zeros((b,))
+    y = jnp.zeros((b, 256, 4096))
+    pooled = jnp.zeros((b, 768))
+    mask = jnp.ones((b, 256), bool)
+    import functools
+
+    # ---- quality gate at 1dbl+2sgl ----
+    mg = HYVideoDiT(dim=dim, heads=heads, double_blocks=1,
+                    single_blocks=2, dtype=jnp.bfloat16, scan_blocks=True)
+    pg = _bf16_params_random(mg, x, t, y, pooled, mask)
+    qg = quantize_params_int8(pg)
+    xe = jax.random.normal(jax.random.key(3), x.shape, jnp.float32) * 0.5
+    from videotuna_tpu.kernels.attention import attention_options
+    with attention_options(static_max=0.0):
+        ref = jax.jit(lambda p, xx: mg.apply({"params": p}, xx, t, y,
+                                             pooled, mask))(
+            pg, xe).astype(jnp.float32)
+        with int8_scope():
+            got = jax.jit(lambda p, xx: mg.apply(
+                {"params": p}, xx, t, y, pooled, mask))(
+                qg, xe).astype(jnp.float32)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    for leaf in jax.tree.leaves(pg) + jax.tree.leaves(qg) + [ref, got]:
+        if hasattr(leaf, "delete"):
+            leaf.delete()
+
+    # ---- full-depth timing, int8-resident chunked blocks ----
+    full = HYVideoDiT(dim=dim, heads=heads, double_blocks=double,
+                      single_blocks=single, dtype=jnp.bfloat16,
+                      scan_blocks=True)
+    shapes = jax.eval_shape(
+        functools.partial(full.init, jax.random.key(0)),
+        x, t, y, pooled, mask)["params"]
+
+    def host_zeros_bf16(tree):
+        from ml_dtypes import bfloat16 as np_bf16
+        return jax.tree.map(lambda s: np.zeros(s.shape, np_bf16), tree)
+
+    def host_int8_tree(tree):
+        """Host-materialized int8-quantized block tree: int8 zero
+        kernels + UNIT scales (keeps every rescale multiply in the
+        program; zeros time identically on the MXU)."""
+        qshapes = jax.eval_shape(quantize_params_int8, tree)
+
+        def mk(path, s):
+            if s.dtype == jnp.int8:
+                return np.zeros(s.shape, np.int8)
+            if path and str(getattr(path[-1], "key", path[-1])) \
+                    == "kernel_scale":
+                return np.ones(s.shape, np.float32)
+            from ml_dtypes import bfloat16 as np_bf16
+            dt = np_bf16 if s.dtype == jnp.bfloat16 else \
+                np.dtype(s.dtype)
+            return np.zeros(s.shape, dt)
+
+        return jax.tree_util.tree_map_with_path(mk, qshapes)
+
+    emb_keys = [k for k in shapes
+                if k not in ("double_blocks", "single_blocks",
+                             "final_mod", "final_norm", "final_proj")]
+    emb_params = jax.device_put(host_zeros_bf16(
+        {k: shapes[k] for k in emb_keys}))
+    head_params = jax.device_put(host_zeros_bf16(
+        {k: shapes[k] for k in ("final_mod", "final_proj")
+         if k in shapes}))
+    dq = host_int8_tree(shapes["double_blocks"])
+    sq = host_int8_tree(shapes["single_blocks"])
+    d_chunks = [jax.device_put(c)
+                for c in split_stacked(dq, double // d_chunk)]
+    s_chunks = [jax.device_put(c)
+                for c in split_stacked(sq, single // s_chunk)]
+    resident = sum(a.nbytes for c in d_chunks + s_chunks
+                   for a in jax.tree.leaves(c))
+
+    grid = (frames, hh // 2, ww // 2)
+    sub_d = HYVideoDiT(dim=dim, heads=heads, double_blocks=d_chunk,
+                       single_blocks=single, dtype=jnp.bfloat16,
+                       scan_blocks=True)
+    sub_s = HYVideoDiT(dim=dim, heads=heads, double_blocks=double,
+                       single_blocks=s_chunk, dtype=jnp.bfloat16,
+                       scan_blocks=True)
+
+    e_fn = jax.jit(functools.partial(full.apply, stage="embed"))
+    h_fn = jax.jit(functools.partial(full.apply, stage="head", grid=grid))
+
+    @jax.jit
+    def d_fn(chunk, img, txt, vec, vec_tr):
+        with int8_scope():
+            return sub_d.apply({"params": {"double_blocks": chunk}},
+                               img=img, txt=txt, vec=vec, vec_tr=vec_tr,
+                               stage="double", grid=grid)
+
+    @jax.jit
+    def s_fn(chunk, xcat, vec, vec_tr):
+        with int8_scope():
+            return sub_s.apply({"params": {"single_blocks": chunk}},
+                               xcat=xcat, vec=vec, vec_tr=vec_tr,
+                               stage="single", grid=grid)
+
+    def one_step(x_in):
+        img, txt, vec, vec_tr = e_fn({"params": emb_params}, x_in, t, y,
+                                     pooled, mask)
+        for c in d_chunks:
+            img, txt = d_fn(c, img, txt, vec, vec_tr)
+        xcat = jnp.concatenate([img, txt], axis=1)
+        for c in s_chunks:
+            xcat = s_fn(c, xcat, vec, vec_tr)
+        img_len = grid[0] * grid[1] * grid[2]
+        out = h_fn({"params": head_params}, img=xcat[:, :img_len],
+                   vec=vec)
+        return out[..., :16].astype(x_in.dtype)
+
+    sps = _chain_and_time(one_step, x, n_steps, static_max=0.0)
+    seq = frames * (hh // 2) * (ww // 2) + 256
+    eq_depth = double + single
+    mfu_eq = _dit_flops(seq, dim, eq_depth, b) * sps / V5E_PEAK_BF16
+    return {"metric": "hunyuan13b_FULL_depth_int8_denoise_steps_per_sec",
+            "value": round(sps, 4),
+            "unit": f"steps/s MEASURED ({double}dbl+{single}sgl w8a8 "
+                    f"int8-resident {resident / 1e9:.1f} GB, projections "
+                    "on the int8 MXU, 17x60x80 latents)",
+            "bf16_equivalent_mfu": round(mfu_eq, 4),
+            "one_step_rel_err_vs_bf16_small": round(rel, 5),
+            "int8_resident_gb": round(resident / 1e9, 1),
+            "vs_baseline": round(sps / (50.0 / 1920.0), 3)}
+
+
 def _bench_wan14b(n_steps: int = 2, frames: int = 21, hh: int = 60,
                   ww: int = 90, dim: int = 5120, ffn: int = 13824,
                   layers: int = 40, heads: int = 40, chunk: int = 4):
@@ -1528,6 +1675,7 @@ SUITE_BENCHES = {
          {"depth": 21}, {"depth": 14}]),
     # w8a8 serving mode (tools/int8.py): projections on the int8 MXU
     "cogvideox5b_int8": lambda: _bench_cogvideox5b_w8a8(),
+    "hunyuan13b_int8": lambda: _bench_hunyuan13b_int8(),
 }
 
 def _bench_dataloader(n_clips: int = 24, frames: int = 16, src_hw=(360,
@@ -2037,17 +2185,29 @@ def _suite():
         except Exception as e:
             results[name] = {"error": str(e)[:300]}
             print(f"suite[{name}] FAILED: {e}", file=sys.stderr)
-    cog = results.get("cogvideox5b", {})
-    vae = results.get("vae_decode", {})
-    if "value" in cog and "value" in vae:
-        per_video = 50.0 / cog["value"] + vae["value"]
-        results["e2e_videos_per_min_49f_480p"] = {
-            "value": round(60.0 / per_video, 3),
-            "unit": "videos/min (50 steps + VAE decode)",
-            "vs_baseline": round((60.0 / per_video) / 0.5, 3)}  # 2 min/video
+    _derive_e2e(results)
     with open("BENCH_SUITE.json", "w") as f:
         json.dump(results, f, indent=2)
     return results
+
+
+def _derive_e2e(results):
+    """Derived 49f@480p end-to-end rows: 50 denoise steps + VAE decode,
+    against the reference's 2 min/video H800 number (BASELINE.md)."""
+    vae = results.get("vae_decode", {})
+    if "value" not in vae:
+        return
+    for src, dst, note in (
+            ("cogvideox5b", "e2e_videos_per_min_49f_480p", ""),
+            ("cogvideox5b_int8", "e2e_videos_per_min_49f_480p_int8",
+             ", w8a8 int8 serving")):
+        row = results.get(src, {})
+        if "value" in row:
+            per_video = 50.0 / row["value"] + vae["value"]
+            results[dst] = {
+                "value": round(60.0 / per_video, 3),
+                "unit": f"videos/min (50 steps + VAE decode{note})",
+                "vs_baseline": round((60.0 / per_video) / 0.5, 3)}
 
 
 def _merge(names):
@@ -2089,14 +2249,7 @@ def _merge(names):
             else:
                 results[name] = {"error": str(e)[:300]}
             print(f"merge[{name}] FAILED: {e}", file=sys.stderr)
-    cog = results.get("cogvideox5b", {})
-    vae = results.get("vae_decode", {})
-    if "value" in cog and "value" in vae:
-        per_video = 50.0 / cog["value"] + vae["value"]
-        results["e2e_videos_per_min_49f_480p"] = {
-            "value": round(60.0 / per_video, 3),
-            "unit": "videos/min (50 steps + VAE decode)",
-            "vs_baseline": round((60.0 / per_video) / 0.5, 3)}
+    _derive_e2e(results)
     with open("BENCH_SUITE.json", "w") as f:
         json.dump(results, f, indent=2)
     return results, failed
