@@ -459,9 +459,9 @@ def _flash_packed2t(q, k, v, *, sm_scale, block_q, block_k, interpret,
     qp = _pack_pairs(q, b, sq, h)
     kp = _pack_pairs(k, b, sk, h)
     vp = _pack_pairs(v, b, sk, h)
-    if block_q == DEFAULT_BLOCK_Q:
+    if block_q is None:
         block_q = PACKED_BLOCK_Q
-    if block_k == DEFAULT_BLOCK_K:
+    if block_k is None:
         block_k = PACKED_BLOCK_K
     block_q = min(block_q, _round_to(sq, 128))
     block_k = min(block_k, _round_to(sk, 128))
@@ -533,12 +533,12 @@ def _flash_packed2(q, k, v, *, sm_scale, block_q, block_k, interpret):
           .reshape(b * h // 2, sk, 128)
     vt = v.reshape(b, sk, h // 2, 128).transpose(0, 2, 1, 3) \
           .reshape(b * h // 2, sk, 128)
-    # the packed score block is (bq, 2·bk): callers passing the generic
-    # defaults get the packed defaults instead (s_cat/p_cat must stay in
-    # the ~16 MB VMEM budget); explicit non-default blocks pass through
-    if block_q == DEFAULT_BLOCK_Q:
+    # the packed score block is (bq, 2·bk): block=None (the generic
+    # entry default) resolves to the packed defaults (s_cat/p_cat must
+    # stay in the ~16 MB VMEM budget); explicit blocks pass through
+    if block_q is None:
         block_q = PACKED_BLOCK_Q
-    if block_k == DEFAULT_BLOCK_K:
+    if block_k is None:
         block_k = PACKED_BLOCK_K
     block_q = min(block_q, _round_to(sq, 128))
     block_k = min(block_k, _round_to(sk, 128))
@@ -688,8 +688,8 @@ def _grid_params(interpret: bool):
                                              "static_fused"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     causal: bool = False, scale: Optional[float] = None,
-                    block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
                     interpret: bool = False,
                     pack2: Optional[bool] = None,
                     kv_valid: Optional[jnp.ndarray] = None,
@@ -744,6 +744,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                               interpret=interpret)
     if static_max is not None:
         assert not causal, "static_max: non-causal only"
+    # None = per-path default (the packed paths resolve their own above;
+    # explicit caller values are honored verbatim on every path)
+    if block_q is None:
+        block_q = DEFAULT_BLOCK_Q
+    if block_k is None:
+        block_k = DEFAULT_BLOCK_K
 
     # Mosaic requires the lane (last) dim 128-aligned. Zero-pad head_dim:
     # scores are unchanged (zero columns contribute nothing to q·k), padded
@@ -1522,13 +1528,13 @@ def _flash_bwd_packed2(q, k, v, out, lse_pairs, g, *, sm_scale,
     b, sq, h, d = q.shape
     sk = k.shape[1]
     bh2 = b * h // 2
-    if single_pass:
+    if block_q is None:
         # larger k-tiles → fewer dq partials; smaller q-tiles keep the
-        # four (bq, bk) f32 score temporaries in VMEM
-        if block_q == DEFAULT_BWD_BLOCK_Q:
-            block_q = FUSED_BWD_BLOCK_Q
-        if block_k == DEFAULT_BWD_BLOCK_K:
-            block_k = FUSED_BWD_BLOCK_K
+        # four (bq, bk) f32 score temporaries in VMEM; explicit caller
+        # blocks are honored verbatim (sweep benches)
+        block_q = FUSED_BWD_BLOCK_Q if single_pass else DEFAULT_BWD_BLOCK_Q
+    if block_k is None:
+        block_k = FUSED_BWD_BLOCK_K if single_pass else DEFAULT_BWD_BLOCK_K
     block_q = min(block_q, _round_to(sq, 128))
     block_k = min(block_k, _round_to(sk, 128))
     sq_pad = _round_to(sq, block_q)
@@ -1717,8 +1723,8 @@ def _unpack_heads(x, b, s, h, d):
 
 
 def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
-                        block_q: int = DEFAULT_BWD_BLOCK_Q,
-                        block_k: int = DEFAULT_BWD_BLOCK_K,
+                        block_q: Optional[int] = None,
+                        block_k: Optional[int] = None,
                         interpret: bool = False, fold_stats: bool = True,
                         single_pass: bool = True):
     """Fused FlashAttention-2 backward. All of q/k/v/out/g are
@@ -1739,6 +1745,10 @@ def flash_attention_bwd(q, k, v, out, lse, g, *, causal=False, scale=None,
                                   fold_stats=fold_stats,
                                   single_pass=single_pass)
 
+    if block_q is None:
+        block_q = DEFAULT_BWD_BLOCK_Q
+    if block_k is None:
+        block_k = DEFAULT_BWD_BLOCK_K
     d_pad = _round_to(d, 128)
     if d_pad != d:
         pad = ((0, 0), (0, 0), (0, 0), (0, d_pad - d))
@@ -1931,8 +1941,8 @@ def _fa_fwd(q, k, v, causal, scale, static_max=None, fold_stats=True,
         # packed two-head training path: transposed-score forward with
         # per-head LSE + the packed backward (no 64→128 pad anywhere)
         out, lse_pairs = _flash_packed2t(
-            q, k, v, sm_scale=sm_scale, block_q=DEFAULT_BLOCK_Q,
-            block_k=DEFAULT_BLOCK_K, interpret=_FA_INTERPRET,
+            q, k, v, sm_scale=sm_scale, block_q=None,
+            block_k=None, interpret=_FA_INTERPRET,
             static_max=static_max, emit_lse=True)
         # reflatten pair-major LSE to the (B·H, Sq_pad) convention the
         # backward entry expects
